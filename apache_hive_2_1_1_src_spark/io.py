@@ -1,0 +1,59 @@
+"""Table loading and Hive storage-format defaults.
+
+Reference surface (SURVEY.md §2.2): Hive's SerDe/InputFormat matrix —
+LazySimpleSerDe text (serde2/lazy/LazySimpleSerDe.java: ``\\x01`` field
+delimiter, ``\\N`` null marker), ORC (ql/.../io/orc/OrcInputFormat.java with
+SearchArgument predicate pushdown), Parquet
+(ql/.../io/parquet/MapredParquetInputFormat.java), JSON
+(hcatalog JsonSerDe).  Spark's native readers give the same formats with
+pushdown for free; this module pins the Hive-default *options*.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Hive text-table defaults (LazySimpleSerDe.java + serdeConstants):
+#: field delimiter ^A (\x01), NULL serialized as the two chars "\N".
+HIVE_TEXT_OPTIONS: dict[str, str] = {
+    "sep": "\x01",
+    "nullValue": "\\N",
+    "emptyValue": "",
+    "header": "false",
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver table — the TableScanOperator equivalent
+    (ql/.../exec/TableScanOperator.java:1).  Parquet scan => columnar read,
+    column pruning + filter pushdown handled by Catalyst."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def write_hive_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write as Hive default text (^A-delimited, \\N nulls) —
+    HiveIgnoreKeyTextOutputFormat equivalent (ql/.../io/HiveIgnoreKeyTextOutputFormat.java)."""
+    df.write.mode(mode).options(**HIVE_TEXT_OPTIONS).csv(path)
+
+
+def read_hive_text(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read Hive default text with an explicit schema (schema-on-read —
+    the catalog supplies column types, the serde parses bytes:
+    serde/src/java/org/apache/hadoop/hive/serde2/AbstractSerDe.java)."""
+    return spark.read.options(**HIVE_TEXT_OPTIONS).schema(schema).csv(path)
+
+
+def has_avro_support(spark: SparkSession) -> bool:
+    """spark-avro is an external module; gate Avro paths on its presence."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.Class.forName("org.apache.spark.sql.avro.AvroFileFormat")
+        return True
+    except Exception:
+        return False

@@ -1,0 +1,140 @@
+"""Hive-compatible SparkSession construction.
+
+Mirrors the session/compile entry path of the reference
+(ql/src/java/org/apache/hadoop/hive/ql/Driver.java:368-531 compile →
+execute): our "Driver" is ``SparkSession.sql`` / the DataFrame API, with a
+configuration preset reproducing Hive 2.1.1 semantics where Spark defaults
+diverge:
+
+* ``spark.sql.ansi.enabled=false`` — Hive's permissive coercions
+  (string→number → NULL on junk, no overflow errors), the semantics of
+  UDFToBoolean…GenericUDFToChar casts
+  (ql/.../udf/generic/GenericUDFToChar.java; SURVEY.md §2.5 Casts).
+* AQE on — subsumes Hive's ConditionalTask / CommonJoinResolver /
+  SkewJoinResolver runtime re-planning
+  (ql/.../optimizer/physical/CommonJoinResolver.java, SkewJoinHandler.java:344).
+* session timezone UTC — deterministic date/ts functions for the oracle gate.
+* broadcast threshold 32 MiB — maps hive.auto.convert.join.noconditionaltask
+  (MapJoinProcessor, ql/.../optimizer/MapJoinProcessor.java): small dims are
+  broadcast, never shuffled.
+
+Scale note (100 TB): these configs are the local-test profile. On a real
+cluster the same code runs with dynamic allocation; shuffle partitions are
+governed by AQE coalescing (``spark.sql.adaptive.coalescePartitions``), so
+the hard-coded 32 here only seeds the local run.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Hive-2.1.1-semantics config preset, applied to every session we build and
+#: safe to apply onto an externally provided session (runtime-settable keys).
+HIVE_COMPAT_RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # Arrow for the pandas-UDF slow path (ngrams UDAF, pipeline ops).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Hive sources are legacy-rebase friendly for parquet timestamps.
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+}
+
+
+def build_session(
+    app_name: str = "apache-hive-2.1.1-src-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the Hive-compat preset.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    when no cluster master is configured — on a real cluster, leave it unset
+    and spark-submit provides it.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    for k, v in HIVE_COMPAT_RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    apply_compat_conf(spark)
+    return spark
+
+
+def apply_compat_conf(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable part of the preset to an existing session.
+
+    The correctness driver hands us its own SparkSession; Hive semantics
+    (ANSI off, UTC) must hold there too or permissive casts and date
+    functions change meaning.
+    """
+    for k, v in HIVE_COMPAT_RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # non-runtime-settable key on this build — keep going
+            pass
+    return spark
+
+
+class HiveEngine:
+    """Thin façade mirroring the reference's query lifecycle.
+
+    ``Driver.run(cmd)`` (ql/.../ql/Driver.java:1207) parsed/analyzed/
+    optimized/executed Hive SQL; here each stage is Catalyst's, reached via
+    ``spark.sql``.  The engine adds table registration from a parquet
+    directory (the metastore role: metastore/if/hive_metastore.thrift:294
+    Table structs) so SQL text can reference bare table names.
+    """
+
+    TABLES = (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+        self.spark = spark or build_session()
+        apply_compat_conf(self.spark)
+        self.sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def register_tables(self, sf_dir: str | None = None) -> None:
+        """Register the driver's parquet tables as temp views (catalog role)."""
+        sf_dir = sf_dir or self.sf_dir
+        for name in self.TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                self.spark.read.parquet(path).createOrReplaceTempView(name)
+
+    def sql(self, text: str):
+        """Run SQL — the CliDriver.processCmd equivalent (CliDriver.java:111)."""
+        return self.spark.sql(text)
+
+    def table(self, name: str):
+        return self.spark.table(name)
