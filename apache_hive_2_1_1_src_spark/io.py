@@ -36,6 +36,20 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its TIMESTAMP(NANOS) ``ts`` column restored to a
+    proper timestamp (read as nanos-long via
+    spark.sql.legacy.parquet.nanosAsLong, then truncated to micros —
+    sub-microsecond precision is below both Hive's and Spark's timestamp
+    resolution)."""
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, "events")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
 def write_hive_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write as Hive default text (^A-delimited, \\N nulls) —
     HiveIgnoreKeyTextOutputFormat equivalent (ql/.../io/HiveIgnoreKeyTextOutputFormat.java)."""

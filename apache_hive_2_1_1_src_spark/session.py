@@ -44,6 +44,10 @@ HIVE_COMPAT_RUNTIME_CONF: dict[str, str] = {
     # Hive sources are legacy-rebase friendly for parquet timestamps.
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
+    # reader rejects; surface it as nanos-since-epoch long instead
+    # (converted to timestamp by io.load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
