@@ -64,10 +64,14 @@ def read_hive_text(spark: SparkSession, path: str, schema) -> DataFrame:
 
 
 def has_avro_support(spark: SparkSession) -> bool:
-    """spark-avro is an external module; gate Avro paths on its presence."""
+    """spark-avro is an external module; gate Avro paths on its presence.
+    Probed with a real one-row write — class-presence checks false-positive
+    because catalyst ships avro expression classes without the datasource."""
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "_avro_probe")
     try:
-        jvm = spark._jvm  # noqa: SLF001
-        jvm.Class.forName("org.apache.spark.sql.avro.AvroFileFormat")
+        spark.range(1).write.mode("overwrite").format("avro").save(path)
         return True
     except Exception:
         return False

@@ -1,4 +1,219 @@
-"""Placeholder — filled in this round."""
+"""Subquery predicates, CTEs, multi-insert, UPDATE/DELETE rewrites.
 
-QUERIES = {}
-ORACLES = {}
+Reference: Hive rewrites IN/NOT IN/EXISTS/NOT EXISTS in WHERE/HAVING to
+semi/anti joins (parse/QBSubQuery.java:42-57, SubQueryUtils.java) —
+Catalyst's RewritePredicateSubquery performs the identical rewrite,
+including the null-aware anti join for NOT IN.  CTEs: HiveParser.g:362.
+Multi-insert ``FROM t INSERT ... INSERT ...`` (SemanticAnalyzer multi-dest
+genPlan) compiles here to one cached scan fanned out to N aggregates.
+ACID UPDATE/DELETE (HiveParser.g:2554,2577; OrcRecordUpdater.java) become
+copy-on-write overwrite rewrites — Spark cannot write Hive ACID deltas
+(SURVEY.md §1.4), and COW over immutable parquet is the Spark-native
+equivalent (same model Delta/Iceberg use).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_hive_2_1_1_src_spark.queries._util import t
+
+
+def q75_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) → left semi join (QBSubQuery.java:42)."""
+    for name in ("orders", "customer"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"sq_{name}")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM sq_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM sq_customer WHERE c_acctbal > 9000)
+        """
+    )
+
+
+def q76_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (subquery) → null-aware anti join."""
+    for name in ("orders", "customer"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"sq_{name}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM sq_customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM sq_orders WHERE o_totalprice > 350000)
+        """
+    )
+
+
+def q77_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS in WHERE (SubQueryUtils rewrite)."""
+    for name in ("lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"sq_{name}")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand FROM sq_part p
+        WHERE EXISTS (SELECT 1 FROM sq_lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)
+        """
+    )
+
+
+def q78_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in WHERE + correlated scalar in SELECT."""
+    for name in ("orders", "customer"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"sq_{name}")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        FROM sq_orders
+        WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM sq_orders)
+        """
+    )
+
+
+def q79_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH — two chained CTEs (HiveParser.g:362,2324)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("sq_supplier")
+    return spark.sql(
+        """
+        WITH supp_rev AS (
+            SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+            FROM sq_lineitem GROUP BY l_suppkey
+        ),
+        ranked AS (
+            SELECT l_suppkey, rev, rank() OVER (ORDER BY rev DESC, l_suppkey) AS rnk
+            FROM supp_rev
+        )
+        SELECT s_suppkey, s_name, ROUND(rev, 2) AS rev, CAST(rnk AS INT) AS rnk
+        FROM ranked JOIN sq_supplier ON l_suppkey = s_suppkey
+        WHERE rnk <= 10
+        """
+    )
+
+
+def q80_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-insert: FROM (one scan) INSERT INTO a ... INSERT INTO b ...
+    (SemanticAnalyzer multi-destination plan).  Spark-first: cache the
+    shared scan once, fan out N writes; here the two branches are unioned
+    with a destination tag so the oracle can check both outputs."""
+    orders = t(spark, sf_dir, "orders").cache()
+    by_status = (
+        orders.groupBy(F.col("o_orderstatus").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .withColumn("dest", F.lit("by_status"))
+    )
+    by_prio = (
+        orders.groupBy(F.col("o_orderpriority").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .withColumn("dest", F.lit("by_priority"))
+    )
+    return by_status.unionByName(by_prio).select("dest", "key", "n", "total")
+
+
+def q81_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE as copy-on-write rewrite (HiveParser.g:2554;
+    ACID OrcRecordUpdater → here: rewrite matching rows, overwrite table
+    copy).  Writes a temp copy, applies the rewrite, reads back —
+    round-trips the FileSink path; oracle checks final table contents."""
+    out = os.path.join(tempfile.gettempdir(), "hive_spark_cow_update")
+    orders = t(spark, sf_dir, "orders")
+    updated = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderstatus") == "O", F.round(F.col("o_totalprice") * 1.10, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    updated.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_after_update"),
+    ).orderBy("o_orderstatus")
+
+
+def q82_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE ... WHERE as copy-on-write anti-filter rewrite
+    (HiveParser.g:2577)."""
+    out = os.path.join(tempfile.gettempdir(), "hive_spark_cow_delete")
+    li = t(spark, sf_dir, "lineitem")
+    kept = li.filter(~((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 40)))
+    kept.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_remaining"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_remaining"),
+    ).orderBy("l_returnflag")
+
+
+QUERIES = {
+    "q75_in_subquery": q75_in_subquery,
+    "q76_not_in_subquery": q76_not_in_subquery,
+    "q77_exists_correlated": q77_exists_correlated,
+    "q78_scalar_subquery": q78_scalar_subquery,
+    "q79_cte": q79_cte,
+    "q80_multi_insert": q80_multi_insert,
+    "q81_update_cow": q81_update_cow,
+    "q82_delete_cow": q82_delete_cow,
+}
+
+ORACLES = {
+    "q75_in_subquery": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    """,
+    "q76_not_in_subquery": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+    """,
+    "q77_exists_correlated": """
+        SELECT p_partkey, p_brand FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)
+    """,
+    "q78_scalar_subquery": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        FROM orders
+        WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    "q79_cte": """
+        WITH supp_rev AS (
+            SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        ranked AS (
+            SELECT l_suppkey, rev, rank() OVER (ORDER BY rev DESC, l_suppkey) AS rnk
+            FROM supp_rev
+        )
+        SELECT s_suppkey, s_name, ROUND(rev, 2) AS rev, CAST(rnk AS INT) AS rnk
+        FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rnk <= 10
+    """,
+    "q80_multi_insert": """
+        SELECT 'by_status' AS dest, o_orderstatus AS key, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'by_priority' AS dest, o_orderpriority AS key, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q81_update_cow": """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'O'
+                              THEN ROUND(o_totalprice * 1.10, 2)
+                              ELSE o_totalprice END), 2) AS total_after_update
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "q82_delete_cow": """
+        SELECT l_returnflag, COUNT(*) AS n_remaining,
+               ROUND(SUM(l_quantity), 2) AS qty_remaining
+        FROM lineitem
+        WHERE NOT (l_returnflag = 'R' AND l_quantity > 40)
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+}
