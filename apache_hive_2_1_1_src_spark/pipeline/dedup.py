@@ -1,0 +1,254 @@
+"""Deduplication operators over the ``documents`` table.
+
+Scale design (the point of every function here):
+
+* **Exact** dedup is one shuffle keyed by content hash — at 100 TB the
+  md5 groupBy is the optimal plan (map-side partial agg collapses
+  duplicates before the exchange).
+* **MinHash-LSH** never materializes all-pairs: each doc emits ``b`` band
+  keys (b×rows rows total, linear in corpus size); candidate pairs only
+  form *within* a band bucket (shuffle keyed by band hash), and exact
+  Jaccard verification touches only those candidates.  All-pairs O(n²)
+  never appears in any plan.
+* **SimHash** reduces each doc to a 64-bit signature via 64 parallel JVM
+  aggregations (one explode + one groupBy), then blocks on 16-bit chunks
+  (Hamming-≤k pairs must share ≥1 of 4 chunks by pigeonhole) — again a
+  linear emit + bucket-local pairing.
+* **Embedding near-dup** at test scale is a broadcast self-join; at
+  100 TB you compose it with similarity.lsh_bucketed_ann's hyperplane
+  buckets (documented there) — the verify step is identical.
+
+Everything is JVM expressions (xxhash64 / transform / aggregate /
+array ops); Python never touches row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle array (lowercased, whitespace-split)."""
+    words = F.split(F.lower(text), r"\s+")
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: canonical = min id per md5(content).  Returns
+    (content_hash, canonical_id, n_copies)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 32) -> Column:
+    """Deterministic MinHash signature: h_i = min over shingles of
+    xxhash64(i ++ shingle).  Array<long> of length num_hashes, computed
+    entirely in codegen (transform + array_min)."""
+    sh = _word_shingles(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)))
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    Emits exactly ``bands`` rows per doc, shuffles once on
+    (band_idx, band_hash), pairs only within buckets.  Returns distinct
+    (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes)
+    banded = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band), lambda h: h.cast("string"))
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact word-3-gram Jaccard verification for candidate pairs.
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), _word_shingles(F.col(text_col)).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        pairs.join(a, pairs.id_a == F.col("a.id"))
+        .join(b, pairs.id_b == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("a.sh", "b.sh")).alias("n_inter"),
+            F.size(F.array_union("a.sh", "b.sh")).alias("n_union"),
+        )
+    )
+    jac = F.round(F.col("n_inter") / F.col("n_union"), 6)
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document.
+
+    explode(words) → xxhash64(word) → per-bit ±1 sums (64 JVM aggregates)
+    → reassemble sign bits into one long.  One shuffle keyed by doc id.
+    """
+    h = F.xxhash64(F.col("word"))
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("word"),
+    ).select("id", h.alias("h"))
+    bit_sums = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return bit_sums.select("id", sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on the
+    4 16-bit chunks (pigeonhole: ≤3 differing bits → ≥1 identical chunk),
+    so pairing is bucket-local, never all-pairs."""
+    sims = simhash64(docs, text_col, id_col)
+    chunks = sims.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("int")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in double
+    via JVM higher-order functions (zip_with/aggregate) — no UDF."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def embedding_near_dups(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (i < j, rounded cosine >= threshold).
+
+    Test-scale plan: broadcast self-join.  100 TB plan: feed pairs from
+    similarity.lsh_bucketed_ann's hyperplane buckets instead of the
+    all-pairs join; the scoring expression is identical.
+    """
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All pure JVM expressions (split / filter / transform / aggregate) —
+per-row string analytics with zero shuffle, so they scale linearly and
+pipeline into any downstream groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny in-expression stopword list (enough for ratio features; a real
+#: deployment broadcasts a language-specific set).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+#: Marker words per language for the n-gram/marker heuristic language ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score, mirroring standard pretraining-corpus quality filters."""
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    mean_wlen = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_words, F.lit(1))
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    score = F.round(
+        F.when(n_words < 5, 0.0).otherwise(
+            (F.lit(1.0) - punct_ratio)
+            * F.least(stop_ratio * 4, F.lit(1.0))
+            * F.least(n_words / 50.0, F.lit(1.0))
+        ),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (regex pieces: runs of
+    letters, digits, or single punctuation — the pre-tokenizer split most
+    BPE vocabularies assume)."""
+    text = F.col(text_col)
+    ws_tokens = F.size(_words(text))
+    pieces = F.size(
+        F.filter(
+            F.split(F.lower(text), r"([a-z]+|[0-9]+|[^a-z0-9\s])|\s+"),
+            lambda p: p != "",
+        )
+    )
+    # regexp_extract_all keeps the matched pieces directly (codegen path).
+    bpe_ish = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+    chars_per_token = F.round(F.length(text) / F.greatest(ws_tokens, F.lit(1)), 6)
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_ish.alias("bpe_ish_tokens"),
+        chars_per_token.alias("chars_per_ws_token"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score = count of language marker words
+    present (distinct), guess = argmax with deterministic tie order
+    (en > de > es > fr).  A real system swaps in char-n-gram profiles;
+    the operator shape (per-row array intersection, no shuffle) is the
+    same."""
+    words = F.array_distinct(_words(F.col(text_col)))
+    scores = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = None
+    guess = None
+    for lang in LANG_MARKERS:  # insertion order = tie order
+        s = scores[lang]
+        if best is None:
+            best, guess = s, F.lit(lang)
+        else:
+            guess = F.when(s > best, F.lit(lang)).otherwise(guess)
+            best = F.greatest(best, s)
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        F.when(best > 0, guess).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic rolling polynomial hash over the first 64 chars:
+    h = (h*31 + ascii(char)) mod 1e9+7 — modulus keeps the value identical
+    in any engine's 64-bit arithmetic (no overflow-wrap dependence)."""
+    chars = F.split(F.substring(F.col(text_col), 1, 64), "")
+    rolling = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (
+            acc * F.lit(31).cast("long") + F.coalesce(F.ascii(ch), F.lit(0))
+        ) % F.lit(1000000007).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        rolling.alias("fp64"),
+        F.md5(F.col(text_col)).alias("fp_md5"),
+    )

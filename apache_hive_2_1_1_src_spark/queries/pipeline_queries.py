@@ -1,4 +1,281 @@
-"""Placeholder — filled in this round."""
+"""Registry entries for the LLM-pipeline operators (dedup / similarity /
+text analysis / multimodal) — SURVEY.md's extension surface, first-class
+deliverables per the brief.
 
-QUERIES = {}
-ORACLES = {}
+Oracle coverage: everything SQL-expressible gets a full DuckDB oracle
+(including the mapInPandas decode path, whose fake features are
+deterministic functions of the bytes); only the LSH candidate generators
+are rows-only (banded MinHash / hyperplane signatures have no reasonable
+SQL equivalent), and each of those is pinned by pytest invariants instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_hive_2_1_1_src_spark.pipeline.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+)
+from apache_hive_2_1_1_src_spark.pipeline.multimodal import decode_blobs, with_blob_column
+from apache_hive_2_1_1_src_spark.pipeline.similarity import brute_force_topk, lsh_bucketed_ann
+from apache_hive_2_1_1_src_spark.pipeline.text import (
+    fingerprint,
+    language_id,
+    quality_features,
+    token_counts,
+)
+from apache_hive_2_1_1_src_spark.queries._util import t
+
+
+def p01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(t(spark, sf_dir, "documents")).orderBy("content_hash")
+
+
+def p02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidates + exact Jaccard verify (threshold .4).
+    Candidate generation is signature-dependent → rows-only here; pytest
+    asserts the planted near-dup pair is recovered and candidate count
+    stays ≪ all-pairs."""
+    docs = t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    return jaccard_pairs(docs, cands, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def p03_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over same-source candidate pairs — the
+    SQL-expressible fuzzy-dedup variant (full oracle).  Blocking key =
+    source; at 100 TB the blocking key comes from LSH instead."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = (
+        docs.alias("x")
+        .join(
+            docs.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+    )
+    return jaccard_pairs(docs, pairs, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def p04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups, Hamming ≤ 3, chunk-blocked (rows-only; pytest
+    pins signature determinism and the planted-pair recovery)."""
+    docs = t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def p05_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
+    corpus: random 64-dim vectors top out ≈0.51)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.40).orderBy("id_a", "id_b")
+
+
+def p06_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id < 10 (full oracle via
+    DuckDB list_cosine_similarity + QUALIFY)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "neighbor_id")
+
+
+def p07_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (rows-only; pytest asserts recall vs the
+    brute-force baseline and bucket-boundedness)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_ann(emb, queries, k=5, num_planes=6, num_tables=4).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
+def p08_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def p09_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def p10_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def p11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def p12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column + typed metadata struct (flattened to scalars for the
+    oracle: byte length and magic bytes are checkable from text)."""
+    blobs = with_blob_column(t(spark, sf_dir, "documents"))
+    return blobs.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.lower(F.col("meta.magic_hex")).alias("magic_hex"),
+    ).orderBy("doc_id")
+
+
+def p13_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode stub via mapInPandas — fake features are
+    deterministic byte functions, so even the Python path gets a full
+    DuckDB oracle."""
+    blobs = with_blob_column(t(spark, sf_dir, "documents"))
+    return decode_blobs(blobs).orderBy("doc_id")
+
+
+QUERIES = {
+    "p01_dedup_exact": p01_dedup_exact,
+    "p02_dedup_minhash_lsh": p02_dedup_minhash_lsh,
+    "p03_dedup_ngram_jaccard": p03_dedup_ngram_jaccard,
+    "p04_dedup_simhash": p04_dedup_simhash,
+    "p05_dedup_embedding": p05_dedup_embedding,
+    "p06_ann_bruteforce": p06_ann_bruteforce,
+    "p07_ann_lsh": p07_ann_lsh,
+    "p08_text_quality": p08_text_quality,
+    "p09_token_counts": p09_token_counts,
+    "p10_langid": p10_langid,
+    "p11_fingerprint": p11_fingerprint,
+    "p12_multimodal_meta": p12_multimodal_meta,
+    "p13_multimodal_decode": p13_multimodal_decode,
+}
+
+_SHINGLES_CTE = """
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [array_to_string(w, ' ')] END) AS s
+      FROM (SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS w
+            FROM documents)
+    )
+"""
+
+ORACLES = {
+    "p01_dedup_exact": """
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY content_hash
+    """,
+    "p03_dedup_ngram_jaccard": _SHINGLES_CTE
+    + """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(a.s || b.s)), 6) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(a.s || b.s)), 6) >= 0.4
+        ORDER BY id_a, id_b
+    """,
+    "p05_dedup_embedding": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.40
+        ORDER BY id_a, id_b
+    """,
+    "p06_ann_bruteforce": """
+        SELECT query_id, neighbor_id, ROUND(c, 4) AS cos FROM (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+          FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+          WHERE q.vec_id < 10
+          QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY c DESC, e.vec_id) <= 5
+        ) ORDER BY query_id, neighbor_id
+    """,
+    "p08_text_quality": """
+        SELECT doc_id,
+               CAST(len(w) AS INT) AS n_words,
+               ROUND(list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                     / GREATEST(len(w), 1), 6) AS mean_word_len,
+               ROUND(len(list_filter(w, x -> list_contains(
+                       ['the','a','an','and','or','of','to','in','is','it'], x)))
+                     / GREATEST(len(w), 1), 6) AS stop_ratio,
+               ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                     / GREATEST(length(text), 1), 6) AS punct_ratio,
+               ROUND(CASE WHEN len(w) < 5 THEN 0.0 ELSE
+                 (1.0 - ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                        / GREATEST(length(text), 1), 6))
+                 * LEAST(ROUND(len(list_filter(w, x -> list_contains(
+                       ['the','a','an','and','or','of','to','in','is','it'], x)))
+                     / GREATEST(len(w), 1), 6) * 4, 1.0)
+                 * LEAST(len(w) / 50.0, 1.0) END, 6) AS quality_score
+        FROM (SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+              FROM documents)
+        ORDER BY doc_id
+    """,
+    "p09_token_counts": """
+        SELECT doc_id,
+               CAST(len(ws) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT)
+                 AS bpe_ish_tokens,
+               ROUND(length(text) / GREATEST(len(ws), 1), 6) AS chars_per_ws_token
+        FROM (SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+              FROM documents)
+        ORDER BY doc_id
+    """,
+    "p10_langid": """
+        SELECT doc_id,
+               CAST(s_en AS INT) AS score_en, CAST(s_de AS INT) AS score_de,
+               CAST(s_es AS INT) AS score_es, CAST(s_fr AS INT) AS score_fr,
+               CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+                    WHEN s_fr > GREATEST(s_en, s_de, s_es) THEN 'fr'
+                    WHEN s_es > GREATEST(s_en, s_de) THEN 'es'
+                    WHEN s_de > s_en THEN 'de'
+                    ELSE 'en' END AS lang_guess
+        FROM (
+          SELECT doc_id,
+                 len(list_intersect(w, ['the','and','of','to','is'])) AS s_en,
+                 len(list_intersect(w, ['der','die','das','und','ist'])) AS s_de,
+                 len(list_intersect(w, ['el','la','los','y','es'])) AS s_es,
+                 len(list_intersect(w, ['le','la','les','et','est'])) AS s_fr
+          FROM (SELECT doc_id,
+                       list_distinct(list_filter(
+                         string_split_regex(lower(text), '\\s+'), x -> x != '')) AS w
+                FROM documents)
+        ) ORDER BY doc_id
+    """,
+    "p11_fingerprint": """
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(substr(text, 1, 64), ''),
+                                  c -> CAST(COALESCE(ascii(c), 0) AS BIGINT))),
+                 (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fp64,
+               md5(text) AS fp_md5
+        FROM documents ORDER BY doc_id
+    """,
+    "p12_multimodal_meta": """
+        SELECT doc_id,
+               'application/octet-stream' AS mime,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               lower(hex(CAST(substr(text, 1, 4) AS BLOB))) AS magic_hex
+        FROM documents ORDER BY doc_id
+    """,
+    "p13_multimodal_decode": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(cs % 640 + 1 AS INT) AS fake_width,
+               CAST(cs % 480 + 1 AS INT) AS fake_height,
+               cs AS byte_checksum
+        FROM (
+          SELECT doc_id, text,
+                 list_aggregate(list_transform(string_split(text, ''),
+                                c -> CAST(ascii(c) AS BIGINT)), 'sum')
+                   % 2147483648 AS cs
+          FROM documents
+        ) ORDER BY doc_id
+    """,
+}
