@@ -55,17 +55,29 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 32) -> Column:
-    """Deterministic MinHash signature: h_i = min over shingles of
-    xxhash64(i ++ shingle).  Array<long> of length num_hashes, computed
-    entirely in codegen (transform + array_min)."""
-    sh = _word_shingles(text)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)))
-        ),
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Deterministic MinHash signatures, one column per hash function:
+    h_i = min over shingles of xxhash64('i|' ++ shingle).
+
+    Computed as explode(shingles) → groupBy(doc) with ``num_hashes``
+    codegen ``min`` aggregates — map-side partial mins collapse the data
+    before the one shuffle keyed by doc id, which is the shape that holds
+    at 100 TB (and avoids re-evaluating the signature expression per
+    consumer, which interpreted higher-order lambdas would)."""
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_shingles(F.col(text_col))).alias("shingle"),
     )
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -79,22 +91,27 @@ def minhash_lsh_candidates(
 
     Emits exactly ``bands`` rows per doc, shuffles once on
     (band_idx, band_hash), pairs only within buckets.  Returns distinct
-    (id_a, id_b) with id_a < id_b.
+    (id_a, id_b) with id_a < id_b.  The self-join's two sides are an
+    identical subplan, so Spark's ReuseExchange computes signatures once.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes)
-    banded = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",", F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band), lambda h: h.cast("string"))
-                    )
-                ),
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
             )
-        ).alias("band_idx", "band_hash"),
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col("id"), F.posexplode(band_hashes).alias("band_idx", "band_hash")
     )
     left = banded.alias("l")
     right = banded.alias("r")

@@ -31,6 +31,23 @@ from apache_hive_2_1_1_src_spark.queries._util import t
 _SCRATCH = os.path.join(tempfile.gettempdir(), "hive_spark_storage")
 
 
+def drop_table(spark: SparkSession, name: str) -> None:
+    """DROP TABLE IF EXISTS + remove any leftover warehouse directory.
+
+    A fresh session's in-memory catalog forgets managed tables but their
+    warehouse directories survive on disk; CREATE/saveAsTable then fails
+    with LOCATION_ALREADY_EXISTS (the DDLTask drop also removed the dir —
+    DDLTask.java deleteDir path)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file:", "file://"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+    shutil.rmtree(os.path.join(warehouse, name.lower()), ignore_errors=True)
+
+
 def q85_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static+dynamic partitioned write (FileSinkOperator dynamic partitions;
     dir-per-value layout of SURVEY.md §1.4) and read-back."""
@@ -69,7 +86,7 @@ def q87_write_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketBy/sortBy saveAsTable; thrift StorageDescriptor:278).  Read back
     via the catalog; bucket metadata enables shuffle-free joins on
     o_custkey (asserted in tests/test_plans.py)."""
-    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    drop_table(spark, "bkt_orders")
     orders = t(spark, sf_dir, "orders")
     (
         orders.write.mode("overwrite")
@@ -169,7 +186,7 @@ def q92_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q93_ctas_and_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDL surface (DDLTask.java:4460): CREATE TABLE AS SELECT, DESCRIBE-
     equivalent via catalog, DROP — exercised through spark.sql DDL text."""
-    spark.sql("DROP TABLE IF EXISTS ctas_region_summary")
+    drop_table(spark, "ctas_region_summary")
     t(spark, sf_dir, "region").createOrReplaceTempView("ddl_region")
     t(spark, sf_dir, "nation").createOrReplaceTempView("ddl_nation")
     spark.sql(

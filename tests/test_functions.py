@@ -1,0 +1,55 @@
+"""Unit tests for the function-compat gap set, pinning exact values
+(these back the rows-only registry entries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_hive_2_1_1_src_spark.functions.compat import elt, field, hive_hash, nvl, sum0
+
+
+def test_field_semantics(spark):
+    df = spark.createDataFrame([("b",), ("z",), (None,)], "v string")
+    rows = df.select(field(F.col("v"), "a", "b", "c").alias("f")).collect()
+    # Hive GenericUDFField: 1-based match index, 0 when absent (NULL → 0)
+    assert [r.f for r in rows] == [2, 0, 0]
+
+
+def test_elt_semantics(spark):
+    df = spark.createDataFrame([(1,), (3,), (5,)], "i int")
+    rows = df.select(elt(F.col("i"), "a", "b", "c").alias("e")).collect()
+    assert [r.e for r in rows] == ["a", "c", None]  # out-of-range → NULL
+
+
+def test_nvl_and_sum0(spark):
+    df = spark.createDataFrame([(None,), (2.0,)], "x double")
+    assert df.select(nvl(F.col("x"), 9.0).alias("n")).collect()[1].n == 2.0
+    empty = df.filter(F.col("x") < -100)
+    assert empty.agg(sum0(F.col("x")).alias("s")).collect()[0].s == 0.0
+    assert empty.agg(F.sum("x").alias("s")).collect()[0].s is None
+
+
+def test_hive_hash_matches_java_string_hashcode(spark):
+    # Java "abc".hashCode() == 96354 ; "hive".hashCode() == 3202928
+    df = spark.createDataFrame([("abc",), ("hive",)], "s string")
+    rows = df.select(hive_hash(F.col("s")).alias("h")).collect()
+    assert [r.h for r in rows] == [96354, 3202928]
+
+
+def test_xpath_pinned_values(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.queries.functions_sql import q65_xpath
+
+    rows = {r.n_nationkey: (r.xp_name, r.xp_rk) for r in q65_xpath(spark, sf_dir).collect()}
+    assert len(rows) == 25
+    assert all(isinstance(v[0], str) and v[0] for v in rows.values())
+    assert all(0 <= v[1] <= 4 for v in rows.values())
+
+
+def test_hive_text_roundtrip_preserves_nulls(spark, tmp_path):
+    from apache_hive_2_1_1_src_spark.io import read_hive_text, write_hive_text
+
+    df = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    out = str(tmp_path / "t")
+    write_hive_text(df, out)
+    back = read_hive_text(spark, out, "k int, v string").orderBy("k").collect()
+    assert [(r.k, r.v) for r in back] == [(1, None), (2, "x")]

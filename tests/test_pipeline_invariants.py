@@ -1,0 +1,75 @@
+"""Invariant tests for the rows-only pipeline operators (the ones SQL
+can't oracle): LSH recall, candidate boundedness, signature determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_hive_2_1_1_src_spark.io import load_table
+from apache_hive_2_1_1_src_spark.pipeline.dedup import (
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash64,
+    simhash_near_dups,
+)
+from apache_hive_2_1_1_src_spark.pipeline.similarity import brute_force_topk, lsh_bucketed_ann
+
+
+def test_minhash_lsh_recovers_planted_dups_and_stays_subquadratic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    n_cands = cands.count()
+    # candidate set must be far below all-pairs (the whole point of LSH)
+    assert n_cands < n_docs * (n_docs - 1) / 2 * 0.05, (n_cands, n_docs)
+    # every true near-dup (jaccard >= 0.6 among same-source exhaustive pairs)
+    # must appear in the candidate set: banded MinHash with b=8,r=4 finds
+    # j=0.6 pairs w.p. 1-(1-0.6^4)^8 ≈ 0.71 per table; the planted dups in
+    # this corpus are j>0.9 where the probability is ≈1.
+    pairs_all = (
+        docs.alias("x")
+        .join(docs.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+    )
+    truth = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, pairs_all, threshold=0.9).collect()
+    }
+    found = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert truth, "corpus should contain planted near-dups"
+    assert truth <= found, f"LSH missed high-jaccard pairs: {truth - found}"
+
+
+def test_simhash_deterministic_and_finds_planted_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = {r.id: r.simhash for r in simhash64(docs).collect()}
+    b = {r.id: r.simhash for r in simhash64(docs).collect()}
+    assert a == b, "simhash must be deterministic across runs"
+    dups = simhash_near_dups(load_table(spark, sf_dir, "documents"), max_hamming=6)
+    # near-identical docs (planted) should land within hamming 6
+    assert dups.count() >= 1
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    # 8 tables × 4 planes: for this corpus's top neighbors (cos ≈ 0.4,
+    # angle ≈ 66°) per-table collision p ≈ (1-66/180)^4 ≈ 0.16, so
+    # 8 tables give expected recall ≈ 1-(1-0.16)^8 ≈ 0.75.  On bigger
+    # corpora num_planes grows with log n to keep buckets small.
+    approx = lsh_bucketed_ann(emb, queries, k=5, num_planes=4, num_tables=8)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"ANN recall too low: {recall}"
+    # and every query produced at most k results
+    counts = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
+
+
+def test_lsh_candidates_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    c1 = sorted((r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect())
+    c2 = sorted((r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect())
+    assert c1 == c2

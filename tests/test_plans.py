@@ -1,0 +1,93 @@
+"""Plan audits — the 100 TB design gates.
+
+Each assertion encodes a scale requirement from the brief: dimension joins
+broadcast (never shuffle the fact table), filters reach the parquet scan
+(PushedFilters), projection prunes columns (ReadSchema), partition filters
+prune directories, bucketed tables join without an exchange on the bucket
+key, and the Python-free hot path stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_hive_2_1_1_src_spark.io import load_table
+from apache_hive_2_1_1_src_spark.queries.relational import (
+    q01_pricing_summary,
+    q10_broadcast_region_revenue,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_star_join_broadcasts_all_dimensions(spark, sf_dir):
+    plan = _plan(q10_broadcast_region_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the fact table must never be shuffled for the join:
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_flagship_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = _plan(q01_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the scan must not read join keys it doesn't need
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+    # partial + final hash aggregate pair: map-side combine collapses rows
+    # before the exchange (GroupByDesc PARTIAL1/MERGEPARTIAL split)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_partitioned_write_read_prunes_partitions(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "part_pruned")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan, plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key must sort-merge join with zero
+    Exchange (SMBMapJoinOperator.java's contract, via bucketBy)."""
+    from apache_hive_2_1_1_src_spark.queries.storage import drop_table
+
+    drop_table(spark, "tbkt_a")
+    drop_table(spark, "tbkt_b")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    (
+        orders.write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable("tbkt_a")
+    )
+    (
+        customer.write.mode("overwrite").bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable("tbkt_b")
+    )
+    # disable broadcast so the join strategy decision is about bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("tbkt_a").join(
+            spark.table("tbkt_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+
+
+def test_aqe_enabled_in_compat_preset(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
