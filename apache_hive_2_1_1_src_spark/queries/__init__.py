@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from apache_hive_2_1_1_src_spark.queries import (
     aggregates,
     functions_sql,
+    misc,
     pipeline_queries,
     relational,
     storage,
@@ -37,6 +38,7 @@ _MODULES = [
     functions_sql,
     subqueries,
     storage,
+    misc,
     pipeline_queries,
 ]
 

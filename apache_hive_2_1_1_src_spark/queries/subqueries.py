@@ -121,10 +121,12 @@ def q81_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips the FileSink path; oracle checks final table contents."""
     out = os.path.join(tempfile.gettempdir(), "hive_spark_cow_update")
     orders = t(spark, sf_dir, "orders")
+    # no per-row rounding: round(x*1.1, 2) sits on .005 representation
+    # boundaries where engines' float ulps disagree — round only aggregates
     updated = orders.withColumn(
         "o_totalprice",
         F.when(
-            F.col("o_orderstatus") == "O", F.round(F.col("o_totalprice") * 1.10, 2)
+            F.col("o_orderstatus") == "O", F.col("o_totalprice") * 1.10
         ).otherwise(F.col("o_totalprice")),
     )
     updated.write.mode("overwrite").parquet(out)
@@ -205,7 +207,7 @@ ORACLES = {
     "q81_update_cow": """
         SELECT o_orderstatus, COUNT(*) AS n,
                ROUND(SUM(CASE WHEN o_orderstatus = 'O'
-                              THEN ROUND(o_totalprice * 1.10, 2)
+                              THEN o_totalprice * 1.10
                               ELSE o_totalprice END), 2) AS total_after_update
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
