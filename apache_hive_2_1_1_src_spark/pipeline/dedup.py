@@ -72,9 +72,14 @@ def minhash_signatures(
     shingled = docs.select(
         F.col(id_col).alias("id"),
         F.explode(_word_shingles(F.col(text_col))).alias("shingle"),
-    )
+    ).select("id", F.xxhash64(F.col("shingle")).alias("bh"))
+    # one xxhash64 per shingle + 32 linear transforms (h_i = a_i*h + b_i,
+    # wrapping 64-bit) — the standard universal-hash MinHash family; 32×
+    # cheaper than hashing per function and fully codegen
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.col("bh") * F.lit(2 * i + 1) + F.lit((i * 0x9E3779B97F4A7C15) % (1 << 62))).alias(
+            f"h{i}"
+        )
         for i in range(num_hashes)
     ]
     return shingled.groupBy("id").agg(*aggs)

@@ -292,6 +292,21 @@ def q63_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63b_inline_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline(array<struct>) UDTF (GenericUDTFInline,
+    FunctionRegistry.java:449): expand an array of structs into rows."""
+    r = t(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey",
+        F.inline(
+            F.array(
+                F.struct(F.lit("orig").alias("kind"), F.col("r_name").alias("val")),
+                F.struct(F.lit("lower").alias("kind"), F.lower("r_name").alias("val")),
+            )
+        ),
+    )
+
+
 def q64_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """json_tuple UDTF (GenericUDTFJSONTuple) over events.props."""
     e = t(spark, sf_dir, "events").filter(F.col("event_id") <= 300)
@@ -390,6 +405,7 @@ QUERIES = {
     "q61_explode_lateral": q61_explode_lateral,
     "q62_posexplode": q62_posexplode,
     "q63_stack": q63_stack,
+    "q63b_inline_udtf": q63b_inline_udtf,
     "q64_json_tuple": q64_json_tuple,
     "q65_xpath": q65_xpath,
     "q66_field_elt": q66_field_elt,
@@ -562,6 +578,11 @@ ORACLES = {
         UNION ALL
         SELECT n_nationkey, 'region' AS attr, CAST(n_regionkey AS VARCHAR) AS val
         FROM nation WHERE n_nationkey < 5
+    """,
+    "q63b_inline_udtf": """
+        SELECT r_regionkey, 'orig' AS kind, r_name AS val FROM region
+        UNION ALL
+        SELECT r_regionkey, 'lower' AS kind, lower(r_name) AS val FROM region
     """,
     "q64_json_tuple": """
         SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k

@@ -87,6 +87,39 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
 
 
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Join-driven partition pruning (AppMasterEventOperator /
+    DynamicPartitionPruningOptimization.java → Spark DPP): a selective
+    filter on the dim side must inject a dynamicpruning subquery into the
+    partitioned fact scan."""
+    out = str(tmp_path / "dpp_fact")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    li.write.mode("overwrite").partitionBy("l_suppkey").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    # force the non-broadcast path so DPP (not static broadcast pruning)
+    # has to kick in via the reused exchange
+    j = fact.join(dim, fact.l_suppkey == dim.s_suppkey).groupBy("s_nationkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan, plan
+
+
+def test_explain_surface(spark, sf_dir):
+    """EXPLAIN (ExplainTask.java ~1100 LoC) → one engine call."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    df = eng.sql("SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag")
+    plan = _plan(df)
+    assert "HashAggregate" in plan and "Scan parquet" in plan
+
+
 def test_aqe_enabled_in_compat_preset(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
