@@ -47,10 +47,76 @@ def q96_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_event_counts(spark, sf_dir)
 
 
+def q97_cluster_by_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER BY SQL surface (HiveParser.g:95-100; = DISTRIBUTE BY +
+    SORT BY on the same keys).  Result set equals the plain projection —
+    the oracle checks the multiset."""
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("misc_supplier")
+    return spark.sql(
+        "SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 2) AS bal "
+        "FROM misc_supplier CLUSTER BY s_nationkey"
+    )
+
+
+def q98_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO (append) vs INSERT OVERWRITE: two appends accumulate
+    (MoveTask append path)."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "hive_spark_storage", "append_target")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    region = t(spark, sf_dir, "region")
+    region.write.mode("append").parquet(out)
+    region.write.mode("append").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("r_name").agg(F.count(F.lit(1)).alias("n")).orderBy("r_name")
+
+
+def q99_mask_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask* family (FunctionRegistry.java:484-489 → Spark 3.4+ mask):
+    upper→X, lower→x, digit→n."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return c.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("masked"),
+        F.mask(F.col("c_name"), F.lit("U"), F.lit("l"), F.lit("#"), F.lit("*")).alias(
+            "masked_custom"
+        ),
+    )
+
+
+def q100_tpch_q2_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-min subquery over a join
+    (min-cost-supplier pattern) — stresses subquery decorrelation the way
+    Hive's CalcitePlanner rewrites do."""
+    for name in ("part", "lineitem", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"misc_{name}")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, ROUND(l.l_extendedprice, 2) AS min_price,
+               s.s_name
+        FROM misc_part p
+        JOIN misc_lineitem l ON l.l_partkey = p.p_partkey
+        JOIN misc_supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE p.p_size = 15
+          AND l.l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice) FROM misc_lineitem l2
+            WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
 QUERIES = {
     "q94_transform_script": q94_transform_script,
     "q95_analyze_stats": q95_analyze_stats,
     "q96_streaming_window_counts": q96_streaming_window_counts,
+    "q97_cluster_by_sql": q97_cluster_by_sql,
+    "q98_insert_append": q98_insert_append,
+    "q99_mask_functions": q99_mask_functions,
+    "q100_tpch_q2_style": q100_tpch_q2_style,
 }
 
 ORACLES = {
@@ -65,5 +131,31 @@ ORACLES = {
         SELECT date_trunc('hour', ts) AS win_start, event_type,
                COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "q97_cluster_by_sql": """
+        SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 2) AS bal FROM supplier
+    """,
+    "q98_insert_append": """
+        SELECT r_name, CAST(2 AS BIGINT) AS n FROM region ORDER BY r_name
+    """,
+    "q99_mask_functions": """
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(c_name,
+                 '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,
+                 '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[^Ul0-9]', '*', 'g'),
+                 '[0-9]', '#', 'g') AS masked_custom
+        FROM customer WHERE c_custkey <= 100
+    """,
+    "q100_tpch_q2_style": """
+        SELECT p.p_partkey, p.p_brand, ROUND(l.l_extendedprice, 2) AS min_price,
+               s.s_name
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE p.p_size = 15
+          AND l.l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey)
     """,
 }
