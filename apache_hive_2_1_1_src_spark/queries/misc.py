@@ -109,8 +109,30 @@ def q100_tpch_q2_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_matchpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matchpath PTF (MatchPath.java): per customer ordered by order date,
+    find each big order (B) and the run of small orders (S*) following it —
+    pattern 'BS*', emitting the start row and matched path length."""
+    from apache_hive_2_1_1_src_spark.operators.matchpath import matchpath
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    out = matchpath(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        symbols={
+            "B": F.col("o_totalprice") > 300000.0,
+            "S": F.col("o_totalprice") <= 300000.0,
+        },
+        pattern="BS*",
+        keep_cols=["o_custkey", "o_orderkey"],
+    )
+    return out.orderBy("o_custkey", "o_orderkey")
+
+
 QUERIES = {
     "q94_transform_script": q94_transform_script,
+    "q101_matchpath": q101_matchpath,
     "q95_analyze_stats": q95_analyze_stats,
     "q96_streaming_window_counts": q96_streaming_window_counts,
     "q97_cluster_by_sql": q97_cluster_by_sql,
@@ -146,6 +168,24 @@ ORACLES = {
                  '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[^Ul0-9]', '*', 'g'),
                  '[0-9]', '#', 'g') AS masked_custom
         FROM customer WHERE c_custkey <= 100
+    """,
+    "q101_matchpath": """
+        WITH seq AS (
+          SELECT o_custkey, o_orderkey,
+                 (o_totalprice > 300000) AS big,
+                 row_number() OVER w AS rn,
+                 COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+                 MIN(CASE WHEN o_totalprice > 300000 THEN rn_inner END)
+                   OVER (PARTITION BY o_custkey ORDER BY rn_inner
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_big_rn
+          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS rn_inner
+                FROM orders WHERE o_custkey < 200)
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        )
+        SELECT o_custkey, o_orderkey,
+               COALESCE(next_big_rn - rn, n - rn + 1) AS path_len
+        FROM seq WHERE big ORDER BY o_custkey, o_orderkey
     """,
     "q100_tpch_q2_style": """
         SELECT p.p_partkey, p.p_brand, ROUND(l.l_extendedprice, 2) AS min_price,
