@@ -71,10 +71,7 @@ def analyze_table_rowcount(spark: SparkSession, table: str) -> int:
     for row in described:
         if row.col_name == "Statistics":
             # e.g. "1234 bytes, 567 rows"
-            for token in row.data_type.replace(",", " ").split():
-                pass
-            parts = row.data_type.split(",")
-            for p in parts:
+            for p in row.data_type.split(","):
                 p = p.strip()
                 if p.endswith("rows"):
                     return int(p.split()[0])

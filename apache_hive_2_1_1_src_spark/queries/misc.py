@@ -4,6 +4,8 @@ SURVEY.md §2 surfaces (ScriptOperator.java:875, StatsTask.java, §2.9).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,10 +31,11 @@ def q95_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reality (ColumnStatsTask/StatsTask persistence)."""
     from apache_hive_2_1_1_src_spark.queries.storage import drop_table
 
-    drop_table(spark, "stats_customer")
-    t(spark, sf_dir, "customer").write.saveAsTable("stats_customer")
-    n_stats = analyze_table_rowcount(spark, "stats_customer")
-    actual = spark.table("stats_customer").count()
+    stats_tbl = f"stats_customer_{os.getpid()}"
+    drop_table(spark, stats_tbl)
+    t(spark, sf_dir, "customer").write.saveAsTable(stats_tbl)
+    n_stats = analyze_table_rowcount(spark, stats_tbl)
+    actual = spark.table(stats_tbl).count()
     return spark.createDataFrame(
         [(int(n_stats), int(actual))], "n_rows_stats bigint, n_rows_actual bigint"
     )
@@ -64,7 +67,7 @@ def q98_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    out = os.path.join(tempfile.gettempdir(), "hive_spark_storage", "append_target")
+    out = os.path.join(tempfile.gettempdir(), f"hive_spark_append_{os.getpid()}")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)

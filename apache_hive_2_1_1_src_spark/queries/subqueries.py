@@ -119,7 +119,7 @@ def q81_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACID OrcRecordUpdater → here: rewrite matching rows, overwrite table
     copy).  Writes a temp copy, applies the rewrite, reads back —
     round-trips the FileSink path; oracle checks final table contents."""
-    out = os.path.join(tempfile.gettempdir(), "hive_spark_cow_update")
+    out = os.path.join(tempfile.gettempdir(), f"hive_spark_cow_update_{os.getpid()}")
     orders = t(spark, sf_dir, "orders")
     # no per-row rounding: round(x*1.1, 2) sits on .005 representation
     # boundaries where engines' float ulps disagree — round only aggregates
@@ -140,7 +140,7 @@ def q81_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q82_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE ... WHERE as copy-on-write anti-filter rewrite
     (HiveParser.g:2577)."""
-    out = os.path.join(tempfile.gettempdir(), "hive_spark_cow_delete")
+    out = os.path.join(tempfile.gettempdir(), f"hive_spark_cow_delete_{os.getpid()}")
     li = t(spark, sf_dir, "lineitem")
     kept = li.filter(~((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 40)))
     kept.write.mode("overwrite").parquet(out)

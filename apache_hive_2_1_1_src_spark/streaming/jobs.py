@@ -30,7 +30,7 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantically inert here (bounded input) but exercises the state-store
     path.
     """
-    src_dir = os.path.join(tempfile.gettempdir(), "hive_spark_stream_src")
+    src_dir = os.path.join(tempfile.gettempdir(), f"hive_spark_stream_src_{os.getpid()}")
     # stage the static events as the stream's landing directory (retain
     # schema; ts restored from nanos in load_events)
     events = _events_with_ts(spark, sf_dir).select("event_id", "ts", "event_type", "value")
@@ -48,7 +48,7 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-    query_name = "stream_event_counts"
+    query_name = f"stream_event_counts_{os.getpid()}"
     q = (
         stream.writeStream.format("memory")
         .queryName(query_name)
