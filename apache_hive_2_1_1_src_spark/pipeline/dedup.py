@@ -60,6 +60,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic MinHash signatures, one column per hash function:
     h_i = min over shingles of xxhash64('i|' ++ shingle).
@@ -69,10 +70,11 @@ def minhash_signatures(
     before the one shuffle keyed by doc id, which is the shape that holds
     at 100 TB (and avoids re-evaluating the signature expression per
     consumer, which interpreted higher-order lambdas would)."""
-    shingled = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(_word_shingles(F.col(text_col))).alias("shingle"),
-    ).select("id", F.xxhash64(F.col("shingle")).alias("bh"))
+    sh = shingles if shingles is not None else shingle_table(docs, text_col, id_col)
+    shingled = (
+        sh.select("id", F.explode("sh").alias("shingle"))
+        .select("id", F.xxhash64(F.col("shingle")).alias("bh"))
+    )
     # one xxhash64 per shingle + 32 linear transforms (h_i = a_i*h + b_i,
     # wrapping 64-bit) — the standard universal-hash MinHash family; 32×
     # cheaper than hashing per function and fully codegen
@@ -91,6 +93,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs.
 
@@ -100,7 +103,7 @@ def minhash_lsh_candidates(
     identical subplan, so Spark's ReuseExchange computes signatures once.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes)
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingles=shingles)
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -132,16 +135,30 @@ def minhash_lsh_candidates(
     )
 
 
+def shingle_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingle-array) materialized once via localCheckpoint — shingle
+    construction is interpreted HOF work (~150 concat_ws per doc), so every
+    consumer (signatures, both sides of verify joins) must reuse one
+    materialization rather than recompute the expression.  At cluster scale
+    the same role is played by writing signatures/shingles to a parquet
+    stage table."""
+    sh = docs.select(F.col(id_col).alias("id"), _word_shingles(F.col(text_col)).alias("sh"))
+    return sh.localCheckpoint(eager=False)
+
+
 def jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-3-gram Jaccard verification for candidate pairs.
     Returns (id_a, id_b, jaccard) with jaccard >= threshold."""
-    sh = docs.select(
+    sh = shingles if shingles is not None else docs.select(
         F.col(id_col).alias("id"), _word_shingles(F.col(text_col)).alias("sh")
     )
     a = sh.alias("a")
@@ -160,6 +177,24 @@ def jaccard_pairs(
     return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: one shared shingle materialization feeds the
+    signatures AND both sides of the Jaccard verification — the shingle
+    HOF expressions run exactly once per doc."""
+    sh = shingle_table(docs, text_col, id_col)
+    cands = minhash_lsh_candidates(
+        docs, text_col, id_col, num_hashes, bands, shingles=sh
+    )
+    return jaccard_pairs(docs, cands, text_col, id_col, threshold, shingles=sh)
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -41,9 +41,12 @@ def p02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is signature-dependent → rows-only here; pytest
     asserts the planted near-dup pair is recovered and candidate count
     stays ≪ all-pairs."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import minhash_dedup
+
     docs = t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=8)
-    return jaccard_pairs(docs, cands, threshold=0.4).orderBy("id_a", "id_b")
+    return minhash_dedup(docs, num_hashes=32, bands=8, threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def p03_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
