@@ -133,9 +133,27 @@ def q101_matchpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("o_custkey", "o_orderkey")
 
 
+def q102_decimal_char_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-system surface (SURVEY.md §1.2): decimal(38,x) arithmetic,
+    char(n) padding, varchar(n) truncation — Hive and Spark share these
+    semantics exactly; the oracle mirrors with DuckDB DECIMAL/CAST."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_orderkey",
+        dec.alias("price_dec"),
+        (dec * F.lit(2).cast("decimal(2,0)")).cast("decimal(20,2)").alias("price_x2"),
+        (dec / F.lit(4).cast("decimal(2,0)")).cast("decimal(24,6)").alias("price_div"),
+        F.col("o_orderstatus").cast("varchar(1)").alias("status_vc"),
+        F.rpad(F.col("o_orderstatus"), 3, " ").alias("status_char3"),
+        F.substring(F.col("o_orderpriority"), 1, 4).cast("varchar(4)").alias("prio_trunc"),
+    )
+
+
 QUERIES = {
     "q94_transform_script": q94_transform_script,
     "q101_matchpath": q101_matchpath,
+    "q102_decimal_char_types": q102_decimal_char_types,
     "q95_analyze_stats": q95_analyze_stats,
     "q96_streaming_window_counts": q96_streaming_window_counts,
     "q97_cluster_by_sql": q97_cluster_by_sql,
@@ -189,6 +207,16 @@ ORACLES = {
         SELECT o_custkey, o_orderkey,
                COALESCE(next_big_rn - rn, n - rn + 1) AS path_len
         FROM seq WHERE big ORDER BY o_custkey, o_orderkey
+    """,
+    "q102_decimal_char_types": """
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(20,2)) AS price_x2,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) / 4 AS DECIMAL(24,6)) AS price_div,
+               CAST(o_orderstatus AS VARCHAR) AS status_vc,
+               rpad(o_orderstatus, 3, ' ') AS status_char3,
+               CAST(substr(o_orderpriority, 1, 4) AS VARCHAR) AS prio_trunc
+        FROM orders WHERE o_orderkey <= 500
     """,
     "q100_tpch_q2_style": """
         SELECT p.p_partkey, p.p_brand, ROUND(l.l_extendedprice, 2) AS min_price,
