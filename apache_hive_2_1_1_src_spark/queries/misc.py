@@ -150,10 +150,40 @@ def q102_decimal_char_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization — gap > 30 min starts a new session (lag +
+    conditional cumulative sum, the canonical events-table window recipe;
+    built only on §2.4 window primitives)."""
+    from apache_hive_2_1_1_src_spark.io import load_events
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    with_flag = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = with_flag.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 QUERIES = {
     "q94_transform_script": q94_transform_script,
     "q101_matchpath": q101_matchpath,
     "q102_decimal_char_types": q102_decimal_char_types,
+    "q103_sessionization": q103_sessionization,
     "q95_analyze_stats": q95_analyze_stats,
     "q96_streaming_window_counts": q96_streaming_window_counts,
     "q97_cluster_by_sql": q97_cluster_by_sql,
@@ -207,6 +237,24 @@ ORACLES = {
         SELECT o_custkey, o_orderkey,
                COALESCE(next_big_rn - rn, n - rn + 1) AS path_len
         FROM seq WHERE big ORDER BY o_custkey, o_orderkey
+    """,
+    "q103_sessionization": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag_ts IS NULL OR epoch(ts) - epoch(lag_ts) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM (SELECT user_id, event_id, ts,
+                       lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_ts
+                FROM events WHERE user_id < 200)
+        ), sess AS (
+          SELECT user_id, event_id,
+                 CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(event_id) AS first_event
+        FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,
     "q102_decimal_char_types": """
         SELECT o_orderkey,
