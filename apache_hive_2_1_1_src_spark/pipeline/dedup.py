@@ -268,6 +268,44 @@ def simhash_near_dups(
     )
 
 
+def canonicalize_pairs(pairs: DataFrame, iterations: int = 3) -> DataFrame:
+    """Assign each doc in a near-dup pair set a canonical id = the minimum
+    id reachable through the pair graph within ``iterations`` hops
+    (iterated label propagation — the bounded-step union-find used by
+    large-scale dedup jobs; each iteration is one self-join + min-agg
+    shuffle, so cost is iterations × |edges| and never quadratic).
+
+    Clusters with diameter > iterations keep per-component minima that are
+    correct within their hop radius — callers pick iterations ≥ expected
+    cluster diameter (near-dup clusters are almost always tiny).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("canonical")
+    )
+    for _ in range(iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("canonical").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("canonical"), F.coalesce(F.col("nbr_min"), F.col("canonical"))
+                ).alias("canonical"),
+            )
+        )
+        labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

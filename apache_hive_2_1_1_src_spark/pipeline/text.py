@@ -110,6 +110,37 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (tf = in-doc count, idf = ln(N/df)).
+
+    Pure relational pipeline: explode words → per-doc term counts → join
+    document frequencies → window top-k.  Two shuffles (term counts, df)
+    plus the window — each keyed and combinable, the shape that scales.
+    Deterministic tie-break on term.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col).alias("id"), F.explode(_words(F.col(text_col))).alias("term")
+    )
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_counts), "term").select(
+        "id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("id").alias(id_col), "term", "tfidf", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic rolling polynomial hash over the first 64 chars:
     h = (h*31 + ascii(char)) mod 1e9+7 — modulus keeps the value identical

@@ -134,8 +134,33 @@ def p13_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_blobs(blobs).orderBy("doc_id")
 
 
+def p14_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (docs ≤ 50) — relational text
+    pipeline, full oracle."""
+    from apache_hive_2_1_1_src_spark.pipeline.text import tfidf_top_terms
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        tfidf_top_terms(docs, k=3)
+        .filter(F.col("doc_id") <= 50)
+        .orderBy("doc_id", "rn")
+    )
+
+
+def p15_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-id assignment over the fuzzy-dup pair graph (bounded label
+    propagation; rows-only — pytest pins transitive-closure behavior)."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import canonicalize_pairs, minhash_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, threshold=0.4)
+    return canonicalize_pairs(pairs, iterations=3).orderBy("id")
+
+
 QUERIES = {
     "p01_dedup_exact": p01_dedup_exact,
+    "p14_tfidf": p14_tfidf,
+    "p15_dedup_canonicalize": p15_dedup_canonicalize,
     "p02_dedup_minhash_lsh": p02_dedup_minhash_lsh,
     "p03_dedup_ngram_jaccard": p03_dedup_ngram_jaccard,
     "p04_dedup_simhash": p04_dedup_simhash,
@@ -163,6 +188,27 @@ _SHINGLES_CTE = """
 """
 
 ORACLES = {
+    "p14_tfidf": """
+        WITH words AS (
+          SELECT doc_id AS id, UNNEST(list_filter(
+                   string_split_regex(lower(text), '\\s+'), x -> x != '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT id, term, COUNT(*) AS tf FROM words GROUP BY id, term
+        ), dfc AS (
+          SELECT term, COUNT(DISTINCT id) AS df FROM tf GROUP BY term
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT id AS doc_id, term,
+               ROUND(tf * LN(n_docs * 1.0 / df), 6) AS tfidf,
+               CAST(rn AS INT) AS rn
+        FROM (
+          SELECT tf.id, tf.term, tf.tf, dfc.df, n.n_docs,
+                 row_number() OVER (PARTITION BY tf.id
+                   ORDER BY tf * LN(n_docs * 1.0 / df) DESC, tf.term) AS rn
+          FROM tf JOIN dfc USING (term) CROSS JOIN n
+        ) WHERE rn <= 3 AND id <= 50
+        ORDER BY doc_id, rn
+    """,
     "p01_dedup_exact": """
         SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
                COUNT(*) AS n_copies
