@@ -179,8 +179,41 @@ def q103_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q104_percentile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile(col, array(...)) multi-quantile signature
+    (GenericUDAFPercentile array form) — output canonicalized to a string
+    for the oracle."""
+    li = t(spark, sf_dir, "lineitem")
+    quartiles = F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(
+                F.transform(quartiles, lambda v: F.round(v, 4).cast("string")), ","
+            ).alias("quartiles")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q105_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / RLIKE operators (FunctionRegistry like:, rlike/regexp:) as
+    filters and projections."""
+    p = t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%ARG%") | F.col("p_name").rlike("^[bc].*[td]$")
+    ).select(
+        "p_partkey",
+        "p_type",
+        F.col("p_name").like("b%").alias("starts_b"),
+        F.col("p_type").rlike("LARGE|SMALL").alias("sized"),
+    )
+
+
 QUERIES = {
     "q94_transform_script": q94_transform_script,
+    "q104_percentile_array": q104_percentile_array,
+    "q105_like_rlike": q105_like_rlike,
     "q101_matchpath": q101_matchpath,
     "q102_decimal_char_types": q102_decimal_char_types,
     "q103_sessionization": q103_sessionization,
@@ -237,6 +270,21 @@ ORACLES = {
         SELECT o_custkey, o_orderkey,
                COALESCE(next_big_rn - rn, n - rn + 1) AS path_len
         FROM seq WHERE big ORDER BY o_custkey, o_orderkey
+    """,
+    "q104_percentile_array": """
+        SELECT l_returnflag,
+               array_to_string(list_transform(
+                 [quantile_cont(l_quantity, 0.25), quantile_cont(l_quantity, 0.5),
+                  quantile_cont(l_quantity, 0.75)],
+                 v -> CAST(ROUND(v, 4) AS VARCHAR)), ',') AS quartiles
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q105_like_rlike": """
+        SELECT p_partkey, p_type,
+               (p_name LIKE 'b%') AS starts_b,
+               regexp_matches(p_type, 'LARGE|SMALL') AS sized
+        FROM part
+        WHERE p_type LIKE '%ARG%' OR regexp_matches(p_name, '^[bc].*[td]$')
     """,
     "q103_sessionization": """
         WITH flagged AS (
