@@ -37,6 +37,9 @@ HEADLINE = [
     "p02_dedup_minhash_lsh",
     "p06_ann_bruteforce",
     "p08_text_quality",
+    "p14_tfidf",
+    "q96_streaming_window_counts",
+    "q103_sessionization",
 ]
 
 
