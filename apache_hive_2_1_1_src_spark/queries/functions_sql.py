@@ -390,8 +390,60 @@ def q70_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q106_string_extra_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """find_in_set / space / chr / bin (FunctionRegistry string batch) —
+    the remaining oracle-expressible string functions."""
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.find_in_set(
+            F.col("n_name"), F.lit("NATION_1,NATION_3,NATION_5")
+        ).alias("set_pos"),
+        F.concat(
+            F.lit("["), F.expr("space(n_regionkey + 1)"), F.lit("]")
+        ).alias("spaced"),
+        F.expr("chr(n_nationkey + 65)").alias("letter"),
+        F.bin(F.col("n_nationkey")).alias("binary_str"),
+    )
+
+
+def q107_string_extra_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring_index / initcap / soundex / format_number / conv — no
+    DuckDB equivalents (rows-only; tests/test_functions.py pins values)."""
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.substring_index(F.col("n_name"), "A", 2).alias("upto_2nd_a"),
+        F.initcap(F.lower(F.col("n_name"))).alias("title"),
+        F.soundex(F.col("n_name")).alias("sndx"),
+        F.format_number(F.col("n_regionkey") * 1234.5678, 2).alias("fmt"),
+        F.conv(F.col("n_nationkey").cast("string"), 10, 16).alias("hex_via_conv"),
+    )
+
+
+def q108_date_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_unixtime round trip (oracle) + next_day/months_between pinned
+    by pytest (DuckDB lacks both; months_between uses the Oracle 31-day
+    convention in both Hive and Spark)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    epoch = F.unix_timestamp(F.col("o_orderdate"))
+    return o.select(
+        "o_orderkey",
+        F.from_unixtime(epoch, "yyyy-MM-dd HH:mm:ss").alias("from_epoch"),
+        F.date_format(F.next_day(F.col("o_orderdate"), "Mon"), "yyyy-MM-dd").alias(
+            "next_monday"
+        ),
+        F.round(
+            F.months_between(F.lit("2000-01-31").cast("date"), F.col("o_orderdate")), 4
+        ).alias("months_to_y2k_eom"),
+    )
+
+
 QUERIES = {
     "q50_string_funcs": q50_string_funcs,
+    "q106_string_extra_oracle": q106_string_extra_oracle,
+    "q107_string_extra_pinned": q107_string_extra_pinned,
+    "q108_date_extra": q108_date_extra,
     "q51_math_funcs": q51_math_funcs,
     "q52_date_funcs": q52_date_funcs,
     "q53_conditional": q53_conditional,
@@ -416,6 +468,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q106_string_extra_oracle": """
+        SELECT n_nationkey,
+               CAST(COALESCE(list_position(
+                 string_split('NATION_1,NATION_3,NATION_5', ','),
+                 n_name), 0) AS INT) AS set_pos,
+               '[' || repeat(' ', n_regionkey + 1) || ']' AS spaced,
+               chr(n_nationkey + 65) AS letter,
+               CASE WHEN n_nationkey = 0 THEN '0'
+                    ELSE ltrim(bin(CAST(n_nationkey AS BIGINT)), '0') END AS binary_str
+        FROM nation
+    """,
     "q50_string_funcs": """
         SELECT c_custkey,
                concat_ws('/', c_name, c_mktsegment) AS joined,

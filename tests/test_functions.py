@@ -45,6 +45,32 @@ def test_xpath_pinned_values(spark, sf_dir):
     assert all(0 <= v[1] <= 4 for v in rows.values())
 
 
+def test_string_extra_pinned_values(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.queries.functions_sql import q107_string_extra_pinned
+
+    rows = {r.n_nationkey: r for r in q107_string_extra_pinned(spark, sf_dir).collect()}
+    r0 = rows[0]  # NATION_0
+    # only one 'A' in the name -> substring_index returns the whole string
+    assert r0.upto_2nd_a == "NATION_0"
+    assert r0.title == "Nation_0"
+    assert r0.sndx == "N350"
+    assert r0.fmt == "0.00"
+    assert rows[1].fmt == "1,234.57"
+    assert rows[15].hex_via_conv == "F"
+
+
+def test_date_extra_pinned_values(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.queries.functions_sql import q108_date_extra
+
+    rows = q108_date_extra(spark, sf_dir).collect()
+    import datetime as dt
+
+    for r in rows[:50]:
+        nd = dt.date.fromisoformat(r.next_monday)
+        assert nd.weekday() == 0  # always a Monday
+        assert r.from_epoch.endswith("00:00:00")
+
+
 def test_hive_text_roundtrip_preserves_nulls(spark, tmp_path):
     from apache_hive_2_1_1_src_spark.io import read_hive_text, write_hive_text
 
