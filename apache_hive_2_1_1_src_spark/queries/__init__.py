@@ -28,6 +28,7 @@ from apache_hive_2_1_1_src_spark.queries import (
     relational,
     storage,
     subqueries,
+    tpch_like,
     windows,
 )
 
@@ -39,6 +40,7 @@ _MODULES = [
     subqueries,
     storage,
     misc,
+    tpch_like,
     pipeline_queries,
 ]
 
