@@ -157,10 +157,27 @@ def p15_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_pairs(pairs, iterations=3).orderBy("id")
 
 
+def p16_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational k-means (k=4, 2 iterations, first-k init) over
+    embeddings — iterative algorithm as pure joins/aggs, full oracle."""
+    from apache_hive_2_1_1_src_spark.pipeline.clustering import kmeans_relational
+
+    return kmeans_relational(t(spark, sf_dir, "embeddings"), k=4, iterations=2)
+
+
+def p17_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vocabulary build (freq-ranked token ids)."""
+    from apache_hive_2_1_1_src_spark.pipeline.clustering import build_vocab
+
+    return build_vocab(t(spark, sf_dir, "documents"), min_freq=2)
+
+
 QUERIES = {
     "p01_dedup_exact": p01_dedup_exact,
     "p14_tfidf": p14_tfidf,
     "p15_dedup_canonicalize": p15_dedup_canonicalize,
+    "p16_kmeans": p16_kmeans,
+    "p17_vocab": p17_vocab,
     "p02_dedup_minhash_lsh": p02_dedup_minhash_lsh,
     "p03_dedup_ngram_jaccard": p03_dedup_ngram_jaccard,
     "p04_dedup_simhash": p04_dedup_simhash,
@@ -188,6 +205,46 @@ _SHINGLES_CTE = """
 """
 
 ORACLES = {
+    "p16_kmeans": """
+        WITH long AS (
+          SELECT vec_id AS id, pos AS dim, CAST(v AS DOUBLE) AS val
+          FROM (SELECT vec_id, UNNEST(embedding) AS v,
+                       UNNEST(range(0, len(embedding))) AS pos
+                FROM embeddings)
+        ), c0 AS (
+          SELECT id AS cid, dim, val AS cval FROM long WHERE id < 4
+        ), d1 AS (
+          SELECT long.id, c0.cid, SUM(POW(long.val - c0.cval, 2)) AS dist2
+          FROM long JOIN c0 USING (dim) GROUP BY long.id, c0.cid
+        ), a1 AS (
+          SELECT id, cid, dist2 FROM d1
+          QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, cid) = 1
+        ), c1 AS (
+          SELECT a1.cid, long.dim, AVG(long.val) AS cval
+          FROM long JOIN a1 USING (id) GROUP BY a1.cid, long.dim
+        ), d2 AS (
+          SELECT long.id, c1.cid, SUM(POW(long.val - c1.cval, 2)) AS dist2
+          FROM long JOIN c1 USING (dim) GROUP BY long.id, c1.cid
+        ), a2 AS (
+          SELECT id, cid, dist2 FROM d2
+          QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, cid) = 1
+        )
+        SELECT CAST(cid AS BIGINT) AS cluster_id, COUNT(*) AS n_members,
+               ROUND(AVG(dist2), 4) AS avg_dist2
+        FROM a2 GROUP BY cid ORDER BY cluster_id
+    """,
+    "p17_vocab": """
+        SELECT word, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, word) - 1 AS INT)
+                 AS token_id
+        FROM (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x != '')) AS word
+            FROM documents
+          ) GROUP BY word HAVING COUNT(*) >= 2
+        )
+    """,
     "p14_tfidf": """
         WITH words AS (
           SELECT doc_id AS id, UNNEST(list_filter(
