@@ -1,0 +1,67 @@
+"""Invariants for the remaining rows-only registry entries (sketches and
+functions DuckDB can't mirror): every query without an oracle gets pinned
+behavior here or in test_functions/test_pipeline_invariants."""
+
+from __future__ import annotations
+
+import re
+
+from apache_hive_2_1_1_src_spark.queries.aggregates import (
+    q25_approx_count_distinct,
+    q27_percentile_approx,
+    q33_histogram_numeric,
+)
+from apache_hive_2_1_1_src_spark.queries.functions_sql import q68_hash_extra
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    row = q25_approx_count_distinct(spark, sf_dir).collect()[0]
+    # rsd=0.01 → generous 5% envelope
+    assert abs(row.approx_orders - row.exact_orders) <= max(5, 0.05 * row.exact_orders)
+
+
+def test_percentile_approx_brackets_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from apache_hive_2_1_1_src_spark.io import load_table
+
+    approx = {
+        r.l_returnflag: r.approx_median_price
+        for r in q27_percentile_approx(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.m
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", 0.5).alias("m"))
+        .collect()
+    }
+    for flag, m in exact.items():
+        assert abs(approx[flag] - m) / m < 0.02, (flag, approx[flag], m)
+
+
+def test_histogram_numeric_mass_and_bins(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.io import load_table
+
+    bins = q33_histogram_numeric(spark, sf_dir).collect()
+    assert len(bins) == 5
+    total = sum(b.y for b in bins)
+    assert total == load_table(spark, sf_dir, "lineitem").count()
+    xs = [b.x for b in bins]
+    assert xs == sorted(xs)
+    assert all(1.0 <= b.x <= 50.0 for b in bins)  # l_quantity range
+
+
+def test_hash_extra_formats_and_determinism(spark, sf_dir):
+    rows1 = {r.doc_id: r for r in q68_hash_extra(spark, sf_dir).collect()}
+    rows2 = {r.doc_id: r for r in q68_hash_extra(spark, sf_dir).collect()}
+    for did, r in rows1.items():
+        assert re.fullmatch(r"[0-9a-f]{40}", r.sha1_hex)
+        assert 0 <= r.crc <= 0xFFFFFFFF
+        r2 = rows2[did]
+        assert (r.sha1_hex, r.crc, r.murmur32, r.xx64) == (
+            r2.sha1_hex,
+            r2.crc,
+            r2.murmur32,
+            r2.xx64,
+        )
