@@ -210,8 +210,18 @@ def q105_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q115_stateful_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState custom stateful operator (beyond-parity
+    streaming surface): per-user GroupState summary, availableNow run,
+    verified equal to the batch GROUP BY by the oracle."""
+    from apache_hive_2_1_1_src_spark.streaming.jobs import stateful_user_summary
+
+    return stateful_user_summary(spark, sf_dir)
+
+
 QUERIES = {
     "q94_transform_script": q94_transform_script,
+    "q115_stateful_user_summary": q115_stateful_user_summary,
     "q104_percentile_array": q104_percentile_array,
     "q105_like_rlike": q105_like_rlike,
     "q101_matchpath": q101_matchpath,
@@ -270,6 +280,12 @@ ORACLES = {
         SELECT o_custkey, o_orderkey,
                COALESCE(next_big_rn - rn, n - rn + 1) AS path_len
         FROM seq WHERE big ORDER BY o_custkey, o_orderkey
+    """,
+    "q115_stateful_user_summary": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value,
+               MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        FROM events GROUP BY user_id
     """,
     "q104_percentile_array": """
         SELECT l_returnflag,

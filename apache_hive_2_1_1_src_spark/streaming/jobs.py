@@ -65,6 +65,93 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stateful_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running summary (event count, value sum, first/last event id)
+    kept in explicit GroupState — the arbitrary-state API the brief calls
+    out for operators windowed aggregation can't express.
+
+    Run with availableNow over a static staging dir, so the final state
+    equals the batch GROUP BY answer — which is the oracle.
+    """
+    import os
+    import tempfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src_dir = os.path.join(
+        tempfile.gettempdir(), f"hive_spark_state_src_{os.getpid()}"
+    )
+    events = _events_with_ts(spark, sf_dir).select(
+        "user_id", "event_id", "value"
+    )
+    events.write.mode("overwrite").parquet(src_dir)
+
+    output_schema = (
+        "user_id bigint, n_events bigint, sum_value double, "
+        "first_event bigint, last_event bigint"
+    )
+    state_schema = "n bigint, s double, first bigint, last bigint"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s, first, last = state.get if state.exists else (0, 0.0, None, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            lo = int(pdf["event_id"].min())
+            hi = int(pdf["event_id"].max())
+            first = lo if first is None else min(first, lo)
+            last = hi if last is None else max(last, hi)
+        state.update((n, s, first, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, 2)],
+                "first_event": [first],
+                "last_event": [last],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema("user_id bigint, event_id bigint, value double")
+        .parquet(src_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            output_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    query_name = f"stateful_user_summary_{os.getpid()}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink may hold one row per state update; keep the
+    # final (max n_events) row per user for the deterministic comparison
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = spark.table(query_name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def windowed_event_counts_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch twin of streaming_event_counts (same window(), same aggs) —
     used by tests to assert stream == batch."""
