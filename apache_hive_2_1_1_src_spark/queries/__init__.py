@@ -29,6 +29,7 @@ from apache_hive_2_1_1_src_spark.queries import (
     storage,
     subqueries,
     tpch_like,
+    tpch_full,
     windows,
 )
 
@@ -41,6 +42,7 @@ _MODULES = [
     storage,
     misc,
     tpch_like,
+    tpch_full,
     pipeline_queries,
 ]
 
