@@ -1,0 +1,175 @@
+"""Dataset-curation operators for a training-data pipeline: deterministic
+splits, token-budget sequence packing, benchmark-contamination checks,
+quality-filter funnels, stratified sampling.
+
+All hot paths are JVM expressions or single-shuffle window/agg plans:
+
+* ``train_split`` — hash-bucket assignment is a stateless projection
+  (md5 of a stable key), so the split is reproducible across runs,
+  cluster sizes, and partitionings; no shuffle at all until the
+  per-split report aggregation.
+* ``sequence_packing`` — one window (partition by stratum, order by
+  doc_id) computes running token totals; pack ids come from integer
+  division of the running total.  At 100 TB the stratum key bounds the
+  window partition, and packing runs per-stratum in parallel.
+* ``contamination_check`` — explodes word-5-gram shingles (regex
+  lookahead, one pass, no HOF-per-row quadratic expansion) and joins
+  corpus shingles against the *broadcast* benchmark shingle set: the
+  benchmark side is small by construction, so no full shuffle of the
+  corpus ever happens.
+* ``quality_funnel`` — every stage is a conditional aggregate over one
+  scan (no per-stage re-scan of the corpus).
+* ``stratified_sample`` — ``DataFrame.sampleBy``: per-stratum Bernoulli
+  sampling, seeded, executor-local (no shuffle).
+
+Mirrors the reference's sampling/bucketing surface (TABLESAMPLE,
+ql/src/java/org/apache/hadoop/hive/ql/parse/SplitSample.java:1) extended
+with the curation steps an LLM corpus build needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from apache_hive_2_1_1_src_spark.pipeline.dedup import _word_shingles
+from apache_hive_2_1_1_src_spark.pipeline.text import _words
+
+_HEX = "0123456789abcdef"
+
+
+def _split_bucket(doc_id: Column, source: Column) -> Column:
+    """Stable 0-15 bucket from the last md5 nibble of ``doc_id:source``."""
+    h = F.md5(F.concat_ws(":", doc_id.cast("string"), source))
+    return F.instr(F.lit(_HEX), F.substring(h, 32, 1)) - F.lit(1)
+
+
+def train_split(
+    docs: DataFrame, train_buckets: int = 12, val_buckets: int = 2
+) -> DataFrame:
+    """Assign each document to train/val/test by hashed bucket (12/2/2
+    sixteenths by default) and report per-(lang, split) counts."""
+    bucket = _split_bucket(F.col("doc_id"), F.col("source"))
+    split = (
+        F.when(bucket < train_buckets, "train")
+        .when(bucket < train_buckets + val_buckets, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+def sequence_packing(
+    docs: DataFrame, budget: int = 256, stratum: str = "lang"
+) -> DataFrame:
+    """Pack documents into fixed token-budget sequences: within each
+    stratum (ordered by doc_id) a document starts the pack whose id is
+    ``floor(running_total_before / budget)`` — the streaming-friendly
+    chunked packing used for context-window construction.  Returns one
+    row per pack with doc and token totals."""
+    tokens = F.size(_words(F.col("text")))
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = docs.select(
+        F.col(stratum), "doc_id", tokens.alias("n_tokens")
+    ).withColumn("pack_id", (cum_before / budget).cast("int"))
+    return (
+        packed.groupBy(stratum, "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy(stratum, "pack_id")
+    )
+
+
+def contamination_check(
+    docs: DataFrame, benchmark_mod: int = 97, n: int = 5
+) -> DataFrame:
+    """Flag corpus documents sharing word-``n``-gram shingles with a
+    benchmark set (here: every ``benchmark_mod``-th doc, standing in for
+    an eval suite).  The benchmark shingle set is broadcast — corpus
+    rows never shuffle, which is what makes this viable at 100 TB."""
+    shingled = docs.select(
+        "doc_id",
+        F.array_distinct(_word_shingles(F.col("text"), n)).alias("shingles"),
+    )
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    bench = (
+        shingled.filter(is_bench)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = shingled.filter(~is_bench).select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_hits") / F.greatest(F.col("n_shingles"), F.lit(1)), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_funnel(docs: DataFrame) -> DataFrame:
+    """Per-stage survivor counts of a cleaning pipeline (lang filter →
+    length band → stopword floor → exact dedup), computed as conditional
+    aggregates over ONE scan — no per-stage job, no re-read."""
+    words = _words(F.col("text"))
+    stop_hits = F.size(
+        F.array_intersect(
+            words,
+            F.array(*[F.lit(w) for w in ("the", "a", "an", "and", "or", "of",
+                                         "to", "in", "is", "it")]),
+        )
+    )
+    staged = docs.select(
+        "lang",
+        "text",
+        F.size(words).alias("n_words"),
+        stop_hits.alias("n_stop"),
+    ).select(
+        "text",
+        (F.col("lang") == "en").alias("s1"),
+        ((F.col("lang") == "en") & F.col("n_words").between(10, 500)).alias("s2"),
+        (
+            (F.col("lang") == "en")
+            & F.col("n_words").between(10, 500)
+            & (F.col("n_stop") >= F.col("n_words") * 0.05)
+        ).alias("s3"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("s1").cast("bigint")).alias("n_lang"),
+        F.sum(F.col("s2").cast("bigint")).alias("n_len"),
+        F.sum(F.col("s3").cast("bigint")).alias("n_stop_ok"),
+        F.count_distinct(F.when(F.col("s3"), F.col("text"))).alias("n_unique"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, fractions: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Seeded per-stratum Bernoulli sample (``sampleBy``) — the standard
+    way to rebalance language/source mix without a shuffle.  Sampling
+    decisions are made executor-local per row; determinism is per
+    (seed, partitioning of the source files)."""
+    return docs.sampleBy("lang", fractions, seed=seed).select(
+        "doc_id", "lang", "source"
+    )

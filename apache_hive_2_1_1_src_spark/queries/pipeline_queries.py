@@ -172,8 +172,59 @@ def p17_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(t(spark, sf_dir, "documents"), min_freq=2)
 
 
+def p18_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split (12/2/2 sixteenths
+    of md5(doc_id:source)) with per-(lang, split) counts — reproducible
+    across cluster sizes because assignment is a stateless projection."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import train_split
+
+    return train_split(t(spark, sf_dir, "documents"))
+
+
+def p19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (256-token packs per lang, chunked by
+    running total) — one window + one agg; per-pack doc/token totals."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import sequence_packing
+
+    return sequence_packing(t(spark, sf_dir, "documents"), budget=256)
+
+
+def p20_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: corpus docs sharing word-5-gram
+    shingles with the benchmark subset (doc_id % 97 == 0), benchmark side
+    broadcast so the corpus never shuffles."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import contamination_check
+
+    return contamination_check(t(spark, sf_dir, "documents"))
+
+
+def p21_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-pipeline funnel (en → length band → stopword floor →
+    exact-dedup) as conditional aggregates over ONE corpus scan."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import quality_funnel
+
+    return quality_funnel(t(spark, sf_dir, "documents"))
+
+
+def p22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified rebalance via sampleBy (rows-only: Bernoulli
+    draws aren't SQL-reproducible; pytest pins determinism, subset-ness,
+    and per-stratum fractions)."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import stratified_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1}
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "p01_dedup_exact": p01_dedup_exact,
+    "p18_train_split": p18_train_split,
+    "p19_sequence_packing": p19_sequence_packing,
+    "p20_contamination": p20_contamination,
+    "p21_quality_funnel": p21_quality_funnel,
+    "p22_stratified_sample": p22_stratified_sample,
     "p14_tfidf": p14_tfidf,
     "p15_dedup_canonicalize": p15_dedup_canonicalize,
     "p16_kmeans": p16_kmeans,
@@ -205,6 +256,83 @@ _SHINGLES_CTE = """
 """
 
 ORACLES = {
+    "p18_train_split": """
+        SELECT lang, split, COUNT(*) AS n_docs FROM (
+          SELECT lang,
+                 CASE WHEN b < 12 THEN 'train'
+                      WHEN b < 14 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT lang,
+                       instr('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR) || ':' || source),
+                                    32, 1)) - 1 AS b
+                FROM documents)
+        ) GROUP BY lang, split ORDER BY lang, split
+    """,
+    "p19_sequence_packing": """
+        WITH tok AS (
+          SELECT lang, doc_id,
+                 len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x != '')) AS n_tokens
+          FROM documents
+        ), packed AS (
+          SELECT lang, doc_id, n_tokens,
+                 CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      / 256) AS INT) AS pack_id
+          FROM tok
+        )
+        SELECT lang, pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id
+    """,
+    "p20_contamination": """
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(w) >= 5
+                   THEN list_transform(range(1, len(w) - 3),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               || ' ' || w[i+3] || ' ' || w[i+4])
+                   ELSE [array_to_string(w, ' ')] END) AS s
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                FROM documents)
+        ), bench AS (
+          SELECT DISTINCT UNNEST(s) AS shingle FROM sh WHERE doc_id % 97 = 0
+        ), corpus AS (
+          SELECT doc_id, len(s) AS n_shingles, UNNEST(s) AS shingle
+          FROM sh WHERE doc_id % 97 != 0
+        )
+        SELECT corpus.doc_id, CAST(corpus.n_shingles AS INT) AS n_shingles,
+               COUNT(*) AS n_hits,
+               ROUND(COUNT(*) * 1.0 / GREATEST(corpus.n_shingles, 1), 6)
+                 AS contamination
+        FROM corpus JOIN bench USING (shingle)
+        GROUP BY corpus.doc_id, corpus.n_shingles
+        ORDER BY doc_id
+    """,
+    "p21_quality_funnel": """
+        SELECT COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+               CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+               CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
+               COUNT(DISTINCT CASE WHEN s3 THEN text END) AS n_unique
+        FROM (
+          SELECT text, lang = 'en' AS s1,
+                 lang = 'en' AND n_words BETWEEN 10 AND 500 AS s2,
+                 lang = 'en' AND n_words BETWEEN 10 AND 500
+                   AND n_stop >= n_words * 0.05 AS s3
+          FROM (SELECT lang, text, len(w) AS n_words,
+                       len(list_intersect(list_distinct(w),
+                           ['the','a','an','and','or','of','to','in','is','it']))
+                         AS n_stop
+                FROM (SELECT lang, text,
+                             list_filter(string_split_regex(lower(text), '\\s+'),
+                                         x -> x != '') AS w
+                      FROM documents))
+        )
+    """,
     "p16_kmeans": """
         WITH long AS (
           SELECT vec_id AS id, pos AS dim, CAST(v AS DOUBLE) AS val

@@ -65,3 +65,38 @@ def test_hash_extra_formats_and_determinism(spark, sf_dir):
             r2.murmur32,
             r2.xx64,
         )
+
+
+def test_stratified_sample_pinned(spark, sf_dir):
+    """p22 (rows-only): seeded sampleBy is deterministic, a subset of the
+    source, respects the stratum whitelist, and lands near the requested
+    fractions."""
+    from apache_hive_2_1_1_src_spark.io import load_table
+    from apache_hive_2_1_1_src_spark.queries.pipeline_queries import (
+        p22_stratified_sample,
+    )
+
+    a = p22_stratified_sample(spark, sf_dir).collect()
+    b = p22_stratified_sample(spark, sf_dir).collect()
+    assert a == b, "seeded sample must be deterministic"
+
+    docs = load_table(spark, sf_dir, "documents")
+    all_ids = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    fractions = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1}
+    for r in a:
+        assert r.doc_id in all_ids and all_ids[r.doc_id] == r.lang
+        assert r.lang in fractions
+
+    from collections import Counter
+
+    totals = Counter(lang for lang in all_ids.values())
+    got = Counter(r.lang for r in a)
+    for lang, frac in fractions.items():
+        n = totals[lang]
+        if n < 30:
+            continue
+        # Bernoulli envelope: 5 sigma
+        import math
+
+        sigma = math.sqrt(n * frac * (1 - frac))
+        assert abs(got[lang] - n * frac) <= 5 * sigma + 1, (lang, got[lang], n)
