@@ -124,3 +124,42 @@ def test_aqe_enabled_in_compat_preset(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+
+
+def test_tpch_q5_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
+    """q116 (TPC-H Q5): nation/region/customer/supplier broadcast; the
+    orders date filter reaches the parquet scan; only the orderkey join
+    shuffles facts."""
+    from apache_hive_2_1_1_src_spark.queries.tpch_full import (
+        q116_local_supplier_volume,
+    )
+
+    plan = _plan(q116_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+    # exactly one fact-fact join may shuffle (lineitem ⋈ orders)
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_tpch_q6_is_scan_filter_agg_only(spark, sf_dir):
+    """q117 (TPC-H Q6): no join, all predicates pushed, two-phase agg."""
+    from apache_hive_2_1_1_src_spark.queries.tpch_full import q117_forecast_revenue
+
+    plan = _plan(q117_forecast_revenue(spark, sf_dir))
+    assert "Join" not in plan
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_discount,0.03)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """p20: the benchmark shingle set must broadcast — the corpus side
+    never shuffles for the join."""
+    from apache_hive_2_1_1_src_spark.queries.pipeline_queries import p20_contamination
+
+    plan = _plan(p20_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
