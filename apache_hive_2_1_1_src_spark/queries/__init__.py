@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from apache_hive_2_1_1_src_spark.queries import (
     aggregates,
     functions_sql,
+    language_surface,
     misc,
     pipeline_queries,
     relational,
@@ -35,6 +36,7 @@ from apache_hive_2_1_1_src_spark.queries import (
 
 _MODULES = [
     relational,
+    language_surface,
     aggregates,
     windows,
     functions_sql,

@@ -100,3 +100,21 @@ def test_stratified_sample_pinned(spark, sf_dir):
 
         sigma = math.sqrt(n * frac * (1 - frac))
         assert abs(got[lang] - n * frac) <= 5 * sigma + 1, (lang, got[lang], n)
+
+
+def test_percent_sample_pinned(spark, sf_dir):
+    """q133 (rows-only): seeded 10% Bernoulli sample is deterministic and
+    within a 5-sigma envelope of the requested fraction."""
+    import math
+
+    from apache_hive_2_1_1_src_spark.io import load_table
+    from apache_hive_2_1_1_src_spark.queries.language_surface import (
+        q133_percent_sample,
+    )
+
+    a = q133_percent_sample(spark, sf_dir).collect()[0]
+    b = q133_percent_sample(spark, sf_dir).collect()[0]
+    assert a == b, "seeded sample must be deterministic"
+    n = load_table(spark, sf_dir, "lineitem").count()
+    sigma = math.sqrt(n * 0.1 * 0.9)
+    assert abs(a.n_rows - n * 0.1) <= 5 * sigma + 1
