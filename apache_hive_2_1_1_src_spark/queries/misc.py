@@ -219,7 +219,25 @@ def q115_stateful_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful_user_summary(spark, sf_dir)
 
 
+def q136_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates through the state store (availableNow);
+    returns the deduplicated key set == batch SELECT DISTINCT (oracle)."""
+    from apache_hive_2_1_1_src_spark.streaming.jobs import streaming_dedup
+
+    return streaming_dedup(spark, sf_dir)
+
+
+def q137_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (purchase⋈view within 1h per user);
+    availableNow over bounded input == the batch time-bound join."""
+    from apache_hive_2_1_1_src_spark.streaming.jobs import streaming_stream_join
+
+    return streaming_stream_join(spark, sf_dir)
+
+
 QUERIES = {
+    "q136_streaming_dedup": q136_streaming_dedup,
+    "q137_stream_stream_join": q137_stream_stream_join,
     "q94_transform_script": q94_transform_script,
     "q115_stateful_user_summary": q115_stateful_user_summary,
     "q104_percentile_array": q104_percentile_array,
@@ -236,6 +254,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q137_stream_stream_join": """
+        SELECT v.b_user, COUNT(*) AS n_pairs, MIN(buy_id) AS first_buy
+        FROM (
+          SELECT b.user_id AS b_user, b.event_id AS buy_id,
+                 v.event_id AS view_id
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+          JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON v.user_id = b.user_id
+           AND v.ts <= b.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+        ) v
+        GROUP BY v.b_user ORDER BY v.b_user
+    """,
+    "q136_streaming_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type
+    """,
     "q94_transform_script": """
         SELECT n_nationkey, upper(n_name) AS upper_name
         FROM nation ORDER BY n_nationkey

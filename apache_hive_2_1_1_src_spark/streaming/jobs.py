@@ -164,3 +164,102 @@ def windowed_event_counts_batch_equivalent(spark: SparkSession, sf_dir: str) -> 
         )
         .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value")
     )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication through the state store: dropDuplicates on
+    (user_id, event_type) with a watermark, availableNow trigger.  WHICH
+    physical row survives is arrival-order-dependent, so the job returns
+    only the deduplicated KEY SET — deterministic, and exactly the batch
+    SELECT DISTINCT answer (the oracle).
+
+    At scale the watermark bounds state: keys older than the delay are
+    evicted, which is what makes streaming dedup viable indefinitely.
+    """
+    src_dir = os.path.join(
+        tempfile.gettempdir(), f"hive_spark_dedup_src_{os.getpid()}"
+    )
+    events = _events_with_ts(spark, sf_dir).select("user_id", "event_type", "ts")
+    events.write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
+        .parquet(src_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    query_name = f"stream_dedup_{os.getpid()}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("user_id", "event_type")
+
+
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks and a time-bound condition:
+    each purchase joined to views by the same user within the preceding
+    hour.  With availableNow over bounded input the emitted match set is
+    exactly the batch time-bound join (the oracle); the watermark + range
+    condition is what lets Spark evict join state at scale.
+    """
+    src_dir = os.path.join(
+        tempfile.gettempdir(), f"hive_spark_ssjoin_src_{os.getpid()}"
+    )
+    events = _events_with_ts(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    events.write.mode("overwrite").parquet(src_dir)
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    buys = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("v_ts") <= F.col("b_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("b_user", "buy_id", "view_id")
+    query_name = f"stream_ssjoin_{os.getpid()}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(query_name)
+        .groupBy("b_user")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("buy_id").alias("first_buy"),
+        )
+        .orderBy("b_user")
+    )

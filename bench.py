@@ -7,6 +7,7 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Query choice: one per operator family that dominates 100 TB plans —
 hash agg (q01), shuffle join + top-N (q03), broadcast star join (q10),
+six-table TPC-H Q5 join (q116), double-correlated EXISTS Q21 (q129),
 count-distinct expand (q24), grouping sets (q29), window (q40), CTE+window
 rank (q79), partitioned write (q85), exact dedup (p01), MinHash-LSH fuzzy
 dedup (p02), brute-force ANN (p06), text quality (p08).
@@ -28,6 +29,8 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q10_broadcast_region_revenue",
+    "q116_local_supplier_volume",
+    "q129_waiting_orders",
     "q24_count_distinct",
     "q29_grouping_sets",
     "q40_row_number_topk",

@@ -136,7 +136,8 @@ def test_tpch_q5_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
 
     plan = _plan(q116_local_supplier_volume(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4
-    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed), pushed
     # exactly one fact-fact join may shuffle (lineitem ⋈ orders)
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
 
