@@ -1,0 +1,83 @@
+"""Property-based differential testing: hypothesis generates random
+filter + aggregate query fragments over `orders`, and Spark must agree
+with DuckDB on every one of them.
+
+This is the generative complement to the golden corpus — the reference
+pins behavior with enumerated .q files (QTestUtil.java:941-971); here the
+space of (predicate × aggregate × group key) combinations is sampled
+instead of enumerated.  Expressions are restricted to the common ANSI
+dialect both engines parse identically; floats are rounded on both sides
+(same rule as the oracle registry).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.test_correctness import _canon
+
+NUM_COLS = ["o_totalprice", "o_orderkey", "o_custkey"]
+STR_COLS = ["o_orderstatus", "o_orderpriority"]
+GROUP_KEYS = ["o_orderstatus", "o_orderpriority"]
+CMP = ["<", "<=", ">", ">=", "="]
+
+num_pred = st.builds(
+    lambda c, op, v: f"{c} {op} {v}",
+    st.sampled_from(NUM_COLS),
+    st.sampled_from(CMP),
+    st.integers(min_value=0, max_value=200_000),
+)
+str_pred = st.builds(
+    lambda c, v: f"{c} {'=' if v else '<>'} 'P'",
+    st.sampled_from(STR_COLS),
+    st.booleans(),
+)
+null_pred = st.builds(
+    lambda c: f"{c} IS NOT NULL", st.sampled_from(NUM_COLS + STR_COLS)
+)
+pred = st.one_of(num_pred, str_pred, null_pred)
+
+agg = st.sampled_from(
+    [
+        "COUNT(*) AS a1",
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS a1",
+        "ROUND(SUM(o_totalprice), 2) AS a1",
+        "ROUND(AVG(o_totalprice), 4) AS a1",
+        "ROUND(MIN(o_totalprice), 2) AS a1",
+        "ROUND(MAX(o_totalprice), 2) AS a1",
+    ]
+)
+
+
+@st.composite
+def query(draw):
+    ps = draw(st.lists(pred, min_size=1, max_size=3))
+    a = draw(agg)
+    key = draw(st.sampled_from(GROUP_KEYS))
+    conj = draw(st.sampled_from([" AND ", " OR "]))
+    return (
+        f"SELECT {key} AS k, {a} FROM orders "
+        f"WHERE {conj.join(ps)} GROUP BY {key} ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=query())
+def test_random_agg_query_matches_duckdb(sql, spark, sf_dir, oracle):
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    sdf = eng.sql(sql)
+    scols = [c.lower() for c in sdf.columns]
+    srows = sdf.collect()
+    rel = oracle.execute(sql)
+    ocols = [d[0].lower() for d in rel.description]
+    orows = rel.fetchall()
+    assert sorted(scols) == sorted(ocols), sql
+    assert _canon(srows, scols) == _canon(orows, ocols), sql
