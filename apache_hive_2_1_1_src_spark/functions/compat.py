@@ -103,6 +103,20 @@ def str_to_map(col: Column, pair_delim: str = ",", kv_delim: str = ":") -> Colum
     return F.str_to_map(col, F.lit(pair_delim), F.lit(kv_delim))
 
 
+def in_file(col: Column, path: str) -> Column:
+    """Hive ``in_file(str, filename)`` — ql/.../udf/generic/GenericUDFInFile.java:1.
+
+    Hive reads the file once per task on the executor; here the line set is
+    read once driver-side at plan-build time and inlined as a literal array
+    (Catalyst broadcasts literals with the serialized plan).  Same contract:
+    exact line match, no trimming.  Bounded by design — the reference loads
+    the whole file into a HashSet per task too, so file size is already
+    assumed small."""
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    return col.isin(lines) if lines else F.lit(False)
+
+
 def register_hive_udfs(spark: SparkSession) -> None:
     """CREATE TEMPORARY FUNCTION surface
     (ql/.../parse/FunctionSemanticAnalyzer.java → spark.udf.register).

@@ -1,7 +1,7 @@
 """Explicitly-unsupported reference surface — fail loudly, not silently.
 
 SURVEY.md §2.5/§7: JVM-reflection UDFs (reflect/java_method/reflect2),
-in_file, the ewah_* bitmap-index internals, and index DDL are out of scope
+the ewah_* bitmap-index internals, and index DDL are out of scope
 (Hive 3 itself removed indexes; reflection has no Python equivalent).
 Hive's own pattern for removed features is a clear compile-time error —
 mirrored here by registering stub UDFs that raise with guidance.
@@ -16,8 +16,6 @@ UNSUPPORTED: dict[str, str] = {
     "pyspark.sql.functions builtin or a Python UDF instead",
     "java_method": "JVM reflection — same as reflect",
     "reflect2": "JVM reflection — same as reflect",
-    "in_file": "reads driver-local files per row (UDFInFile) — join against "
-    "spark.read.text(path) instead",
     "ewah_bitmap": "bitmap-index internal; Hive indexes were removed in Hive 3",
     "ewah_bitmap_and": "bitmap-index internal",
     "ewah_bitmap_or": "bitmap-index internal",

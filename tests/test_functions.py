@@ -79,3 +79,26 @@ def test_hive_text_roundtrip_preserves_nulls(spark, tmp_path):
     write_hive_text(df, out)
     back = read_hive_text(spark, out, "k int, v string").orderBy("k").collect()
     assert [(r.k, r.v) for r in back] == [(1, None), (2, "x")]
+
+
+def test_in_file_matches_hive_contract(spark, sf_dir, tmp_path):
+    """in_file(str, filename): exact line membership
+    (GenericUDFInFile.java contract — no trimming, no pattern match)."""
+    from pyspark.sql import functions as F
+
+    from apache_hive_2_1_1_src_spark.functions.compat import in_file
+    from apache_hive_2_1_1_src_spark.io import load_table
+
+    f = tmp_path / "priorities.txt"
+    f.write_text("1-URGENT\n3-MEDIUM\n")
+    orders = load_table(spark, sf_dir, "orders")
+    got = (
+        orders.filter(in_file(F.col("o_orderpriority"), str(f)))
+        .select("o_orderpriority")
+        .distinct()
+        .collect()
+    )
+    assert sorted(r[0] for r in got) == ["1-URGENT", "3-MEDIUM"]
+    empty = tmp_path / "empty.txt"
+    empty.write_text("")
+    assert orders.filter(in_file(F.col("o_orderpriority"), str(empty))).count() == 0
