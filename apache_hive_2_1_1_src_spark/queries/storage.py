@@ -205,7 +205,65 @@ def q93_ctas_and_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"ctas_region_summary_{_PID}").orderBy("r_regionkey")
 
 
+def q139_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT/IMPORT (parse/ExportSemanticAnalyzer.java:1): snapshot a
+    table to a directory with its schema manifest, re-import enforcing the
+    stored schema, verify the copy matches the source."""
+    import json
+
+    export_dir = os.path.join(_SCRATCH, "export_nation")
+    data_dir = os.path.join(export_dir, "data")
+    nation = t(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").parquet(data_dir)
+    os.makedirs(export_dir, exist_ok=True)
+    with open(os.path.join(export_dir, "_metadata.json"), "w") as f:
+        json.dump({"table": "nation", "schema": nation.schema.jsonValue()}, f)
+
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(export_dir, "_metadata.json")) as f:
+        manifest = json.load(f)
+    schema = StructType.fromJson(manifest["schema"])
+    imported = spark.read.schema(schema).parquet(data_dir)
+    return imported.orderBy("n_nationkey")
+
+
+def q140_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSCK REPAIR TABLE (DDLTask.java msck path): partitions written
+    straight to the filesystem become visible only after repair registers
+    them in the catalog — then per-partition counts match the source."""
+    loc = os.path.join(_SCRATCH, "msck_orders")
+    tbl = f"msck_orders_{_PID}"
+    drop_table(spark, tbl)
+    orders = t(spark, sf_dir, "orders")
+    orders.select("o_orderkey", "o_totalprice", "o_orderpriority").write.mode(
+        "overwrite"
+    ).partitionBy("o_orderpriority").parquet(loc)
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} (o_orderkey BIGINT, o_totalprice DOUBLE)
+        USING parquet PARTITIONED BY (o_orderpriority STRING)
+        LOCATION '{loc}'
+        """
+    )
+    n_before = spark.table(tbl).count()  # no partitions registered yet
+    spark.sql(f"MSCK REPAIR TABLE {tbl}")
+    out = (
+        spark.table(tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("n_before_repair", F.lit(n_before))
+        .orderBy("o_orderpriority")
+    )
+    return out
+
+
 QUERIES = {
+    "q139_export_import": q139_export_import,
+    "q140_msck_repair": q140_msck_repair,
     "q85_write_partitioned": q85_write_partitioned,
     "q86_partition_pruned_read": q86_partition_pruned_read,
     "q87_write_bucketed": q87_write_bucketed,
@@ -218,6 +276,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q139_export_import": """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+    "q140_msck_repair": """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               CAST(0 AS BIGINT) AS n_before_repair
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "q85_write_partitioned": """
         SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority

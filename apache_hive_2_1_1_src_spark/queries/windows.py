@@ -172,7 +172,27 @@ def q49_window_agg_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q138_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a time INTERVAL bound (WindowingSpec.java:217-312
+    value-based frames): trailing-30-day spend per customer.  Peer rows
+    (equal order dates) enter the frame together, which keeps the result
+    deterministic under ties."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("w_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW),
+                 2) AS trailing_30d
+        FROM w_orders WHERE o_custkey <= 200
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
+
+
 QUERIES = {
+    "q138_range_interval_frame": q138_range_interval_frame,
     "q40_row_number_topk": q40_row_number_topk,
     "q41_rank_dense": q41_rank_dense,
     "q42_lead_lag": q42_lead_lag,
@@ -186,6 +206,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q138_range_interval_frame": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW),
+                 2) AS trailing_30d
+        FROM orders WHERE o_custkey <= 200
+        ORDER BY o_custkey, o_orderkey
+    """,
     "q40_row_number_topk": """
         SELECT o_orderstatus, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
           SELECT o_orderstatus, o_orderkey, o_totalprice,
