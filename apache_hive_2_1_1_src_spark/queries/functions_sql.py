@@ -390,6 +390,30 @@ def q70_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (GenericUDTF.process/forward → Spark 4's
+    @udtf): expand each region name into (token, token_len) rows through
+    a registered table function used in SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, token_len: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").lower().split(" "):
+                if w:
+                    yield w, len(w)
+
+    spark.udtf.register("split_words", SplitWords)
+    t(spark, sf_dir, "region").createOrReplaceTempView("fn_region")
+    return spark.sql(
+        """
+        SELECT r.r_regionkey, s.token, s.token_len
+        FROM fn_region r, LATERAL split_words(r.r_name) s
+        ORDER BY r.r_regionkey, s.token
+        """
+    )
+
+
 def q106_string_extra_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """find_in_set / space / chr / bin (FunctionRegistry string batch) —
     the remaining oracle-expressible string functions."""
@@ -440,6 +464,7 @@ def q108_date_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q141_python_udtf": q141_python_udtf,
     "q50_string_funcs": q50_string_funcs,
     "q106_string_extra_oracle": q106_string_extra_oracle,
     "q107_string_extra_pinned": q107_string_extra_pinned,
@@ -468,6 +493,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q141_python_udtf": """
+        SELECT r_regionkey, u AS token, CAST(length(u) AS INT) AS token_len
+        FROM (SELECT r_regionkey,
+                     list_filter(string_split(lower(r_name), ' '),
+                                 x -> x != '') AS w
+              FROM region), LATERAL UNNEST(w) AS s(u)
+        ORDER BY r_regionkey, token
+    """,
     "q106_string_extra_oracle": """
         SELECT n_nationkey,
                CAST(COALESCE(list_position(

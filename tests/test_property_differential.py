@@ -81,3 +81,44 @@ def test_random_agg_query_matches_duckdb(sql, spark, sf_dir, oracle):
     orows = rel.fetchall()
     assert sorted(scols) == sorted(ocols), sql
     assert _canon(srows, scols) == _canon(orows, ocols), sql
+
+
+join_agg = st.sampled_from(
+    [
+        "COUNT(*) AS a1",
+        "ROUND(SUM(o_totalprice), 2) AS a1",
+        "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS a1",
+    ]
+)
+
+
+@st.composite
+def join_query(draw):
+    p = draw(pred)
+    a = draw(join_agg)
+    key = draw(st.sampled_from(["c_mktsegment", "c_nationkey"]))
+    how = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    return (
+        f"SELECT {key} AS k, {a} FROM customer {how} orders "
+        f"ON c_custkey = o_custkey AND {p} GROUP BY {key} ORDER BY k"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=join_query())
+def test_random_join_query_matches_duckdb(sql, spark, sf_dir, oracle):
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    sdf = eng.sql(sql)
+    srows = sdf.collect()
+    scols = [c.lower() for c in sdf.columns]
+    rel = oracle.execute(sql)
+    orows = rel.fetchall()
+    ocols = [d[0].lower() for d in rel.description]
+    assert _canon(srows, scols) == _canon(orows, ocols), sql
