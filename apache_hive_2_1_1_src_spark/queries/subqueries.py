@@ -101,17 +101,26 @@ def q80_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared scan once, fan out N writes; here the two branches are unioned
     with a destination tag so the oracle can check both outputs."""
     orders = t(spark, sf_dir, "orders").cache()
-    by_status = (
-        orders.groupBy(F.col("o_orderstatus").alias("key"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
-        .withColumn("dest", F.lit("by_status"))
-    )
-    by_prio = (
-        orders.groupBy(F.col("o_orderpriority").alias("key"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
-        .withColumn("dest", F.lit("by_priority"))
-    )
-    return by_status.unionByName(by_prio).select("dest", "key", "n", "total")
+    try:
+        by_status = (
+            orders.groupBy(F.col("o_orderstatus").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .withColumn("dest", F.lit("by_status"))
+        )
+        by_prio = (
+            orders.groupBy(F.col("o_orderpriority").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .withColumn("dest", F.lit("by_priority"))
+        )
+        out = by_status.unionByName(by_prio).select("dest", "key", "n", "total")
+        # materialize both "inserts" through the shared cached scan, then
+        # release it — a leaked cache would silently replace every later
+        # orders scan in this session with an InMemoryRelation (no filter
+        # pushdown), poisoning unrelated plans
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        orders.unpersist()
 
 
 def q81_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
