@@ -218,8 +218,22 @@ def p22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def p23_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (8 lists, nprobe=4): coarse-quantizer scale path.
+    Rows-only — Lloyd-trained centroids aren't SQL-reproducible; pytest
+    pins full-probe == brute-force equality and partial-probe recall."""
+    from apache_hive_2_1_1_src_spark.pipeline.ivf import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=4).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
 QUERIES = {
     "p01_dedup_exact": p01_dedup_exact,
+    "p23_ann_ivf": p23_ann_ivf,
     "p18_train_split": p18_train_split,
     "p19_sequence_packing": p19_sequence_packing,
     "p20_contamination": p20_contamination,
