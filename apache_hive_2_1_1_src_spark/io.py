@@ -46,7 +46,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = load_table(spark, sf_dir, "events")
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: `/` is double division and epoch-nanos (~1.7e18)
+        # exceeds double's 2^53 integer precision, corrupting microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

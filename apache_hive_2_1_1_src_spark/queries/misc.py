@@ -235,8 +235,98 @@ def q137_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_stream_join(spark, sf_dir)
 
 
+def q142_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each purchase matched to the
+    user's latest preceding view — single-shuffle union+window plan, not
+    a per-key range scan (operators/temporal.asof_join).  Deterministic
+    tie-break on the view's event_id."""
+    from apache_hive_2_1_1_src_spark.io import load_events
+    from apache_hive_2_1_1_src_spark.operators.temporal import asof_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        ts="ts",
+        right_payload=["event_id", "value"],
+        tiebreak="event_id",
+        how="inner",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("match_ts").alias("view_ts"),
+        F.col("match_event_id").alias("view_id"),
+        F.round("match_value", 2).alias("view_value"),
+    ).orderBy("purchase_id")
+
+
+def q143_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: incident windows (every 199th event,
+    2h span) × all events, planned as a bucketed hash equi-join + residual
+    filter instead of the BroadcastNestedLoopJoin Catalyst would pick for
+    the raw inequality (operators/temporal.range_join_binned)."""
+    from apache_hive_2_1_1_src_spark.io import load_events
+    from apache_hive_2_1_1_src_spark.operators.temporal import range_join_binned
+
+    ev = load_events(spark, sf_dir)
+    incidents = ev.filter(F.col("event_id") % 199 == 0).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    points = ev.select(F.col("event_id").alias("pt_id"), F.col("ts").alias("pt_ts"), "value")
+    joined = range_join_binned(
+        points, incidents, point_ts="pt_ts", start="start_ts", end="end_ts", how="left"
+    )
+    return (
+        joined.groupBy("incident_id")
+        .agg(
+            F.count("pt_id").alias("n_events"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("sum_value"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+def q144_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour→day→type continuous
+    aggregate levels from ONE scan via GROUPING SETS (partial aggregation
+    map-side; no re-scan per resolution)."""
+    from apache_hive_2_1_1_src_spark.io import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hh"),
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "day", "hh"], ["event_type", "day"], ["event_type"]],
+            "event_type",
+            "day",
+            "hh",
+        )
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("lvl", "event_type", "day", "hh")
+    )
+
+
 QUERIES = {
     "q136_streaming_dedup": q136_streaming_dedup,
+    "q142_asof_join": q142_asof_join,
+    "q143_range_join": q143_range_join,
+    "q144_time_rollup": q144_time_rollup,
     "q137_stream_stream_join": q137_stream_stream_join,
     "q94_transform_script": q94_transform_script,
     "q115_stateful_user_summary": q115_stateful_user_summary,
@@ -254,6 +344,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q142_asof_join": """
+        WITH j AS (
+          SELECT p.event_id AS purchase_id, p.user_id,
+                 v.ts AS view_ts, v.event_id AS view_id,
+                 ROUND(v.value, 2) AS view_value,
+                 row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY v.ts DESC, v.event_id DESC) AS rn
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON v.user_id = p.user_id AND v.ts <= p.ts
+        )
+        SELECT purchase_id, user_id, view_ts, view_id, view_value
+        FROM j WHERE rn = 1 ORDER BY purchase_id
+    """,
+    "q143_range_join": """
+        SELECT i.incident_id,
+               COUNT(e.event_id) AS n_events,
+               ROUND(COALESCE(SUM(e.value), 0), 2) AS sum_value
+        FROM (SELECT event_id AS incident_id, ts AS start_ts,
+                     ts + INTERVAL 2 HOUR AS end_ts
+              FROM events WHERE event_id % 199 = 0) i
+        LEFT JOIN events e ON e.ts >= i.start_ts AND e.ts < i.end_ts
+        GROUP BY i.incident_id ORDER BY i.incident_id
+    """,
+    "q144_time_rollup": """
+        SELECT event_type, day, hh,
+               CAST(GROUPING(event_type, day, hh) AS INT) AS lvl,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     hour(ts) AS hh, value
+              FROM events)
+        GROUP BY GROUPING SETS ((event_type, day, hh), (event_type, day), (event_type))
+        ORDER BY lvl, event_type, day, hh
+    """,
     "q137_stream_stream_join": """
         SELECT v.b_user, COUNT(*) AS n_pairs, MIN(buy_id) AS first_buy
         FROM (
