@@ -164,3 +164,30 @@ def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
     plan = _plan(p20_contamination(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    """q142: the as-of join must plan as union + ONE hash-partitioned
+    shuffle + window — never a range-predicate join (BNLJ/cartesian)."""
+    from apache_hive_2_1_1_src_spark.queries.misc import q142_asof_join
+
+    plan = _plan(q142_asof_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # exactly one hash shuffle (the key partitioning for the window);
+    # the only other exchange is the final presentation orderBy
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_range_join_plans_as_hash_equi_join(spark, sf_dir):
+    """q143: the binned range join must give Catalyst an equi-join key —
+    the raw inequality would plan a BroadcastNestedLoopJoin."""
+    from apache_hive_2_1_1_src_spark.queries.misc import q143_range_join
+
+    plan = _plan(q143_range_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
