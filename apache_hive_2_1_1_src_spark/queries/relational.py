@@ -229,6 +229,33 @@ def q12_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.union(b).distinct()
 
 
+def q145_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT [DISTINCT] — set intersection (added to Hive in 2.2 via
+    HIVE-12764 as a rewrite to group-by + filter; Spark plans a left-semi
+    aggregate natively).  Customers that placed an urgent order AND a
+    high-value order."""
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_totalprice") > 200000.0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b).orderBy("custkey")
+
+
+def q146_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT [DISTINCT] / MINUS — set difference (HIVE-12764 family;
+    Spark plans a left-anti aggregate).  Customers with orders but none
+    urgent."""
+    orders = t(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b).orderBy("custkey")
+
+
 def q13_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
@@ -323,9 +350,23 @@ QUERIES = {
     "q17_tablesample_bucket": q17_tablesample_bucket,
     "q18_values_inline": q18_values_inline,
     "q19_limit_rows_sample": q19_limit_rows_sample,
+    "q145_intersect": q145_intersect,
+    "q146_except": q146_except,
 }
 
 ORACLES = {
+    "q145_intersect": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0
+        ORDER BY custkey
+    """,
+    "q146_except": """
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY custkey
+    """,
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -261,8 +261,28 @@ def q140_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q147_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (CompactorMR.java major-compaction analog):
+    fragment orders into 64 tiny files, rewrite to size-targeted files
+    via operators/maintenance.compact_parquet, prove the round trip is
+    lossless from the compacted copy.  File-count reduction is pinned in
+    tests/test_plans.py."""
+    from apache_hive_2_1_1_src_spark.operators.maintenance import compact_parquet
+
+    src = os.path.join(_SCRATCH, "orders_fragmented")
+    dest = os.path.join(_SCRATCH, "orders_compacted")
+    t(spark, sf_dir, "orders").repartition(64).write.mode("overwrite").parquet(src)
+    compacted = compact_parquet(spark, src, dest, target_file_bytes=256 * 1024 * 1024)
+    return compacted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.count_distinct(F.col("o_orderkey")).alias("n_keys"),
+    )
+
+
 QUERIES = {
     "q139_export_import": q139_export_import,
+    "q147_compaction": q147_compaction,
     "q140_msck_repair": q140_msck_repair,
     "q85_write_partitioned": q85_write_partitioned,
     "q86_partition_pruned_read": q86_partition_pruned_read,
@@ -276,6 +296,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q147_compaction": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(o_totalprice), 2) AS total_price,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+        FROM orders
+    """,
     "q139_export_import": """
         SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
     """,

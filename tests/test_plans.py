@@ -191,3 +191,18 @@ def test_range_join_plans_as_hash_equi_join(spark, sf_dir):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    """compact_parquet: 64 fragment files must collapse to the
+    size-targeted count (1 at test scale) with no row loss."""
+    from apache_hive_2_1_1_src_spark.operators.maintenance import compact_parquet
+    from apache_hive_2_1_1_src_spark.queries._util import t
+
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compact")
+    orders = t(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+    compacted = compact_parquet(spark, src, dest, target_file_bytes=256 * 1024 * 1024)
+    assert len(compacted.inputFiles()) == 1
+    assert compacted.count() == orders.count()
