@@ -10,7 +10,8 @@ hash agg (q01), shuffle join + top-N (q03), broadcast star join (q10),
 six-table TPC-H Q5 join (q116), double-correlated EXISTS Q21 (q129),
 count-distinct expand (q24), grouping sets (q29), window (q40), CTE+window
 rank (q79), partitioned write (q85), exact dedup (p01), MinHash-LSH fuzzy
-dedup (p02), brute-force ANN (p06), text quality (p08).
+dedup (p02), brute-force ANN (p06), text quality (p08), single-shuffle
+as-of join (q142), multi-resolution time rollup (q144).
 """
 
 from __future__ import annotations
@@ -43,6 +44,8 @@ HEADLINE = [
     "p14_tfidf",
     "q96_streaming_window_counts",
     "q103_sessionization",
+    "q142_asof_join",
+    "q144_time_rollup",
 ]
 
 
