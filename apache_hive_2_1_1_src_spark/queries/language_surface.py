@@ -83,14 +83,73 @@ def q134_input_file_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — Hive users spell this as CASE-conditional aggregates
+    (there's no PIVOT keyword in 2.1); Spark's relational pivot compiles
+    to the same single-scan conditional-agg plan.  Order counts and
+    revenue by status, pivoted across priorities."""
+    o = t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv.select(
+        "o_orderstatus",
+        F.col("1-URGENT").alias("urgent_total"),
+        F.col("2-HIGH").alias("high_total"),
+        F.col("3-MEDIUM").alias("medium_total"),
+    ).orderBy("o_orderstatus")
+
+
+def q149_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / stack: wide metric columns back to (metric, value) rows
+    — one projection + explode, no shuffle until the final agg."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_tax"), 2).alias("tax"),
+    )
+    return (
+        wide.unpivot("l_returnflag", ["qty", "price", "tax"], "metric", "metric_value")
+        .orderBy("l_returnflag", "metric")
+    )
+
+
 QUERIES = {
     "q131_lateral_view_outer": q131_lateral_view_outer,
+    "q148_pivot": q148_pivot,
+    "q149_unpivot": q149_unpivot,
     "q132_grouping_id": q132_grouping_id,
     "q133_percent_sample": q133_percent_sample,
     "q134_input_file_name": q134_input_file_name,
 }
 
 ORACLES = {
+    "q148_pivot": """
+        SELECT o_orderstatus,
+               ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent_total,
+               ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS high_total,
+               ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS medium_total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "q149_unpivot": """
+        WITH wide AS (
+          SELECT l_returnflag,
+                 ROUND(SUM(l_quantity), 2) AS qty,
+                 ROUND(SUM(l_extendedprice), 2) AS price,
+                 ROUND(SUM(l_tax), 2) AS tax
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, metric, metric_value FROM (
+          SELECT l_returnflag, 'qty' AS metric, qty AS metric_value FROM wide
+          UNION ALL
+          SELECT l_returnflag, 'price', price FROM wide
+          UNION ALL
+          SELECT l_returnflag, 'tax', tax FROM wide
+        ) ORDER BY l_returnflag, metric
+    """,
     "q131_lateral_view_outer": """
         SELECT o_orderkey, u AS part
         FROM (

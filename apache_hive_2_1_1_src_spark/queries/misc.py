@@ -322,9 +322,35 @@ def q144_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q150_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-min gap) in batch
+    mode — same semantics as the islands formulation the oracle uses
+    (session splits when the gap is >= the timeout; Spark's window end
+    is exclusive at start+gap).  Complements q103, which builds sessions
+    from raw window primitives."""
+    from apache_hive_2_1_1_src_spark.io import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 200)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "first_event",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 QUERIES = {
     "q136_streaming_dedup": q136_streaming_dedup,
     "q142_asof_join": q142_asof_join,
+    "q150_session_window": q150_session_window,
     "q143_range_join": q143_range_join,
     "q144_time_rollup": q144_time_rollup,
     "q137_stream_stream_join": q137_stream_stream_join,
@@ -344,6 +370,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q150_session_window": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+          FROM events WHERE user_id < 200
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, event_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               COUNT(*) AS n_events, MIN(event_id) AS first_event
+        FROM sess GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
     "q142_asof_join": """
         WITH j AS (
           SELECT p.event_id AS purchase_id, p.user_id,
