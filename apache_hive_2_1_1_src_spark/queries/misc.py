@@ -347,10 +347,25 @@ def q150_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q151_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global row numbering (operators/rowindex.py): range
+    repartition + per-partition rank + broadcast offsets — equals the
+    single-partition ROW_NUMBER() OVER (ORDER BY ...) the oracle runs,
+    without the one-reducer bottleneck."""
+    from apache_hive_2_1_1_src_spark.operators.rowindex import global_row_number
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(
+        orders, F.desc("o_totalprice"), F.asc("o_orderkey"), out_col="rn"
+    )
+    return ranked.select("o_orderkey", "rn").orderBy("rn")
+
+
 QUERIES = {
     "q136_streaming_dedup": q136_streaming_dedup,
     "q142_asof_join": q142_asof_join,
     "q150_session_window": q150_session_window,
+    "q151_global_row_number": q151_global_row_number,
     "q143_range_join": q143_range_join,
     "q144_time_rollup": q144_time_rollup,
     "q137_stream_stream_join": q137_stream_stream_join,
@@ -370,6 +385,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q151_global_row_number": """
+        SELECT o_orderkey,
+               CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                    AS BIGINT) AS rn
+        FROM orders ORDER BY rn
+    """,
     "q150_session_window": """
         WITH flagged AS (
           SELECT user_id, event_id, ts,
