@@ -281,6 +281,22 @@ def q62_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("pos") < 5)
 
 
+def q153_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode on a MAP emits (key, value) pairs — GenericUDTFExplode's
+    two-column map mode (LATERAL VIEW explode(map_col) t AS k, v).  The
+    map is built with str_to_map over a serialized k=v string."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    kv = F.concat(
+        F.lit("type="), F.col("event_type"),
+        F.lit(",uid="), F.col("user_id").cast("string"),
+    )
+    m = ev.select(
+        "event_id",
+        F.explode(F.str_to_map(kv, F.lit(","), F.lit("="))).alias("k", "v"),
+    )
+    return m.orderBy("event_id", "k")
+
+
 def q63_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stack UDTF (GenericUDTFStack): pivot columns into rows."""
     n = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
@@ -482,6 +498,7 @@ QUERIES = {
     "q61_explode_lateral": q61_explode_lateral,
     "q62_posexplode": q62_posexplode,
     "q63_stack": q63_stack,
+    "q153_explode_map": q153_explode_map,
     "q63b_inline_udtf": q63b_inline_udtf,
     "q64_json_tuple": q64_json_tuple,
     "q65_xpath": q65_xpath,
@@ -654,6 +671,15 @@ ORACLES = {
                lang AS lang_via_struct
         FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
         WHERE doc_id <= 200
+    """,
+    "q153_explode_map": """
+        SELECT event_id, k, v FROM (
+          SELECT event_id, 'type' AS k, event_type AS v
+          FROM events WHERE event_id <= 2000
+          UNION ALL
+          SELECT event_id, 'uid', CAST(user_id AS VARCHAR)
+          FROM events WHERE event_id <= 2000
+        ) ORDER BY event_id, k
     """,
     "q61_explode_lateral": """
         SELECT lang, word, COUNT(*) AS freq FROM (

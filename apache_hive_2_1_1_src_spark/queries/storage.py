@@ -280,9 +280,44 @@ def q147_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW surface (DDLTask createView / SemanticAnalyzer view
+    expansion): a view over a join, a second view stacked on the first,
+    queried with an extra filter — Catalyst inlines the whole view chain
+    into one plan, so predicate pushdown crosses view boundaries exactly
+    like Hive's view expansion."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView(f"v_customer_{_PID}")
+    t(spark, sf_dir, "orders").createOrReplaceTempView(f"v_orders_{_PID}")
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY VIEW cust_orders_{_PID} AS
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        FROM v_customer_{_PID} JOIN v_orders_{_PID} ON o_custkey = c_custkey
+        """
+    )
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY VIEW segment_stats_{_PID} AS
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM cust_orders_{_PID}
+        GROUP BY c_mktsegment
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, n_orders, total_price
+        FROM segment_stats_{_PID}
+        WHERE n_orders > 0
+        ORDER BY c_mktsegment
+        """
+    )
+
+
 QUERIES = {
     "q139_export_import": q139_export_import,
     "q147_compaction": q147_compaction,
+    "q152_views": q152_views,
     "q140_msck_repair": q140_msck_repair,
     "q85_write_partitioned": q85_write_partitioned,
     "q86_partition_pruned_read": q86_partition_pruned_read,
@@ -296,6 +331,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q152_views": """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        HAVING COUNT(*) > 0
+        ORDER BY c_mktsegment
+    """,
     "q147_compaction": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                ROUND(SUM(o_totalprice), 2) AS total_price,
