@@ -158,3 +158,36 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         rolling.alias("fp64"),
         F.md5(F.col(text_col)).alias("fp_md5"),
     )
+
+
+#: (pattern, replacement) pairs applied in order — email before phone so
+#: digits inside a redacted email can't double-match.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\+?\d{1,2}[ -]?)?(?:\(\d{3}\)|\d{3})[ -]?\d{3}[ -]?\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass: email / phone / IPv4 patterns replaced with
+    typed placeholders, plus per-doc redaction counts for audit.
+
+    Pure chained regexp_replace — per-row, zero shuffle, linear scale.
+    Counts are computed BEFORE redaction via regexp_count so the audit
+    can't be fooled by placeholder text.
+    """
+    col = F.col(text_col)
+    n_email = F.regexp_count(col, F.lit(PII_PATTERNS[0][0]))
+    n_phone = F.regexp_count(col, F.lit(PII_PATTERNS[1][0]))
+    n_ip = F.regexp_count(col, F.lit(PII_PATTERNS[2][0]))
+    scrubbed = col
+    for pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ip.alias("n_ip"),
+    )

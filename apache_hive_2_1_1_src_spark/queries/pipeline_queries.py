@@ -231,9 +231,32 @@ def p23_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p24_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (email/phone/IPv4 → typed placeholders) with per-doc
+    audit counts.  The synthetic corpus has no PII, so a deterministic
+    contact line is planted per doc — the operator itself is the real
+    chained-regex pass (pipeline/text.pii_scrub), full oracle."""
+    from apache_hive_2_1_1_src_spark.pipeline.text import pii_scrub
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 500)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-123-4567 from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" re: "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return pii_scrub(seeded).orderBy("doc_id")
+
+
 QUERIES = {
     "p01_dedup_exact": p01_dedup_exact,
     "p23_ann_ivf": p23_ann_ivf,
+    "p24_pii_scrub": p24_pii_scrub,
     "p18_train_split": p18_train_split,
     "p19_sequence_packing": p19_sequence_packing,
     "p20_contamination": p20_contamination,
@@ -270,6 +293,27 @@ _SHINGLES_CTE = """
 """
 
 ORACLES = {
+    "p24_pii_scrub": """
+        WITH seeded AS (
+          SELECT doc_id,
+                 'contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com or call 555-123-4567 from 10.0.0.' ||
+                 CAST(doc_id % 256 AS VARCHAR) || ' re: ' || text AS text
+          FROM documents WHERE doc_id <= 500
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b(?:\\+?\\d{1,2}[ -]?)?(?:\\(\\d{3}\\)|\\d{3})[ -]?\\d{3}[ -]?\\d{4}\\b', '<PHONE>', 'g'),
+                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS text_scrubbed,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '\\b(?:\\+?\\d{1,2}[ -]?)?(?:\\(\\d{3}\\)|\\d{3})[ -]?\\d{3}[ -]?\\d{4}\\b')) AS INT) AS n_phone,
+               CAST(len(regexp_extract_all(text,
+                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ip
+        FROM seeded ORDER BY doc_id
+    """,
     "p18_train_split": """
         SELECT lang, split, COUNT(*) AS n_docs FROM (
           SELECT lang,
