@@ -206,3 +206,39 @@ def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     compacted = compact_parquet(spark, src, dest, target_file_bytes=256 * 1024 * 1024)
     assert len(compacted.inputFiles()) == 1
     assert compacted.count() == orders.count()
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
+    """Runtime Bloom-filter pruning (semi-join reduction): a selective
+    filter on the dim side injects a bloom_filter_agg + might_contain
+    probe into the fact scan — at 100 TB this drops most fact rows
+    before the shuffle. Thresholds are lowered here only to trigger the
+    rewrite on test-sized input."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
