@@ -136,9 +136,30 @@ class HiveEngine:
             if os.path.exists(path):
                 self.spark.read.parquet(path).createOrReplaceTempView(name)
 
+    @staticmethod
+    def translate_hints(text: str) -> str:
+        """Hive hint compat (parse/HiveParser.g hintClause):
+
+        * ``/*+ MAPJOIN(t) */`` → Spark ``/*+ BROADCAST(t) */`` — same
+          contract (hash the named side into every task).
+        * ``/*+ STREAMTABLE(t) */`` — Hive reordered the join so ``t``
+          streamed last; Catalyst/AQE reorder by stats, so the hint is
+          dropped (a no-op, matching CBO-on Hive behavior).
+        """
+        import re
+
+        def fix_hint(m: re.Match) -> str:
+            body = re.sub(r"(?i)\bMAPJOIN\s*\(", "BROADCAST(", m.group(1))
+            body = re.sub(r"(?i)\bSTREAMTABLE\s*\([^)]*\)\s*,?", "", body).strip(" ,")
+            return f"/*+ {body} */" if body else ""
+
+        # rewrite only inside hint comments so string literals are safe
+        return re.sub(r"/\*\+(.*?)\*/", fix_hint, text, flags=re.S)
+
     def sql(self, text: str):
-        """Run SQL — the CliDriver.processCmd equivalent (CliDriver.java:111)."""
-        return self.spark.sql(text)
+        """Run SQL — the CliDriver.processCmd equivalent (CliDriver.java:111),
+        after Hive-hint translation."""
+        return self.spark.sql(self.translate_hints(text))
 
     def table(self, name: str):
         return self.spark.table(name)

@@ -242,3 +242,29 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hive_mapjoin_hint_translates_to_broadcast(spark, sf_dir):
+    """/*+ MAPJOIN(t) */ must reach Catalyst as a BROADCAST hint and
+    produce a BroadcastHashJoin even with auto-broadcast disabled;
+    STREAMTABLE hints are dropped (AQE owns join order)."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    assert (
+        HiveEngine.translate_hints("SELECT /*+ MAPJOIN(n) */ 1")
+        == "SELECT /*+ BROADCAST(n) */ 1"
+    )
+    assert HiveEngine.translate_hints("SELECT /*+ STREAMTABLE(o) */ 1") == "SELECT  1"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = eng.sql(
+            """SELECT /*+ MAPJOIN(nation) */ n_name, COUNT(*) AS n
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY n_name"""
+        )
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
