@@ -156,10 +156,61 @@ class HiveEngine:
         # rewrite only inside hint comments so string literals are safe
         return re.sub(r"/\*\+(.*?)\*/", fix_hint, text, flags=re.S)
 
+    def set_var(self, name: str, value: str) -> None:
+        """``SET hivevar:name=value`` equivalent (VariableSubstitution.java)."""
+        if not hasattr(self, "_vars"):
+            self._vars: dict[str, str] = {}
+        self._vars[name] = value
+
+    def substitute(self, text: str) -> str:
+        """Expand ``${hivevar:x}`` / ``${var:x}`` / bare ``${x}`` from
+        engine vars and ``${hiveconf:k}`` from the session conf —
+        ql/parse/VariableSubstitution semantics (unknown variables are
+        left verbatim, as Hive does)."""
+        import re
+
+        vars_ = getattr(self, "_vars", {})
+
+        def repl(m: re.Match) -> str:
+            ns, name = m.group(1), m.group(2)
+            if ns == "hiveconf":
+                try:
+                    return self.spark.conf.get(name)
+                except Exception:
+                    return m.group(0)
+            return vars_.get(name, m.group(0))
+
+        return re.sub(r"\$\{(?:(hivevar|hiveconf|var):)?([A-Za-z0-9_.-]+)\}", repl, text)
+
     def sql(self, text: str):
         """Run SQL — the CliDriver.processCmd equivalent (CliDriver.java:111),
-        after Hive-hint translation."""
-        return self.spark.sql(self.translate_hints(text))
+        after variable substitution and Hive-hint translation."""
+        return self.spark.sql(self.translate_hints(self.substitute(text)))
+
+    def run_script(self, script: str):
+        """Execute a ';'-separated multi-statement script (CliDriver
+        processLine semantics: statements run in order, ';' inside quotes
+        is not a separator); returns the last statement's DataFrame."""
+        stmts, buf, quote = [], [], None
+        for ch in script:
+            if quote:
+                if ch == quote:
+                    quote = None
+                buf.append(ch)
+            elif ch in ("'", '"'):
+                quote = ch
+                buf.append(ch)
+            elif ch == ";":
+                stmts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        stmts.append("".join(buf))
+        result = None
+        for s in stmts:
+            if s.strip():
+                result = self.sql(s)
+        return result
 
     def table(self, name: str):
         return self.spark.table(name)

@@ -268,3 +268,25 @@ def test_hive_mapjoin_hint_translates_to_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+
+
+def test_hive_variable_substitution_and_script(spark, sf_dir):
+    """${hivevar:x} / ${hiveconf:k} expansion and ';'-separated script
+    execution (VariableSubstitution.java, CliDriver.processLine)."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    eng.set_var("minkey", "20")
+    assert eng.substitute("SELECT ${hivevar:minkey}, ${unknown}") == "SELECT 20, ${unknown}"
+    assert eng.substitute("${hiveconf:spark.sql.ansi.enabled}") == "false"
+    rows = eng.sql(
+        "SELECT COUNT(*) AS n FROM nation WHERE n_nationkey >= ${minkey}"
+    ).collect()
+    assert rows[0]["n"] == 5
+    last = eng.run_script(
+        """CREATE OR REPLACE TEMPORARY VIEW script_v AS
+           SELECT * FROM nation WHERE n_name != 'a;b';
+           SELECT COUNT(*) AS n FROM script_v"""
+    )
+    assert last.collect()[0]["n"] == 25
