@@ -358,24 +358,34 @@ def q129_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver schema, so "late" = shipped > 90 days after order date."""
     for name in ("lineitem", "orders", "supplier", "nation"):
         t(spark, sf_dir, name).createOrReplaceTempView(f"tf_{name}")
+    # Single-pass decorrelation: the EXISTS ("another supplier shipped")
+    # and NOT EXISTS ("no other supplier was late") both reduce to
+    # per-order supplier counts, so lineitem⋈orders is scanned ONCE,
+    # aggregated by the SAME key it was joined on (the groupBy and the
+    # stats join reuse the orderkey partitioning — one lineitem shuffle
+    # total, vs three for the literal correlated form the oracle runs).
+    # A candidate line is late; "no OTHER late supplier" ⇔ the order has
+    # exactly one distinct late supplier.
     return spark.sql(
         """
+        WITH lo AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+          FROM tf_lineitem JOIN tf_orders ON o_orderkey = l_orderkey
+          WHERE o_orderstatus = 'F'
+        ), ord_stats AS (
+          SELECT l_orderkey,
+                 COUNT(DISTINCT l_suppkey) AS n_supp,
+                 COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+          FROM lo GROUP BY l_orderkey
+        )
         SELECT s_name, COUNT(*) AS numwait
-        FROM tf_lineitem l1
-        JOIN tf_orders ON o_orderkey = l1.l_orderkey
-        JOIN tf_supplier ON l1.l_suppkey = s_suppkey
+        FROM lo
+        JOIN ord_stats USING (l_orderkey)
+        JOIN tf_supplier ON l_suppkey = s_suppkey
         JOIN tf_nation ON s_nationkey = n_nationkey
-        WHERE o_orderstatus = 'F'
+        WHERE late AND n_supp > 1 AND n_late_supp = 1
           AND n_name = 'NATION_3'
-          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-          AND EXISTS (SELECT 1 FROM tf_lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM tf_lineitem l3
-                          JOIN tf_orders o3 ON o3.o_orderkey = l3.l_orderkey
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 100
