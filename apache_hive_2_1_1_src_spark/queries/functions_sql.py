@@ -297,6 +297,30 @@ def q153_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.orderBy("event_id", "k")
 
 
+def q154_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive NULL semantics pack (ANSI off): every division/modulo by zero
+    yields NULL (GenericUDFOPDivide returns null, never an error), NULL
+    propagates through arithmetic and concat, and <=> is the NULL-safe
+    equality (GenericUDFOPEqualNS).  Oracle mirrors with NULLIF guards,
+    || (DuckDB concat() skips NULLs; || propagates), and
+    IS NOT DISTINCT FROM."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    nullable = F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(
+        F.col("o_custkey")
+    )
+    zero_div = F.col("o_orderkey") % 3
+    return o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") / zero_div, 4).alias("div_or_null"),
+        (F.col("o_custkey") % (F.col("o_orderkey") % 2)).alias("mod_or_null"),
+        nullable.alias("nullable_key"),
+        nullable.eqNullSafe(F.col("o_custkey")).alias("ns_eq_self"),
+        nullable.eqNullSafe(F.lit(None)).alias("ns_eq_null"),
+        (nullable + F.lit(1)).alias("null_plus"),
+        F.concat(F.lit("k="), nullable.cast("string")).alias("null_concat"),
+    ).orderBy("o_orderkey")
+
+
 def q63_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stack UDTF (GenericUDTFStack): pivot columns into rows."""
     n = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
@@ -499,6 +523,7 @@ QUERIES = {
     "q62_posexplode": q62_posexplode,
     "q63_stack": q63_stack,
     "q153_explode_map": q153_explode_map,
+    "q154_null_semantics": q154_null_semantics,
     "q63b_inline_udtf": q63b_inline_udtf,
     "q64_json_tuple": q64_json_tuple,
     "q65_xpath": q65_xpath,
@@ -671,6 +696,20 @@ ORACLES = {
                lang AS lang_via_struct
         FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
         WHERE doc_id <= 200
+    """,
+    "q154_null_semantics": """
+        SELECT o_orderkey,
+               ROUND(o_totalprice / NULLIF(o_orderkey % 3, 0), 4) AS div_or_null,
+               o_custkey % NULLIF(o_orderkey % 2, 0) AS mod_or_null,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END AS nullable_key,
+               (CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END
+                IS NOT DISTINCT FROM o_custkey) AS ns_eq_self,
+               (CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END
+                IS NOT DISTINCT FROM NULL) AS ns_eq_null,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END + 1 AS null_plus,
+               'k=' || CAST(CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                            ELSE o_custkey END AS VARCHAR) AS null_concat
+        FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey
     """,
     "q153_explode_map": """
         SELECT event_id, k, v FROM (
