@@ -361,11 +361,20 @@ def q151_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("o_orderkey", "rn").orderBy("rn")
 
 
+def q155_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch exactly-once sink: per-batch-id overwrite directories
+    make retries idempotent; final state == batch GROUP BY (oracle)."""
+    from apache_hive_2_1_1_src_spark.streaming.jobs import streaming_foreach_batch_sink
+
+    return streaming_foreach_batch_sink(spark, sf_dir)
+
+
 QUERIES = {
     "q136_streaming_dedup": q136_streaming_dedup,
     "q142_asof_join": q142_asof_join,
     "q150_session_window": q150_session_window,
     "q151_global_row_number": q151_global_row_number,
+    "q155_foreach_batch_sink": q155_foreach_batch_sink,
     "q143_range_join": q143_range_join,
     "q144_time_rollup": q144_time_rollup,
     "q137_stream_stream_join": q137_stream_stream_join,
@@ -385,6 +394,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q155_foreach_batch_sink": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     "q151_global_row_number": """
         SELECT o_orderkey,
                CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
