@@ -191,8 +191,37 @@ def q138_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q156_ignore_nulls_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytic variants — Hive's first_value(x, true) /
+    last_value(x, true) skip-nulls flag (GenericUDAFFirstValue) and the
+    LAG ... IGNORE NULLS gap-fill idiom, over a column with planted
+    NULLs every third row."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("w_orders_in")
+    return spark.sql(
+        """
+        WITH src AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE ROUND(o_totalprice, 2) END AS v
+          FROM w_orders_in WHERE o_orderkey <= 5000
+        )
+        SELECT o_orderkey, v,
+               FIRST_VALUE(v) IGNORE NULLS OVER w AS first_nn,
+               LAST_VALUE(v) IGNORE NULLS OVER w AS last_nn,
+               NTH_VALUE(v, 2) IGNORE NULLS OVER w AS second_nn,
+               LAG(v) IGNORE NULLS OVER
+                 (PARTITION BY o_custkey % 8 ORDER BY o_orderkey) AS prev_nn
+        FROM src
+        WINDOW w AS (PARTITION BY o_custkey % 8 ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey
+        """
+    )
+
+
 QUERIES = {
     "q138_range_interval_frame": q138_range_interval_frame,
+    "q156_ignore_nulls_windows": q156_ignore_nulls_windows,
     "q40_row_number_topk": q40_row_number_topk,
     "q41_rank_dense": q41_rank_dense,
     "q42_lead_lag": q42_lead_lag,
@@ -206,6 +235,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q156_ignore_nulls_windows": """
+        WITH src AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE ROUND(o_totalprice, 2) END AS v
+          FROM orders WHERE o_orderkey <= 5000
+        )
+        SELECT o_orderkey, v,
+               first_value(v IGNORE NULLS) OVER w AS first_nn,
+               last_value(v IGNORE NULLS) OVER w AS last_nn,
+               nth_value(v, 2 IGNORE NULLS) OVER w AS second_nn,
+               lag(v IGNORE NULLS) OVER
+                 (PARTITION BY o_custkey % 8 ORDER BY o_orderkey) AS prev_nn
+        FROM src
+        WINDOW w AS (PARTITION BY o_custkey % 8 ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey
+    """,
     "q138_range_interval_frame": """
         SELECT o_custkey, o_orderkey,
                ROUND(SUM(o_totalprice) OVER (
