@@ -160,7 +160,31 @@ def q82_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q157_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (beyond Hive 2.1 parity; Spark 4 recursive CTE):
+    per-order halving amortization schedule until the balance drops
+    below 1000_00 cents.  Integer-cents arithmetic keeps every step
+    bit-identical across engines (no float rounding in the recursion).
+    Iteration depth is data-driven (~log2 of the order total)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("rc_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE pay AS (
+          SELECT o_orderkey, 0 AS step,
+                 CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS balance_cents
+          FROM rc_orders WHERE o_orderkey <= 200
+          UNION ALL
+          SELECT o_orderkey, step + 1, balance_cents DIV 2
+          FROM pay WHERE balance_cents >= 100000
+        )
+        SELECT o_orderkey, step, balance_cents
+        FROM pay ORDER BY o_orderkey, step
+        """
+    )
+
+
 QUERIES = {
+    "q157_recursive_cte": q157_recursive_cte,
     "q75_in_subquery": q75_in_subquery,
     "q76_not_in_subquery": q76_not_in_subquery,
     "q77_exists_correlated": q77_exists_correlated,
@@ -172,6 +196,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q157_recursive_cte": """
+        WITH RECURSIVE pay AS (
+          SELECT o_orderkey, 0 AS step,
+                 CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS balance_cents
+          FROM orders WHERE o_orderkey <= 200
+          UNION ALL
+          SELECT o_orderkey, step + 1, balance_cents // 2
+          FROM pay WHERE balance_cents >= 100000
+        )
+        SELECT o_orderkey, step, balance_cents
+        FROM pay ORDER BY o_orderkey, step
+    """,
     "q75_in_subquery": """
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
