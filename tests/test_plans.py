@@ -290,3 +290,23 @@ def test_hive_variable_substitution_and_script(spark, sf_dir):
            SELECT COUNT(*) AS n FROM script_v"""
     )
     assert last.collect()[0]["n"] == 25
+
+
+def test_bucketed_aggregate_avoids_shuffle(spark, sf_dir):
+    """Aggregating on the bucket key must not exchange: the write-time
+    hash partitioning satisfies the aggregate's distribution (the other
+    half of SMB bucketing's contract, beyond joins)."""
+    from apache_hive_2_1_1_src_spark.queries.storage import drop_table
+
+    drop_table(spark, "tbkt_agg")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(
+        4, "o_custkey"
+    ).format("parquet").saveAsTable("tbkt_agg")
+    g = (
+        spark.table("tbkt_agg")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("t"))
+    )
+    plan = _plan(g)
+    assert "Exchange" not in plan, "bucketed aggregate must not shuffle"
+    drop_table(spark, "tbkt_agg")
