@@ -173,3 +173,32 @@ def stratified_sample(
     return docs.sampleBy("lang", fractions, seed=seed).select(
         "doc_id", "lang", "source"
     )
+
+
+def domain_mix(
+    docs: DataFrame, keep_sixteenths: dict[str, int], default_keep: int = 2
+) -> DataFrame:
+    """Rebalance the corpus to a target domain mixture by deterministic
+    hash sampling: a document survives iff its stable md5 bucket (0-15,
+    same key as ``train_split``) is below its source's keep quota.
+
+    Hash-based, so the mixture is reproducible across runs, cluster
+    sizes, and partitionings (unlike ``sample``'s partition-seeded
+    Bernoulli draws), and composable with the split assignment — a doc's
+    split never changes when the mix is retuned.  Per-row projection,
+    no shuffle until the report aggregation."""
+    bucket = _split_bucket(F.col("doc_id"), F.col("source"))
+    quota_map = F.create_map(
+        *[F.lit(x) for kv in sorted(keep_sixteenths.items()) for x in kv]
+    )
+    quota = F.coalesce(quota_map[F.col("source")], F.lit(default_keep))
+    return (
+        docs.select("source", (bucket < quota).alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        )
+        .withColumn("kept_frac", F.round(F.col("n_kept") / F.col("n_total"), 6))
+        .orderBy("source")
+    )

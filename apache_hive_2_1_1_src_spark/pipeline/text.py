@@ -191,3 +191,30 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_phone.alias("n_phone"),
         n_ip.alias("n_ip"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition features: duplicate-word
+    fraction (1 - distinct/total) and top-word fraction (most frequent
+    word's share), plus a repetitive-document flag.
+
+    Distributed shape: explode words → aggregate keyed by (doc_id, word)
+    → aggregate by doc_id.  Both aggregations get map-side partial
+    combine, and nothing is quadratic in document length — the standard
+    way to compute per-document modes at corpus scale (a per-row
+    higher-order-function mode would be O(words²) per document).
+    """
+    words = docs.select("doc_id", F.explode(_words(F.col(text_col))).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"),
+    )
+    return agg.withColumn(
+        "is_repetitive",
+        (F.col("dup_word_frac") > 0.3) | (F.col("top_word_frac") > 0.1),
+    )

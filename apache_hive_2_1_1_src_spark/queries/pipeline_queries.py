@@ -253,8 +253,28 @@ def p24_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(seeded).orderBy("doc_id")
 
 
+def p25_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter features (dup-word fraction,
+    top-word fraction) via explode + two-level aggregation — full
+    oracle."""
+    from apache_hive_2_1_1_src_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def p26_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket down-sampling to a target domain mixture
+    (src0 keeps 16/16, src1 8/16, src2 4/16, rest 2/16) — full oracle."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import domain_mix
+
+    docs = t(spark, sf_dir, "documents")
+    return domain_mix(docs, {"src0": 16, "src1": 8, "src2": 4}, default_keep=2)
+
+
 QUERIES = {
     "p01_dedup_exact": p01_dedup_exact,
+    "p25_repetition": p25_repetition,
+    "p26_domain_mix": p26_domain_mix,
     "p23_ann_ivf": p23_ann_ivf,
     "p24_pii_scrub": p24_pii_scrub,
     "p18_train_split": p18_train_split,
@@ -293,6 +313,38 @@ _SHINGLES_CTE = """
 """
 
 ORACLES = {
+    "p25_repetition": """
+        WITH w AS (
+          SELECT doc_id,
+                 UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x != '')) AS w
+          FROM documents
+        ), wc AS (
+          SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w
+        ), agg AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                 COUNT(*) AS n_distinct,
+                 ROUND(1 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_word_frac,
+                 ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_word_frac
+          FROM wc GROUP BY doc_id
+        )
+        SELECT *, dup_word_frac > 0.3 OR top_word_frac > 0.1 AS is_repetitive
+        FROM agg ORDER BY doc_id
+    """,
+    "p26_domain_mix": """
+        SELECT source, COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN b < q THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               ROUND(SUM(CASE WHEN b < q THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                 AS kept_frac
+        FROM (SELECT source,
+                     instr('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR) || ':' || source),
+                                  32, 1)) - 1 AS b,
+                     CASE source WHEN 'src0' THEN 16 WHEN 'src1' THEN 8
+                                 WHEN 'src2' THEN 4 ELSE 2 END AS q
+              FROM documents)
+        GROUP BY source ORDER BY source
+    """,
     "p24_pii_scrub": """
         WITH seeded AS (
           SELECT doc_id,
