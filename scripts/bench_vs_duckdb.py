@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Per-query Spark-vs-DuckDB timing at bench scale (default sf0.1).
+
+The driver's bench gate is "each declared query within 2x of the DuckDB
+oracle at sf0.1" (BASELINE.md).  This script times every headline query
+(bench.py HEADLINE) in Spark (steady-state: best of two) and its oracle
+SQL in DuckDB on the same parquet files, and prints the ratio so slow
+queries can be found and fixed locally before the driver measures them.
+
+Usage: python scripts/bench_vs_duckdb.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from apache_hive_2_1_1_src_spark.queries import all_oracles, all_queries  # noqa: E402
+from apache_hive_2_1_1_src_spark.session import build_session  # noqa: E402
+from bench import HEADLINE  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or HEADLINE
+    queries, oracles = all_queries(), all_oracles()
+
+    spark = build_session(
+        app_name="bench-vs-duckdb",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.coalescePartitions.parallelismFirst": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries["q01_pricing_summary"](spark, sf_dir).collect()  # warm JVM
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    rows = []
+    for name in names:
+        spark_best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            spark_best = min(spark_best, time.perf_counter() - start)
+        duck_best = None
+        if name in oracles:
+            duck_best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                duck_best = min(duck_best, time.perf_counter() - start)
+        ratio = round(spark_best / duck_best, 2) if duck_best else None
+        rows.append(
+            {
+                "query": name,
+                "spark_sec": round(spark_best, 3),
+                "duckdb_sec": round(duck_best, 3) if duck_best else None,
+                "ratio": ratio,
+            }
+        )
+        flag = " <-- over 2x" if ratio is not None and ratio > 2 else ""
+        print(
+            f"{name:32s} spark={spark_best:7.3f}s "
+            f"duckdb={duck_best if duck_best is not None else float('nan'):7.3f}s "
+            f"ratio={ratio}{flag}",
+            flush=True,
+        )
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()
