@@ -218,3 +218,51 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "is_repetitive",
         (F.col("dup_word_frac") > 0.3) | (F.col("top_word_frac") > 0.1),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    standard pre-training "chunk long documents to context length" step.
+
+    Chunks are ``chunk_tokens`` whitespace tokens with ``overlap`` tokens
+    shared between consecutive chunks (stride = chunk_tokens - overlap);
+    a document of <= chunk_tokens tokens yields exactly one chunk, and an
+    empty document yields one empty chunk (callers filter on n_tokens).
+
+    Distributed shape: tokenize → per-row chunk-count arithmetic →
+    ``explode(sequence(...))`` → ``slice``/``concat_ws``.  Everything is
+    a narrow per-row expression (no shuffle, whole-stage codegen), so the
+    operator scales linearly with corpus size and the output explode
+    fan-out is bounded by ceil(len/stride) per document.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    n_chunks = (
+        F.when(n <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int")
+            + 1
+        )
+    )
+    chunk = F.slice(F.col("__w"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return (
+        docs.select(
+            "doc_id",
+            words.alias("__w"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(chunk).alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )

@@ -271,8 +271,21 @@ def p26_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix(docs, {"src0": 16, "src1": 8, "src2": 4}, default_keep=2)
 
 
+def p27_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: overlapping 50-token windows (stride 40)
+    per document via explode(sequence) + slice — narrow, shuffle-free,
+    full oracle."""
+    from apache_hive_2_1_1_src_spark.pipeline.text import chunk_documents
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 800)
+    return chunk_documents(docs, chunk_tokens=50, overlap=10).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 QUERIES = {
     "p01_dedup_exact": p01_dedup_exact,
+    "p27_chunk_documents": p27_chunk_documents,
     "p25_repetition": p25_repetition,
     "p26_domain_mix": p26_domain_mix,
     "p23_ann_ivf": p23_ann_ivf,
@@ -313,6 +326,30 @@ _SHINGLES_CTE = """
 """
 
 ORACLES = {
+    "p27_chunk_documents": """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '') AS w
+          FROM documents WHERE doc_id <= 800
+        ), n AS (
+          SELECT doc_id, w,
+                 CASE WHEN len(w) <= 50 THEN 1
+                      ELSE CAST(CEIL((len(w) - 50) / 40.0) AS INT) + 1
+                 END AS nc
+          FROM d
+        ), e AS (
+          SELECT doc_id, w,
+                 UNNEST(generate_series(0, nc - 1)) AS i
+          FROM n
+        )
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               CAST(len(list_slice(w, i * 40 + 1, i * 40 + 50)) AS INT)
+                 AS n_tokens,
+               array_to_string(list_slice(w, i * 40 + 1, i * 40 + 50), ' ')
+                 AS chunk_text
+        FROM e ORDER BY doc_id, chunk_id
+    """,
     "p25_repetition": """
         WITH w AS (
           SELECT doc_id,

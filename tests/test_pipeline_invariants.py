@@ -107,3 +107,35 @@ def test_lsh_candidates_deterministic(spark, sf_dir):
     c1 = sorted((r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect())
     c2 = sorted((r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect())
     assert c1 == c2
+
+
+def test_chunk_documents_covers_text_with_exact_overlap(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.pipeline.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    chunks = chunk_documents(docs, chunk_tokens=50, overlap=10).cache()
+    # every chunk except a doc's last has exactly chunk_tokens tokens
+    last = chunks.groupBy("doc_id").agg(F.max("chunk_id").alias("last_id"))
+    non_last = chunks.join(
+        last,
+        (chunks.doc_id == last.doc_id) & (chunks.chunk_id < last.last_id),
+    )
+    assert non_last.filter(F.col("n_tokens") != 50).count() == 0
+    # chunk starts advance by the stride: total tokens across chunks equals
+    # n_words + overlap * (n_chunks - 1) per document (exact tiling)
+    words = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+        ).alias("n_words"),
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("tok_sum"), F.count("*").alias("nc")
+    )
+    bad = (
+        per_doc.join(words, "doc_id")
+        .filter(F.col("tok_sum") != F.col("n_words") + 10 * (F.col("nc") - 1))
+        .count()
+    )
+    assert bad == 0
+    chunks.unpersist()
