@@ -103,3 +103,113 @@ def decode_blobs(blobs: DataFrame, batch_hint: int = 256) -> DataFrame:
             )
 
     return blobs.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("n_frame_bytes", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("n_bytes_out", IntegerType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    blobs: DataFrame,
+    frame_bytes: int = 64,
+    every_n: int = 4,
+    max_frames: int = 8,
+    fps: int = 25,
+) -> DataFrame:
+    """Frame sampling over a binary "video" column via mapInPandas.
+
+    A real deployment decodes containers (mp4 → keyframes) with PyAV; this
+    container has no codec libs, so a frame is DEFINED as a fixed-size
+    byte window (frame_bytes) and sampling takes every ``every_n``-th
+    window up to ``max_frames`` — deterministic, so the whole Arrow/UDF
+    path is verified against a byte-slicing SQL oracle.  The shape is the
+    real thing: one input row fans out to N output rows inside the Pandas
+    iterator, Arrow moves whole batches, and nothing touches the driver.
+    """
+    import hashlib
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        step_ms = 1000 * every_n // fps
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                n_full = len(b) // frame_bytes
+                for k, fi in enumerate(range(0, n_full, every_n)):
+                    if k >= max_frames:
+                        break
+                    fr = b[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(fi)
+                    out["ts_ms"].append(k * step_ms)
+                    out["n_frame_bytes"].append(len(fr))
+                    # md5 over the lowercase hex encoding (not raw bytes):
+                    # keeps the fingerprint SQL-expressible cross-engine
+                    out["frame_md5"].append(
+                        hashlib.md5(fr.hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out).astype(
+                {
+                    "doc_id": "int64",
+                    "frame_idx": "int32",
+                    "ts_ms": "int64",
+                    "n_frame_bytes": "int32",
+                    "frame_md5": "object",
+                }
+            )
+
+    return blobs.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def resize_images(
+    blobs: DataFrame, out_w: int = 16, out_h: int = 8
+) -> DataFrame:
+    """Resize kernel over mapInPandas — the PIL path is gated behind an
+    import-try (absent here); the stub "resize" tiles the source bytes to
+    exactly out_w*out_h bytes (cycle-truncate), deterministic so the
+    Arrow/UDF plumbing is oracle-checked end to end."""
+    import hashlib
+
+    target = out_w * out_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sizes, md5s = [], []
+            for blob in pdf["blob"]:
+                b = bytes(blob)
+                if not b:
+                    sizes.append(0)
+                    md5s.append(hashlib.md5(b"").hexdigest())
+                    continue
+                reps = -(-target // len(b))  # ceil
+                rb = (b * reps)[:target]
+                sizes.append(len(rb))
+                md5s.append(hashlib.md5(rb.hex().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "n_bytes_out": pd.Series(sizes, dtype="int32"),
+                    "resized_md5": md5s,
+                }
+            ).astype({"out_w": "int32", "out_h": "int32"})
+
+    return blobs.mapInPandas(resize, schema=RESIZED_SCHEMA)

@@ -134,6 +134,32 @@ def p13_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_blobs(blobs).orderBy("doc_id")
 
 
+def p28_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling shape: mapInPandas fan-out (1 blob → N frame
+    rows), 64-byte windows, every 4th, max 8 — deterministic byte slicing
+    so the whole Arrow/UDF path gets a full oracle."""
+    from apache_hive_2_1_1_src_spark.pipeline.multimodal import sample_frames
+
+    blobs = with_blob_column(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 600)
+    )
+    return sample_frames(blobs, frame_bytes=64, every_n=4, max_frames=8).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+def p29_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize shape: mapInPandas kernel tiling bytes to a 16x8
+    target (PIL path gated behind import-try) — full oracle over the
+    deterministic stub."""
+    from apache_hive_2_1_1_src_spark.pipeline.multimodal import resize_images
+
+    blobs = with_blob_column(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 600)
+    )
+    return resize_images(blobs, out_w=16, out_h=8).orderBy("doc_id")
+
+
 def p14_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (docs ≤ 50) — relational text
     pipeline, full oracle."""
@@ -311,6 +337,8 @@ QUERIES = {
     "p11_fingerprint": p11_fingerprint,
     "p12_multimodal_meta": p12_multimodal_meta,
     "p13_multimodal_decode": p13_multimodal_decode,
+    "p28_frame_sample": p28_frame_sample,
+    "p29_resize_images": p29_resize_images,
 }
 
 _SHINGLES_CTE = """
@@ -658,5 +686,35 @@ ORACLES = {
                    % 2147483648 AS cs
           FROM documents
         ) ORDER BY doc_id
+    """,
+    # frames are 64-byte windows of the UTF-8 payload; both engines hash
+    # the lowercase hex encoding (DuckDB md5 only takes VARCHAR)
+    "p28_frame_sample": """
+        WITH h AS (
+          SELECT doc_id, lower(hex(encode(text))) AS hx
+          FROM documents WHERE doc_id <= 600
+        ), f AS (
+          SELECT doc_id, hx,
+                 UNNEST(generate_series(0,
+                     CAST(CEIL((length(hx) // 128) / 4.0) AS INT) - 1)) AS k
+          FROM h WHERE length(hx) >= 128
+        )
+        SELECT doc_id,
+               CAST(k * 4 AS INT) AS frame_idx,
+               CAST(k * 160 AS BIGINT) AS ts_ms,
+               CAST(64 AS INT) AS n_frame_bytes,
+               md5(substring(hx, k * 4 * 128 + 1, 128)) AS frame_md5
+        FROM f WHERE k < 8
+        ORDER BY doc_id, frame_idx
+    """,
+    "p29_resize_images": """
+        SELECT doc_id, CAST(16 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+               CAST(128 AS INT) AS n_bytes_out,
+               md5(substring(repeat(lower(hex(encode(text))),
+                                    CAST(CEIL(128.0 / octet_length(encode(text)))
+                                         AS INT)),
+                             1, 256)) AS resized_md5
+        FROM documents WHERE doc_id <= 600
+        ORDER BY doc_id
     """,
 }

@@ -139,3 +139,26 @@ def test_chunk_documents_covers_text_with_exact_overlap(spark, sf_dir):
     )
     assert bad == 0
     chunks.unpersist()
+
+
+def test_frame_sample_fanout_and_resize_shapes(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.pipeline.multimodal import (
+        resize_images,
+        sample_frames,
+        with_blob_column,
+    )
+
+    blobs = load_table(spark, sf_dir, "documents").limit(100)
+    blobs = with_blob_column(blobs).cache()
+    frames = sample_frames(blobs, frame_bytes=64, every_n=4, max_frames=8)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    # fan-out bounded by max_frames; every frame is full-size
+    assert all(1 <= r["count"] <= 8 for r in per_doc)
+    assert frames.filter(F.col("n_frame_bytes") != 64).count() == 0
+    # sampled frame indices advance by every_n
+    assert frames.filter(F.col("frame_idx") % 4 != 0).count() == 0
+    resized = resize_images(blobs, out_w=16, out_h=8)
+    rows = resized.collect()
+    assert all(r.n_bytes_out == 128 for r in rows)
+    assert len({r.resized_md5 for r in rows}) > 1  # content-dependent
+    blobs.unpersist()
