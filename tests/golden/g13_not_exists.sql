@@ -1,0 +1,5 @@
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND c_custkey <= 300
+ORDER BY c_custkey
