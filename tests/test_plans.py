@@ -310,3 +310,33 @@ def test_bucketed_aggregate_avoids_shuffle(spark, sf_dir):
     plan = _plan(g)
     assert "Exchange" not in plan, "bucketed aggregate must not shuffle"
     drop_table(spark, "tbkt_agg")
+
+
+def test_chunking_is_narrow_no_shuffle(spark, sf_dir):
+    """p27 chunking must plan as scan → project → generate (explode) with
+    no Exchange: the operator is a narrow per-row transform."""
+    from apache_hive_2_1_1_src_spark.io import load_table
+    from apache_hive_2_1_1_src_spark.pipeline.text import chunk_documents
+
+    df = chunk_documents(load_table(spark, sf_dir, "documents"))
+    plan = _plan(df)
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    assert "Generate" in plan  # the explode
+
+
+def test_multimodal_kernels_are_arrow_batched(spark, sf_dir):
+    """p28/p29 must plan through ArrowEvalPython-style mapInPandas nodes,
+    not row-at-a-time BatchEvalPython."""
+    from apache_hive_2_1_1_src_spark.io import load_table
+    from apache_hive_2_1_1_src_spark.pipeline.multimodal import (
+        resize_images,
+        sample_frames,
+        with_blob_column,
+    )
+
+    blobs = with_blob_column(load_table(spark, sf_dir, "documents"))
+    for df in (sample_frames(blobs), resize_images(blobs)):
+        plan = _plan(df)
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan[:500]
+        assert "BatchEvalPython" not in plan, "row-at-a-time Python in plan"
+        assert "Exchange" not in plan, "kernels are per-row; no shuffle expected"
