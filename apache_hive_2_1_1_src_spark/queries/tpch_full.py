@@ -360,31 +360,36 @@ def q129_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, name).createOrReplaceTempView(f"tf_{name}")
     # Single-pass decorrelation: the EXISTS ("another supplier shipped")
     # and NOT EXISTS ("no other supplier was late") both reduce to
-    # per-order supplier counts, so lineitem⋈orders is scanned ONCE,
-    # aggregated by the SAME key it was joined on (the groupBy and the
-    # stats join reuse the orderkey partitioning — one lineitem shuffle
-    # total, vs three for the literal correlated form the oracle runs).
-    # A candidate line is late; "no OTHER late supplier" ⇔ the order has
-    # exactly one distinct late supplier.
+    # per-order supplier counts.  Aggregate to (orderkey, suppkey) first
+    # (map-side partial combine collapses the fact rows before the one
+    # fact shuffle, no COUNT(DISTINCT) Expand), then compute the order
+    # stats as WINDOW counts over the collapsed table — no self-join, so
+    # the fact side is scanned and shuffled exactly once (the correlated
+    # form the oracle runs needs three fact passes).  "No OTHER late
+    # supplier" ⇔ the order has exactly one late supplier; numwait counts
+    # that supplier's late lines, matching the correlated form's join
+    # multiplicity.
     return spark.sql(
         """
-        WITH lo AS (
+        WITH per_ls AS (
           SELECT l_orderkey, l_suppkey,
-                 l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+                 COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                            THEN 1 END) AS n_late_lines
           FROM tf_lineitem JOIN tf_orders ON o_orderkey = l_orderkey
           WHERE o_orderstatus = 'F'
-        ), ord_stats AS (
-          SELECT l_orderkey,
-                 COUNT(DISTINCT l_suppkey) AS n_supp,
-                 COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
-          FROM lo GROUP BY l_orderkey
+          GROUP BY l_orderkey, l_suppkey
+        ), win AS (
+          SELECT l_suppkey, n_late_lines,
+                 COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                 COUNT(CASE WHEN n_late_lines > 0 THEN 1 END)
+                   OVER (PARTITION BY l_orderkey) AS n_late_supp
+          FROM per_ls
         )
-        SELECT s_name, COUNT(*) AS numwait
-        FROM lo
-        JOIN ord_stats USING (l_orderkey)
+        SELECT s_name, CAST(SUM(n_late_lines) AS BIGINT) AS numwait
+        FROM win
         JOIN tf_supplier ON l_suppkey = s_suppkey
         JOIN tf_nation ON s_nationkey = n_nationkey
-        WHERE late AND n_supp > 1 AND n_late_supp = 1
+        WHERE n_late_lines > 0 AND n_supp > 1 AND n_late_supp = 1
           AND n_name = 'NATION_3'
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
