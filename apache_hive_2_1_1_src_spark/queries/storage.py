@@ -314,7 +314,26 @@ def q152_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q158_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW PARTITIONS (DDLTask.java showPartitions path → Spark native
+    SHOW PARTITIONS on a catalog table): dynamic-partition write, then the
+    catalog's partition list must equal the distinct partition values."""
+    tbl = f"showpart_orders_{_PID}"
+    drop_table(spark, tbl)
+    t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").partitionBy("o_orderpriority").format(
+        "parquet"
+    ).saveAsTable(tbl)
+    return (
+        spark.sql(f"SHOW PARTITIONS {tbl}")
+        .withColumnRenamed("partition", "part_spec")
+        .orderBy("part_spec")
+    )
+
+
 QUERIES = {
+    "q158_show_partitions": q158_show_partitions,
     "q139_export_import": q139_export_import,
     "q147_compaction": q147_compaction,
     "q152_views": q152_views,
@@ -331,6 +350,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q158_show_partitions": """
+        SELECT DISTINCT 'o_orderpriority=' || o_orderpriority AS part_spec
+        FROM orders ORDER BY part_spec
+    """,
     "q152_views": """
         SELECT c_mktsegment, COUNT(*) AS n_orders,
                ROUND(SUM(o_totalprice), 2) AS total_price
