@@ -122,3 +122,55 @@ def test_random_join_query_matches_duckdb(sql, spark, sf_dir, oracle):
     orows = rel.fetchall()
     ocols = [d[0].lower() for d in rel.description]
     assert _canon(srows, scols) == _canon(orows, ocols), sql
+
+
+WIN_FNS = [
+    "CAST(row_number() OVER w AS BIGINT)",
+    "CAST(rank() OVER w AS BIGINT)",
+    "CAST(dense_rank() OVER w AS BIGINT)",
+    "ROUND(SUM(o_totalprice) OVER w, 2)",
+    "ROUND(lag(o_totalprice, 1, 0.0) OVER w, 2)",
+    "ROUND(lead(o_totalprice, 1, 0.0) OVER w, 2)",
+]
+
+
+@st.composite
+def window_query(draw):
+    """Random window function over a random partition key and direction.
+    o_orderkey is always the final ORDER BY tiebreaker, so every frame is
+    deterministic and both engines must agree exactly."""
+    wf = draw(st.sampled_from(WIN_FNS))
+    pk = draw(st.sampled_from(["o_orderstatus", "o_orderpriority"]))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    frame = ""
+    if wf.startswith("ROUND(SUM"):
+        n = draw(st.integers(min_value=1, max_value=5))
+        frame = f" ROWS BETWEEN {n} PRECEDING AND CURRENT ROW"
+    lim = draw(st.integers(min_value=500, max_value=3000))
+    return (
+        f"SELECT o_orderkey, {wf} AS w FROM orders "
+        f"WHERE o_orderkey <= {lim} "
+        f"WINDOW w AS (PARTITION BY {pk} ORDER BY o_totalprice {direction}, "
+        f"o_orderkey{frame}) ORDER BY o_orderkey"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=window_query())
+def test_random_window_query_matches_duckdb(sql, spark, sf_dir, oracle):
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    sdf = eng.sql(sql)
+    srows = sdf.collect()
+    scols = [c.lower() for c in sdf.columns]
+    rel = oracle.execute(sql)
+    ocols = [d[0].lower() for d in rel.description]
+    orows = rel.fetchall()
+    assert sorted(scols) == sorted(ocols), sql
+    assert _canon(srows, scols) == _canon(orows, ocols), sql
