@@ -350,3 +350,63 @@ def embedding_near_dups(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Daily-ingest dedup: flag each NEW doc against an EXISTING corpus —
+    the incremental shape production pipelines run per batch, instead of
+    re-deduping the whole corpus.
+
+    * ``is_exact_dup``: content hash already present in the corpus — a
+      semi-join keyed on md5, one shuffle of the (small) new batch; the
+      corpus side at 100 TB is a pre-computed hash table read
+      partition-pruned (hash-bucketed stage table), never rescanned text.
+    * ``best_jaccard`` / ``is_near_dup``: max word-3-gram Jaccard vs
+      blocked corpus candidates.  Block key here is ``block_col`` (test
+      scale); at 100 TB the block key comes from minhash band buckets
+      (minhash_lsh_candidates) against a stored corpus signature table —
+      identical downstream verify, linear emit, no corpus self-join.
+    """
+    nh = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h")
+    )
+    ch = (
+        corpus.select(F.md5(F.col(text_col)).alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    exact = nh.join(ch, "h", "left").select(
+        "doc_id", F.coalesce("hit", F.lit(False)).alias("is_exact_dup")
+    )
+    nsh = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("blk"),
+        _word_shingles(F.col(text_col)).alias("sh_n"),
+    )
+    csh = corpus.select(
+        F.col(block_col).alias("blk"), _word_shingles(F.col(text_col)).alias("sh_c")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_n", "sh_c"))
+        / F.size(F.array_union("sh_n", "sh_c")),
+        6,
+    )
+    best = (
+        nsh.join(csh, "blk")
+        .select("doc_id", jac.alias("jac"))
+        .groupBy("doc_id")
+        .agg(F.max("jac").alias("best_jaccard"))
+    )
+    return exact.join(best, "doc_id", "left").select(
+        "doc_id",
+        "is_exact_dup",
+        F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        (F.coalesce("best_jaccard", F.lit(0.0)) >= threshold).alias("is_near_dup"),
+    )

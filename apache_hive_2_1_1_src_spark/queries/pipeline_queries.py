@@ -160,6 +160,18 @@ def p29_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(blobs, out_w=16, out_h=8).orderBy("doc_id")
 
 
+def p30_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch-vs-corpus) dedup: docs with doc_id % 5 == 0
+    are the arriving batch, the rest the corpus — exact via md5 semi-join,
+    near via blocked 3-gram Jaccard; full oracle."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import incremental_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_dedup(new, corpus, threshold=0.6).orderBy("doc_id")
+
+
 def p14_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (docs ≤ 50) — relational text
     pipeline, full oracle."""
@@ -339,6 +351,7 @@ QUERIES = {
     "p13_multimodal_decode": p13_multimodal_decode,
     "p28_frame_sample": p28_frame_sample,
     "p29_resize_images": p29_resize_images,
+    "p30_incremental_dedup": p30_incremental_dedup,
 }
 
 _SHINGLES_CTE = """
@@ -377,6 +390,33 @@ ORACLES = {
                array_to_string(list_slice(w, i * 40 + 1, i * 40 + 50), ' ')
                  AS chunk_text
         FROM e ORDER BY doc_id, chunk_id
+    """,
+    "p30_incremental_dedup": _SHINGLES_CTE
+    + """
+        , hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+        ex AS (
+          SELECT n.doc_id,
+                 CAST(MAX(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BOOLEAN) AS is_exact_dup
+          FROM (SELECT doc_id, h FROM hx WHERE doc_id % 5 = 0) n
+          LEFT JOIN (SELECT DISTINCT h FROM hx WHERE doc_id % 5 != 0) c
+            ON n.h = c.h
+          GROUP BY n.doc_id
+        ),
+        nearj AS (
+          SELECT n.doc_id,
+                 MAX(ROUND(len(list_intersect(n.s, c.s)) * 1.0
+                           / len(list_distinct(n.s || c.s)), 6)) AS best_jaccard
+          FROM (SELECT * FROM sh WHERE doc_id % 5 = 0) n
+          JOIN (SELECT * FROM sh WHERE doc_id % 5 != 0) c
+            ON n.source = c.source
+          GROUP BY n.doc_id
+        )
+        SELECT e.doc_id, e.is_exact_dup,
+               COALESCE(nj.best_jaccard, 0.0) AS best_jaccard,
+               COALESCE(nj.best_jaccard, 0.0) >= 0.6 AS is_near_dup
+        FROM ex e LEFT JOIN nearj nj ON e.doc_id = nj.doc_id
+        ORDER BY e.doc_id
     """,
     "p25_repetition": """
         WITH w AS (
