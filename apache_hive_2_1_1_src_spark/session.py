@@ -27,6 +27,7 @@ the hard-coded 32 here only seeds the local run.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -206,9 +207,17 @@ class HiveEngine:
             else:
                 buf.append(ch)
         stmts.append("".join(buf))
+
+        def runnable(s: str) -> bool:
+            # skip statements that are only whitespace / -- line comments /
+            # /* */ blocks (CliDriver tolerates trailing comments)
+            bare = re.sub(r"--[^\n]*", "", s)
+            bare = re.sub(r"/\*.*?\*/", "", bare, flags=re.S)
+            return bool(bare.strip())
+
         result = None
         for s in stmts:
-            if s.strip():
+            if runnable(s):
                 result = self.sql(s)
         return result
 

@@ -7,7 +7,7 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Query choice: one per operator family that dominates 100 TB plans —
 hash agg (q01), shuffle join + top-N (q03), broadcast star join (q10),
-six-table TPC-H Q5 join (q116), double-correlated EXISTS Q21 (q129),
+six-table TPC-H Q5 join (q116), single-pass window Q21 (q129),
 count-distinct expand (q24), grouping sets (q29), window (q40), CTE+window
 rank (q79), partitioned write (q85), exact dedup (p01), MinHash-LSH fuzzy
 dedup (p02), brute-force ANN (p06), text quality (p08), single-shuffle

@@ -340,3 +340,12 @@ def test_multimodal_kernels_are_arrow_batched(spark, sf_dir):
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan[:500]
         assert "BatchEvalPython" not in plan, "row-at-a-time Python in plan"
         assert "Exchange" not in plan, "kernels are per-row; no shuffle expected"
+
+
+def test_run_script_tolerates_comment_only_statements(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    assert eng.run_script("SELECT 1 AS one; -- trailing comment").collect()[0][0] == 1
+    assert eng.run_script("-- lead\nSELECT 2 AS two; /* block */").collect()[0][0] == 2
+    assert eng.run_script("SELECT ';' AS semi").collect()[0][0] == ";"
