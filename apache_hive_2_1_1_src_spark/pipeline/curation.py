@@ -202,3 +202,39 @@ def domain_mix(
         .withColumn("kept_frac", F.round(F.col("n_kept") / F.col("n_total"), 6))
         .orderBy("source")
     )
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    min_score: float = 0.2,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """End-to-end curation: quality filter → exact-dedup canonical → PII
+    scrub → context-length chunking, composed as ONE DataFrame chain so
+    Catalyst plans the whole funnel together (the scan serves every stage;
+    nothing materializes between steps).
+
+    Stage shapes at 100 TB: the quality filter and scrub are narrow; the
+    dedup is a single window over md5(content) (hash-partitioned, skew
+    bounded by the largest duplicate group); chunking is narrow explode.
+    One shuffle total for the entire pipeline.
+    """
+    from apache_hive_2_1_1_src_spark.pipeline.text import (
+        chunk_documents,
+        pii_scrub,
+        quality_features,
+    )
+
+    qf = quality_features(docs).filter(F.col("quality_score") >= min_score)
+    kept = docs.join(qf.select("doc_id"), "doc_id")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    scrubbed = pii_scrub(canon).select(
+        "doc_id", F.col("text_scrubbed").alias("text")
+    )
+    return chunk_documents(scrubbed, chunk_tokens=chunk_tokens, overlap=overlap)

@@ -172,6 +172,17 @@ def p30_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(new, corpus, threshold=0.6).orderBy("doc_id")
 
 
+def p31_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation funnel in one plan: quality filter → exact-dedup
+    canonical → PII scrub → 50-token chunking.  Every stage is the same
+    deterministic logic as its standalone query (p08/p01/p24/p27), so the
+    composition gets a full oracle too."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import corpus_pipeline
+
+    docs = t(spark, sf_dir, "documents")
+    return corpus_pipeline(docs, min_score=0.2).orderBy("doc_id", "chunk_id")
+
+
 def p14_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (docs ≤ 50) — relational text
     pipeline, full oracle."""
@@ -352,6 +363,7 @@ QUERIES = {
     "p28_frame_sample": p28_frame_sample,
     "p29_resize_images": p29_resize_images,
     "p30_incremental_dedup": p30_incremental_dedup,
+    "p31_corpus_pipeline": p31_corpus_pipeline,
 }
 
 _SHINGLES_CTE = """
@@ -417,6 +429,58 @@ ORACLES = {
                COALESCE(nj.best_jaccard, 0.0) >= 0.6 AS is_near_dup
         FROM ex e LEFT JOIN nearj nj ON e.doc_id = nj.doc_id
         ORDER BY e.doc_id
+    """,
+    "p31_corpus_pipeline": """
+        WITH q AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '') AS w
+          FROM documents
+        ), keep AS (
+          SELECT doc_id, text FROM q
+          WHERE ROUND(CASE WHEN len(w) < 5 THEN 0.0 ELSE
+            (1.0 - ROUND((length(text)
+                          - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / GREATEST(length(text), 1), 6))
+            * LEAST(ROUND(len(list_filter(w, x -> list_contains(
+                  ['the','a','an','and','or','of','to','in','is','it'], x)))
+                / GREATEST(len(w), 1), 6) * 4, 1.0)
+            * LEAST(len(w) / 50.0, 1.0) END, 6) >= 0.2
+        ), canon AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM keep) WHERE rn = 1
+        ), scrub AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\b(?:\\+?\\d{1,2}[ -]?)?(?:\\(\\d{3}\\)|\\d{3})[ -]?\\d{3}[ -]?\\d{4}\\b',
+                   '<PHONE>', 'g'),
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS text
+          FROM canon
+        ), d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '') AS w2
+          FROM scrub
+        ), nn AS (
+          SELECT doc_id, w2,
+                 CASE WHEN len(w2) <= 50 THEN 1
+                      ELSE CAST(CEIL((len(w2) - 50) / 40.0) AS INT) + 1
+                 END AS nc
+          FROM d
+        ), e AS (
+          SELECT doc_id, w2, UNNEST(generate_series(0, nc - 1)) AS i FROM nn
+        )
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               CAST(len(list_slice(w2, i * 40 + 1, i * 40 + 50)) AS INT)
+                 AS n_tokens,
+               array_to_string(list_slice(w2, i * 40 + 1, i * 40 + 50), ' ')
+                 AS chunk_text
+        FROM e ORDER BY doc_id, chunk_id
     """,
     "p25_repetition": """
         WITH w AS (
