@@ -11,7 +11,8 @@ six-table TPC-H Q5 join (q116), single-pass window Q21 (q129),
 count-distinct expand (q24), grouping sets (q29), window (q40), CTE+window
 rank (q79), partitioned write (q85), exact dedup (p01), MinHash-LSH fuzzy
 dedup (p02), brute-force ANN (p06), text quality (p08), single-shuffle
-as-of join (q142), multi-resolution time rollup (q144).
+as-of join (q142), multi-resolution time rollup (q144), and the composed
+curation funnel quality→dedup→scrub→chunk (p31).
 """
 
 from __future__ import annotations
@@ -46,6 +47,7 @@ HEADLINE = [
     "q103_sessionization",
     "q142_asof_join",
     "q144_time_rollup",
+    "p31_corpus_pipeline",
 ]
 
 
