@@ -349,3 +349,17 @@ def test_run_script_tolerates_comment_only_statements(spark, sf_dir):
     assert eng.run_script("SELECT 1 AS one; -- trailing comment").collect()[0][0] == 1
     assert eng.run_script("-- lead\nSELECT 2 AS two; /* block */").collect()[0][0] == 2
     assert eng.run_script("SELECT ';' AS semi").collect()[0][0] == ";"
+
+
+def test_bench_headline_names_exist():
+    """A renamed registry entry must never silently break the driver's
+    bench run."""
+    import bench
+    from apache_hive_2_1_1_src_spark.queries import all_oracles, all_queries
+
+    qs = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+    # every oracle key must also be a registered query
+    dangling = [n for n in all_oracles() if n not in qs]
+    assert not dangling, dangling
