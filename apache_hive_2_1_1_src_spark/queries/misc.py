@@ -347,6 +347,17 @@ def q150_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q159_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed as a STREAM (state-store session merge,
+    availableNow, complete mode) — must equal the batch islands answer;
+    the streaming counterpart of q150."""
+    from apache_hive_2_1_1_src_spark.streaming.jobs import (
+        streaming_session_windows,
+    )
+
+    return streaming_session_windows(spark, sf_dir)
+
+
 def q151_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed global row numbering (operators/rowindex.py): range
     repartition + per-partition rank + broadcast offsets — equals the
@@ -373,6 +384,7 @@ QUERIES = {
     "q136_streaming_dedup": q136_streaming_dedup,
     "q142_asof_join": q142_asof_join,
     "q150_session_window": q150_session_window,
+    "q159_streaming_session_windows": q159_streaming_session_windows,
     "q151_global_row_number": q151_global_row_number,
     "q155_foreach_batch_sink": q155_foreach_batch_sink,
     "q143_range_join": q143_range_join,
@@ -404,6 +416,24 @@ ORACLES = {
                CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
                     AS BIGINT) AS rn
         FROM orders ORDER BY rn
+    """,
+    "q159_streaming_session_windows": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+          FROM events WHERE user_id < 150
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, event_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               COUNT(*) AS n_events, MIN(event_id) AS first_event
+        FROM sess GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
     """,
     "q150_session_window": """
         WITH flagged AS (

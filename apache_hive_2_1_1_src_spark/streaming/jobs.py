@@ -356,3 +356,49 @@ def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "sum_value")
         .orderBy("user_id")
     )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (F.session_window, 30-min gap) run to
+    completion with availableNow — the stream counterpart of the batch
+    q150 shape, and the state-merge path Hive never had: Spark's state
+    store merges adjacent per-batch sessions whose gap is under the
+    timeout, so the final table equals the batch islands answer exactly.
+
+    Complete output mode re-emits the whole result each trigger, which
+    sidesteps append-mode's "sessions past the final watermark never
+    close" truncation on bounded input.
+    """
+    src_dir = _stage_once(
+        "sesswin_src",
+        sf_dir,
+        lambda p: _events_with_ts(spark, sf_dir)
+        .select("user_id", "event_id", "ts")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, event_id bigint, ts timestamp")
+        .parquet(src_dir)
+        .filter(F.col("user_id") < 150)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+    query_name = f"stream_session_windows_{os.getpid()}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        "first_event",
+    ).orderBy("user_id", "session_start")
