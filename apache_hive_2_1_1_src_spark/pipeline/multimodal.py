@@ -20,7 +20,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -213,3 +215,47 @@ def resize_images(
             ).astype({"out_w": "int32", "out_h": "int32"})
 
     return blobs.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+EMBED_DIM = 8
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_embeddings(blobs: DataFrame) -> DataFrame:
+    """Feature-extraction kernel over mapInPandas: blob → fixed-dim
+    embedding vector.  The real model (CLIP/wav2vec) is gated behind an
+    import-try; the stub derives 8 doubles from the md5 of the payload
+    (4 hex chars each, scaled to [0,1]) — deterministic, so the Python
+    path is verified against a SQL oracle, and the output column is the
+    same array<double> shape the ANN operators consume."""
+    import hashlib
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # real extractor path — absent in this container
+            import torch  # noqa: F401
+
+            have_model = True
+        except ImportError:
+            have_model = False
+        for pdf in batches:
+            embs = []
+            for blob in pdf["blob"]:
+                if have_model:
+                    raise NotImplementedError(
+                        "model extractor present but intentionally unused in tests"
+                    )
+                h = hashlib.md5(bytes(blob)).hexdigest()
+                embs.append(
+                    [int(h[4 * i : 4 * i + 4], 16) / 65535.0 for i in range(EMBED_DIM)]
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "embedding": embs}
+            )
+
+    return blobs.mapInPandas(extract, schema=EMBED_SCHEMA)

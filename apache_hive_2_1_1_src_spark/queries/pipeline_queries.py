@@ -183,6 +183,21 @@ def p31_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pipeline(docs, min_score=0.2).orderBy("doc_id", "chunk_id")
 
 
+def p32_extract_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction shape: blob → array<double> embedding via a
+    mapInPandas kernel (model path import-gated; md5-derived stub) —
+    produces the exact column shape the ANN operators consume, with a
+    full oracle through the Python path."""
+    from apache_hive_2_1_1_src_spark.pipeline.multimodal import (
+        extract_embeddings,
+    )
+
+    blobs = with_blob_column(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 600)
+    )
+    return extract_embeddings(blobs).orderBy("doc_id")
+
+
 def p14_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (docs ≤ 50) — relational text
     pipeline, full oracle."""
@@ -364,6 +379,7 @@ QUERIES = {
     "p29_resize_images": p29_resize_images,
     "p30_incremental_dedup": p30_incremental_dedup,
     "p31_corpus_pipeline": p31_corpus_pipeline,
+    "p32_extract_embeddings": p32_extract_embeddings,
 }
 
 _SHINGLES_CTE = """
@@ -790,6 +806,16 @@ ORACLES = {
                    % 2147483648 AS cs
           FROM documents
         ) ORDER BY doc_id
+    """,
+    # the stub embedding is 8 doubles from md5(payload): 4 hex chars each,
+    # scaled by 1/65535 — identical IEEE doubles in both engines
+    "p32_extract_embeddings": """
+        SELECT doc_id,
+               list_transform(generate_series(0, 7),
+                 i -> CAST('0x' || substring(md5(text),
+                                             CAST(i * 4 + 1 AS INT), 4)
+                      AS INT) / 65535.0) AS embedding
+        FROM documents WHERE doc_id <= 600 ORDER BY doc_id
     """,
     # frames are 64-byte windows of the UTF-8 payload; both engines hash
     # the lowercase hex encoding (DuckDB md5 only takes VARCHAR)
