@@ -29,7 +29,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table — the TableScanOperator equivalent
     (ql/.../exec/TableScanOperator.java:1).  Parquet scan => columnar read,
     column pruning + filter pushdown handled by Catalyst."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_event_ts(df)
+    return df
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column across driver testdata vintages:
+    int64 epoch-nanos (TIMESTAMP(NANOS) parquet) or timestamp_ntz (plain
+    timestamp[us]) → session-zone TIMESTAMP, so downstream epoch math
+    (``cast(ts as long)``, window ranges) type-checks identically.  Session
+    timezone is pinned UTC (session.py), so NTZ wall-clock == UTC instant and
+    epoch seconds agree with DuckDB's ``epoch(ts)`` on the same file."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        # integer division: `/` is double division and epoch-nanos (~1.7e18)
+        # exceeds double's 2^53 integer precision, corrupting microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
@@ -37,19 +59,10 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with its TIMESTAMP(NANOS) ``ts`` column restored to a
-    proper timestamp (read as nanos-long via
-    spark.sql.legacy.parquet.nanosAsLong, then truncated to micros —
-    sub-microsecond precision is below both Hive's and Spark's timestamp
-    resolution)."""
-    from pyspark.sql import functions as F
-
-    df = load_table(spark, sf_dir, "events")
-    if dict(df.dtypes).get("ts") == "bigint":
-        # integer division: `/` is double division and epoch-nanos (~1.7e18)
-        # exceeds double's 2^53 integer precision, corrupting microseconds
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    """events table with ``ts`` normalized to a session-zone timestamp
+    (see _normalize_event_ts — handles both nanos-long and timestamp_ntz
+    vintages of the driver testdata)."""
+    return load_table(spark, sf_dir, "events")
 
 
 def write_hive_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:

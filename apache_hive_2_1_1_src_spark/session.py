@@ -132,10 +132,12 @@ class HiveEngine:
     def register_tables(self, sf_dir: str | None = None) -> None:
         """Register the driver's parquet tables as temp views (catalog role)."""
         sf_dir = sf_dir or self.sf_dir
+        from apache_hive_2_1_1_src_spark.io import load_table
+
         for name in self.TABLES:
             path = os.path.join(sf_dir, f"{name}.parquet")
             if os.path.exists(path):
-                self.spark.read.parquet(path).createOrReplaceTempView(name)
+                load_table(self.spark, sf_dir, name).createOrReplaceTempView(name)
 
     @staticmethod
     def translate_hints(text: str) -> str:
