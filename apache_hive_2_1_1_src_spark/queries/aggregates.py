@@ -101,13 +101,21 @@ def q24_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q25_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch cardinality — the 100 TB path where exact distinct is a
-    full shuffle.  No oracle (DuckDB's approx differs); invariant checked
-    rows-only."""
+    """HLL sketch cardinality (approx_count_distinct, rsd=0.01) — the
+    100 TB path where exact COUNT(DISTINCT) is a full Expand+shuffle.
+    The sketch estimate itself is engine-specific, so the oracle-checked
+    contract is its accuracy certificate: |approx - exact| <= 5%·exact
+    (generous envelope for rsd=0.01), emitted alongside the exact count
+    (GenericUDAFComputeStats-family sketch surface)."""
     li = t(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_orderkey")
+    approx = F.approx_count_distinct("l_orderkey", 0.01)
     return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+        exact.alias("exact_orders"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.05 * exact.cast("double")
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -126,11 +134,20 @@ def q26_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q27_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (FunctionRegistry.java:394) — t-digest-style sketch;
-    algorithm differs from DuckDB's so rows-only."""
+    """percentile_approx (FunctionRegistry.java:394) — GK-style quantile
+    sketch.  The sketch value is engine-specific, so the oracle-checked
+    contract is its accuracy certificate per group: within 2% of the exact
+    interpolated median, emitted alongside the exact value."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price")
+    exact = F.percentile("l_extendedprice", 0.5)
+    approx = F.percentile_approx("l_extendedprice", 0.5, 10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(exact, 4).alias("exact_median_price"),
+            (F.abs(approx - exact) <= 0.02 * exact).alias("approx_within_2pct"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -195,14 +212,32 @@ def q32_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q33_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """histogram_numeric (FunctionRegistry.java:393) — Spark 3.3+ ships the
-    same NumericHistogram algorithm.  Bin placement is data-order dependent,
-    so rows-only; the pytest suite asserts bin-count and mass invariants."""
+    same NumericHistogram algorithm (GenericUDAFHistogramNumeric.java).
+    Bin placement is data-order dependent, so the oracle-checked contract is
+    the algorithm's exact invariants: bin count, total mass (= non-null row
+    count), mass-weighted centroid mean (= column mean — pairwise bin
+    merging preserves the weighted sum), and centroids within [min, max].
+    Raw bins stay pinned in tests/test_rows_only_invariants.py."""
     li = t(spark, sf_dir, "lineitem")
-    hist = li.agg(F.expr("histogram_numeric(l_quantity, 5)").alias("bins"))
-    return hist.select(F.posexplode("bins").alias("bin_idx", "bin")).select(
-        "bin_idx",
-        F.round(F.col("bin.x"), 2).alias("x"),
-        F.col("bin.y").cast("double").alias("y"),
+    agg = li.agg(
+        F.expr("histogram_numeric(l_quantity, 5)").alias("bins"),
+        F.min("l_quantity").alias("lo"),
+        F.max("l_quantity").alias("hi"),
+        F.count("l_quantity").alias("n"),
+    )
+    return agg.select(
+        F.size("bins").cast("long").alias("nbins"),
+        F.round(
+            F.expr("aggregate(bins, cast(0 as double), (a, b) -> a + b.y)"), 3
+        ).alias("total_mass"),
+        F.round(
+            F.expr("aggregate(bins, cast(0 as double), (a, b) -> a + b.x * b.y)")
+            / F.col("n"),
+            3,
+        ).alias("wmean"),
+        F.expr(
+            "aggregate(bins, true, (a, b) -> a AND b.x >= lo AND b.x <= hi)"
+        ).alias("centroids_in_range"),
     )
 
 
@@ -275,6 +310,24 @@ ORACLES = {
                COUNT(DISTINCT l_suppkey) AS nd_supps,
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q25_approx_count_distinct": """
+        SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS approx_within_5pct
+        FROM lineitem
+    """,
+    "q27_percentile_approx": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median_price,
+               TRUE AS approx_within_2pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q33_histogram_numeric": """
+        SELECT CAST(LEAST(5, COUNT(DISTINCT l_quantity)) AS BIGINT) AS nbins,
+               ROUND(CAST(COUNT(l_quantity) AS DOUBLE), 3) AS total_mass,
+               ROUND(AVG(l_quantity), 3) AS wmean,
+               TRUE AS centroids_in_range
+        FROM lineitem
     """,
     "q26_percentile_exact": """
         SELECT l_returnflag,

@@ -57,11 +57,22 @@ def q132_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q133_percent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TABLESAMPLE(10 PERCENT): seeded Bernoulli sample — rows are
-    engine-chosen (Hive samples by input split), so this is rows-only;
-    pytest pins the sampled fraction and determinism."""
+    """TABLESAMPLE (10 PERCENT) (SplitSample, HiveParser.g splitSample).
+    Hive samples the first ~n% of input bytes/splits — deterministic given
+    one file layout but not portable across layouts, which is exactly what
+    breaks at 100 TB.  The scale-portable equivalent is a deterministic
+    hash-space sample: keep rows whose md5(row key) lands in the first 10%
+    of hash space (substr(md5, 1, 4) <= '1998' ⇔ 0x0000..0x1998 of 0x10000
+    ≈ 10.0%) — layout-independent, reproducible on any cluster, and
+    identically computable by the oracle.  The seeded-Bernoulli variant
+    (.sample(fraction, seed)) stays pinned in tests."""
     li = t(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=7).agg(
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return li.filter(F.substring(F.md5(key), 1, 4) <= "1998").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
@@ -168,6 +179,13 @@ ORACLES = {
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    "q133_percent_sample": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        WHERE substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 4)
+              <= '1998'
     """,
     "q134_input_file_name": """
         SELECT 'lineitem.parquet' AS file, COUNT(*) AS n_rows FROM lineitem

@@ -47,7 +47,8 @@ HIVE_COMPAT_RUNTIME_CONF: dict[str, str] = {
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
     # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
     # reader rejects; surface it as nanos-since-epoch long instead
-    # (converted to timestamp by io.load_events).
+    # (converted to timestamp by io._normalize_event_ts, applied on every
+    # events read through io.load_table / register_tables).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
