@@ -410,3 +410,176 @@ def incremental_dedup(
         F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
         (F.coalesce("best_jaccard", F.lit(0.0)) >= threshold).alias("is_near_dup"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    sign_bits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse-
+    cluster the embedding space, then drop any vector that has a
+    higher-similarity, lower-id neighbor inside its cluster.
+
+    The coarse quantizer here is a deterministic sign grid — bucket =
+    the sign bits of the first ``sign_bits`` dimensions (2^sign_bits
+    cells) — so the whole operator is closed-form and oracle-checkable.
+    At 100 TB swap the grid for the trained IVF coarse quantizer
+    (pipeline/ivf.py): same shape — assign is a broadcast-centroid
+    argmin, pairing stays bucket-local (never all-pairs), and the keep
+    rule below is unchanged.
+
+    Plan: one narrow projection (bucket bits), one bucket-keyed self-join
+    (pairs exist only within a cell), one semi-join for the drop set —
+    shuffle volume is sum of squared cell sizes, bounded by the quantizer,
+    not n².
+
+    Returns (vec_id, bucket, kept) for every input vector.
+    """
+    bucket = None
+    for i in range(sign_bits):
+        bit = (F.element_at(F.col("v"), i + 1) >= 0).cast("int") * (
+            2 ** (sign_bits - 1 - i)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    v = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", bucket)
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return v.join(dropped.withColumn("hit", F.lit(True)), "id", "left").select(
+        F.col("id").alias(id_col),
+        "bucket",
+        (~F.coalesce("hit", F.lit(False))).alias("kept"),
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_chunk: int = 10,
+) -> DataFrame:
+    """Paragraph-level exact dedup with reassembly (the Dolma/RefinedWeb
+    line-dedup shape): split each document into consecutive
+    ``words_per_chunk``-word chunks (the synthetic corpus has no newlines,
+    so fixed word windows stand in for paragraphs), keep only the globally
+    FIRST occurrence of each chunk text (ordered by (doc_id, chunk_idx)),
+    and reassemble the surviving chunks per document in order.
+
+    Plan: chunking is a narrow explode (no shuffle); first-occurrence is
+    ONE window over the chunk text (hash-partitioned by chunk — md5-like
+    uniform keys, skew-safe); reassembly is one groupBy(doc_id).  Two
+    shuffles total, both linear in corpus size — the plan a 100 TB
+    paragraph-dedup job runs.
+
+    Returns (doc_id, n_chunks, n_kept, text_kept).
+    """
+    from pyspark.sql import Window
+
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    nchunks = F.ceil(F.size("ws") / F.lit(words_per_chunk)).cast("int")
+    chunks = (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nchunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("ws"), i * words_per_chunk + 1, words_per_chunk),
+                        " ",
+                    ),
+                )
+            ).alias("idx", "chunk"),
+        )
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    ranked = chunks.withColumn("kept", F.row_number().over(w) == 1)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+    )
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 12) -> DataFrame:
+    """TRUE transitive connected components over a dup-pair graph — the
+    convergent extension of canonicalize_pairs' bounded label propagation:
+    iterate min-label propagation until a round changes nothing, so every
+    node gets the component-global minimum id regardless of cluster
+    diameter.
+
+    Each round is one edges⋈labels join + min-agg (shuffle linear in
+    |edges|); rounds needed = graph diameter (near-dup clusters are tiny;
+    ``max_iterations`` guards pathological chains).  The per-round
+    convergence probe is a count() on the changed-label set — a control
+    decision on an aggregated scalar, not data collected to the driver.
+    Lineage is truncated every round via localCheckpoint so the plan
+    stays flat at scale.
+
+    Returns (id, component) for every node that appears in a pair.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("component"))
+                    < F.col("component")
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels

@@ -347,6 +347,42 @@ def p27_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p33_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over embeddings: deterministic
+    sign-grid coarse buckets (16 cells), drop vectors with a
+    higher-cosine lower-id neighbor in-bucket — full oracle (the 100 TB
+    path swaps the grid for the p23 IVF coarse quantizer)."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, sign_bits=4).orderBy("vec_id")
+
+
+def p34_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reassembly (Dolma/
+    RefinedWeb line-dedup shape): global first-occurrence wins over
+    10-word chunks; two linear shuffles — full oracle."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import chunk_dedup
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 500)
+    return chunk_dedup(docs, words_per_chunk=10).orderBy("doc_id")
+
+
+def p35_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True transitive connected components over the embedding near-dup
+    pair graph (min-label propagation to convergence — the convergent
+    big brother of p15's bounded pass).  Full oracle via DuckDB
+    recursive-CTE reachability."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import (
+        connected_components,
+        embedding_near_dups,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.40)
+    return connected_components(pairs).orderBy("id")
+
+
 QUERIES = {
     "p01_dedup_exact": p01_dedup_exact,
     "p27_chunk_documents": p27_chunk_documents,
@@ -380,6 +416,9 @@ QUERIES = {
     "p30_incremental_dedup": p30_incremental_dedup,
     "p31_corpus_pipeline": p31_corpus_pipeline,
     "p32_extract_embeddings": p32_extract_embeddings,
+    "p33_semantic_dedup": p33_semantic_dedup,
+    "p34_paragraph_dedup": p34_paragraph_dedup,
+    "p35_connected_components": p35_connected_components,
 }
 
 _SHINGLES_CTE = """
@@ -846,5 +885,67 @@ ORACLES = {
                              1, 256)) AS resized_md5
         FROM documents WHERE doc_id <= 600
         ORDER BY doc_id
+    """,
+    "p33_semantic_dedup": """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+                  + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+          FROM embeddings
+        ),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.4
+        )
+        SELECT v.vec_id, CAST(v.bucket AS INT) AS bucket,
+               (d.vec_id IS NULL) AS kept
+        FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+        ORDER BY v.vec_id
+    """,
+    "p34_paragraph_dedup": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+          FROM documents WHERE doc_id <= 500
+        ),
+        c AS (
+          SELECT doc_id, CAST(i AS INT) AS idx,
+                 array_to_string(ws[(i * 10 + 1):(i * 10 + 10)], ' ') AS chunk
+          FROM w, UNNEST(range(CAST(CEIL(len(ws) / 10.0) AS BIGINT))) AS t(i)
+        ),
+        r AS (
+          SELECT doc_id, idx, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1
+                   AS kept
+          FROM c
+        )
+        SELECT doc_id, COUNT(*) AS n_chunks,
+               CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE kept),
+                        '') AS text_kept
+        FROM r GROUP BY doc_id ORDER BY doc_id
+    """,
+    "p35_connected_components": """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 4)
+                >= 0.40
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id
     """,
 }

@@ -183,7 +183,59 @@ def q157_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q160_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a copy-on-write full-outer-join rewrite (Hive grew
+    SQL MERGE in 2.2 / HIVE-10924; this completes the q81/q82 DML trio
+    one release beyond parity).  Source = deterministic derived updates
+    (keys %37==0, price+1000) and inserts (keys %101==0 shifted past
+    MAX(o_orderkey)); WHEN MATCHED AND key%111==0 THEN DELETE, WHEN
+    MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT (status 'N').
+
+    Plan: ONE full-outer shuffle join on the merge key + the FileSink
+    rewrite — the same single-pass plan an ACID-table MERGE compiles to;
+    the max-key scalar is a broadcast one-row cross join, never a
+    collect.  Oracle checks the post-merge table digest."""
+    out = os.path.join(tempfile.gettempdir(), f"hive_spark_cow_merge_{os.getpid()}")
+    orders = t(spark, sf_dir, "orders")
+    mk = orders.agg(F.max("o_orderkey").alias("mk"))
+    src_upd = orders.filter(F.col("o_orderkey") % 37 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + 1000).alias("new_price"),
+    )
+    src_ins = (
+        orders.filter(F.col("o_orderkey") % 101 == 0)
+        .crossJoin(F.broadcast(mk))
+        .select(
+            (F.col("o_orderkey") + F.col("mk") + 1).alias("k"),
+            F.lit(100.0).alias("new_price"),
+        )
+    )
+    src = src_upd.union(src_ins)
+    m = orders.join(src, orders["o_orderkey"] == src["k"], "full_outer")
+    matched = F.col("o_orderkey").isNotNull() & F.col("k").isNotNull()
+    merged = m.filter(~(matched & (F.col("o_orderkey") % 111 == 0))).select(
+        F.coalesce(F.col("o_orderkey"), F.col("k")).alias("key"),
+        F.when(F.col("o_orderkey").isNull(), F.lit("N"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("k").isNotNull(), F.col("new_price"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    merged.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+        .orderBy("status")
+    )
+
+
 QUERIES = {
+    "q160_merge_cow": q160_merge_cow,
     "q157_recursive_cte": q157_recursive_cte,
     "q75_in_subquery": q75_in_subquery,
     "q76_not_in_subquery": q76_not_in_subquery,
@@ -196,6 +248,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q160_merge_cow": """
+        WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        src AS (
+          SELECT o_orderkey AS k, o_totalprice + 1000 AS new_price
+          FROM orders WHERE o_orderkey % 37 = 0
+          UNION ALL
+          SELECT o_orderkey + mk.mk + 1, 100.0
+          FROM orders, mk WHERE o_orderkey % 101 = 0
+        ),
+        merged AS (
+          SELECT COALESCE(o.o_orderkey, s.k) AS key,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'N'
+                      ELSE o.o_orderstatus END AS status,
+                 CASE WHEN s.k IS NOT NULL THEN s.new_price
+                      ELSE o.o_totalprice END AS price,
+                 o.o_orderkey AS tk, s.k AS sk
+          FROM orders o FULL JOIN src s ON o.o_orderkey = s.k
+        )
+        SELECT status, COUNT(*) AS n, ROUND(SUM(price), 2) AS total_price
+        FROM merged
+        WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND tk % 111 = 0)
+        GROUP BY status ORDER BY status
+    """,
     "q157_recursive_cte": """
         WITH RECURSIVE pay AS (
           SELECT o_orderkey, 0 AS step,

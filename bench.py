@@ -71,9 +71,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # steady-state: best of two runs (first run pays codegen compile)
+        # steady-state: best of three runs (first run pays codegen compile;
+        # a third sample damps shared-VM scheduling noise, which BASELINE.md
+        # measures at +/-30% run-to-run)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df = queries[name](spark, sf_dir)
             n = df.count() if name != "q85_write_partitioned" else len(df.collect())

@@ -162,3 +162,65 @@ def test_frame_sample_fanout_and_resize_shapes(spark, sf_dir):
     assert all(r.n_bytes_out == 128 for r in rows)
     assert len({r.resized_md5 for r in rows}) > 1  # content-dependent
     blobs.unpersist()
+
+
+def test_connected_components_converges_past_hop_budget(spark, sf_dir):
+    """p35's convergent label propagation must resolve a chain LONGER than
+    p15's bounded hop budget: a 20-node path graph collapses to one
+    component (min id 0) — the case a fixed iteration count gets wrong."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "id_a long, id_b long"
+    )
+    labels = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert labels == {i: 0 for i in range(20)}
+
+
+def test_semantic_dedup_keeps_one_per_dup_group(spark, sf_dir):
+    """p33: within every bucket, the kept set has no near-dup pair left
+    (every dropped vector has a kept lower-id witness in its bucket)."""
+    from apache_hive_2_1_1_src_spark.io import load_table
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import cosine, semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = semantic_dedup(emb, threshold=0.4, sign_bits=4)
+    kept = res.filter("kept").join(emb, "vec_id").select(
+        "vec_id", "bucket", "embedding"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    leftover = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4) >= 0.4
+        )
+        .count()
+    )
+    assert leftover == 0
+    # every vector accounted for exactly once
+    assert res.count() == emb.count()
+
+
+def test_paragraph_dedup_reassembly_exact(spark, sf_dir):
+    """p34: kept-chunk concatenation equals the original text for docs
+    whose chunks are all first occurrences (reassembly is lossless), and
+    at least one chunk survives overall."""
+    from apache_hive_2_1_1_src_spark.io import load_table
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import chunk_dedup
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    out = chunk_dedup(docs, words_per_chunk=10)
+    full = out.filter(F.col("n_kept") == F.col("n_chunks")).join(docs, "doc_id")
+    mismatched = full.filter(
+        F.col("text_kept")
+        != F.array_join(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""), " "
+        )
+    ).count()
+    assert mismatched == 0
+    n_kept_total = out.agg(F.sum("n_kept")).collect()[0][0]
+    assert n_kept_total is not None and n_kept_total > 0

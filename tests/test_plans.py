@@ -81,7 +81,10 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
             F.col("o_custkey") == F.col("c_custkey"),
         )
         plan = _plan(j)
-        assert "SortMergeJoin" in plan
+        # SMJ exploits the bucket sort order; SHJ (preferred by the compat
+        # preset when the build side fits) also keeps bucket co-location —
+        # the invariant that matters is ZERO Exchange either way
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
         assert "Exchange" not in plan, "bucketed join must not shuffle"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
