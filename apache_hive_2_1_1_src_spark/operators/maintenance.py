@@ -49,3 +49,67 @@ def compact_parquet(
     n = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dest)
     return spark.read.parquet(dest)
+
+
+def validate_constraints(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    constraints: list[dict],
+) -> DataFrame:
+    """Informational-constraint validation — the audit query behind Hive
+    2.1's PRIMARY KEY / FOREIGN KEY DDL (HIVE-13290; metastore
+    add_primary_key/add_foreign_key, metastore/if/hive_metastore.thrift).
+    Hive stores these constraints as metadata without enforcement; the
+    operational counterpart at 100 TB is a periodic violation audit, one
+    row per declared constraint:
+
+    * ``primary_key``:  duplicate-key count (groupBy key, count>1 — one
+      shuffle, map-side partial agg)
+    * ``foreign_key``:  orphan count (left-anti join child→parent; the
+      parent key set is broadcast when dimension-sized)
+    * ``not_null``:     null count (narrow aggregate, no shuffle)
+
+    Returns (constraint_name, kind, violation_count).
+    """
+    from pyspark.sql import functions as F
+
+    rows = []
+    for c in constraints:
+        kind = c["kind"]
+        if kind == "primary_key":
+            df = tables[c["table"]]
+            v = (
+                df.groupBy(*c["columns"])
+                .count()
+                .filter(F.col("count") > 1)
+                .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("v"))
+            )
+        elif kind == "foreign_key":
+            child = tables[c["table"]]
+            parent = tables[c["ref_table"]]
+            pk = parent.select(
+                *[F.col(rc).alias(cc) for cc, rc in zip(c["columns"], c["ref_columns"])]
+            ).distinct()
+            v = (
+                child.join(F.broadcast(pk), on=list(c["columns"]), how="left_anti")
+                .filter(F.col(c["columns"][0]).isNotNull())
+                .agg(F.count(F.lit(1)).cast("long").alias("v"))
+            )
+        elif kind == "not_null":
+            df = tables[c["table"]]
+            v = df.agg(
+                F.sum(F.col(c["columns"][0]).isNull().cast("long")).alias("v")
+            )
+        else:
+            raise ValueError(f"unknown constraint kind: {kind}")
+        rows.append(
+            v.select(
+                F.lit(c["name"]).alias("constraint_name"),
+                F.lit(kind).alias("kind"),
+                F.col("v").cast("long").alias("violation_count"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -535,11 +535,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = 12) -> DataFram
     node gets the component-global minimum id regardless of cluster
     diameter.
 
-    Each round is one edges⋈labels join + min-agg (shuffle linear in
-    |edges|); rounds needed = graph diameter (near-dup clusters are tiny;
-    ``max_iterations`` guards pathological chains).  The per-round
-    convergence probe is a count() on the changed-label set — a control
-    decision on an aggregated scalar, not data collected to the driver.
+    Each round = one edges⋈labels join + min-agg (propagate, shuffle
+    linear in |edges|) followed by one labels⋈labels join (pointer jump —
+    component-of-component, doubling the effective hop radius), so a
+    diameter-d component converges in O(log d) rounds; ``max_iterations``
+    = 12 covers diameters to ~4096.  The per-round convergence probe is a
+    count() on the changed-label set — a control decision on an
+    aggregated scalar, not data collected to the driver.
     Lineage is truncated every round via localCheckpoint so the plan
     stays flat at scale.
 
@@ -558,28 +560,47 @@ def connected_components(pairs: DataFrame, max_iterations: int = 12) -> DataFram
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
+        # step 1 — propagate: pull the min label from graph neighbors
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+        prop = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_min"), F.col("component")),
+            ).alias("component"),
+        )
+        # step 2 — pointer jump: follow the label's OWN label (component of
+        # component).  Doubles the effective hop radius per round, so a
+        # diameter-d chain converges in O(log d) rounds instead of d —
+        # the standard shortcut (large-star/small-star family) that makes
+        # label propagation viable on long paths at scale.
+        parent = prop.select(
+            F.col("id").alias("pid"), F.col("component").alias("pcomp")
+        )
+        new_labels = (
+            prop.join(parent, prop.component == parent.pid, "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                    F.coalesce(F.col("pcomp"), F.col("component")),
                 ).alias("component"),
-                (
-                    F.coalesce(F.col("nbr_min"), F.col("component"))
-                    < F.col("component")
-                ).alias("changed"),
             )
             .localCheckpoint(eager=False)
         )
-        n_changed = updated.filter("changed").count()
-        labels = updated.drop("changed")
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
         if n_changed == 0:
             break
     return labels

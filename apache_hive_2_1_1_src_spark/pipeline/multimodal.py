@@ -259,3 +259,72 @@ def extract_embeddings(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(extract, schema=EMBED_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    blobs: DataFrame, frame_samples: int = 64, max_frames: int = 6
+) -> DataFrame:
+    """Audio feature extraction over a binary "waveform" column via
+    mapInPandas — completes the modality quartet (video=p28 frame
+    sampling, image=p29 resize, embedding=p32 extract, audio=here).
+
+    A real deployment decodes containers (wav/flac → PCM) with
+    torchaudio/soundfile; this container has no audio libs, so the blob
+    bytes ARE the 8-bit PCM samples (deterministic, so the whole
+    Arrow/UDF path is verified against a byte-arithmetic SQL oracle).
+    Per non-overlapping ``frame_samples``-sample frame: RMS energy and
+    peak amplitude — the framing/windowed-aggregate shape every audio
+    featurizer (VAD, loudness normalization, silence trim) runs.
+
+    One input row fans out to ≤ ``max_frames`` rows inside the Pandas
+    iterator; Arrow moves whole batches; nothing touches the driver.
+    """
+    import math
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # real decoder path — absent in this container
+            import soundfile  # noqa: F401
+
+            have_audio = True
+        except ImportError:
+            have_audio = False
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_FRAME_SCHEMA}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if have_audio:
+                    raise NotImplementedError(
+                        "real audio decode present but intentionally unused"
+                    )
+                b = bytes(blob)
+                n_full = min(len(b) // frame_samples, max_frames)
+                for j in range(n_full):
+                    fr = b[j * frame_samples : (j + 1) * frame_samples]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(j)
+                    out["n_samples"].append(len(fr))
+                    # no rounding here: Python round() is banker's, SQL
+                    # ROUND is half-up — callers round via F.round
+                    out["rms"].append(math.sqrt(sum(v * v for v in fr) / len(fr)))
+                    out["peak"].append(max(fr))
+            yield pd.DataFrame(out).astype(
+                {
+                    "doc_id": "int64",
+                    "frame_idx": "int32",
+                    "n_samples": "int32",
+                    "rms": "float64",
+                    "peak": "int32",
+                }
+            )
+
+    return blobs.mapInPandas(energy, schema=AUDIO_FRAME_SCHEMA)

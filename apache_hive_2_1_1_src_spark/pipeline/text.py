@@ -266,3 +266,39 @@ def chunk_documents(
             F.concat_ws(" ", chunk).alias("chunk_text"),
         )
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style LM quality score with the corpus itself as the unigram
+    LM: every token's probability is its corpus frequency, and a document
+    scores the mean negative log2-probability of its tokens (low = bland
+    high-frequency text, high = rare-token-heavy text — the signal CCNet
+    buckets corpora by, with the KenLM swapped for corpus unigram stats
+    so the whole operator is closed-form and oracle-checkable).
+
+    Plan: one explode + groupBy(token) builds the frequency table (one
+    shuffle, map-side combine); the total-token count rides along as a
+    broadcast one-row cross join; scoring re-joins tokens to the
+    vocab-sized frequency table (broadcast) and aggregates per doc —
+    at 100 TB the frequency table is a reusable stage table, and the
+    per-doc join stays broadcast as long as the vocab fits (it does:
+    vocabularies grow ~log of corpus size).
+
+    Returns (doc_id, n_tokens, avg_neg_log2p).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_words(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    freq_p = freq.crossJoin(F.broadcast(total))
+    return (
+        toks.join(F.broadcast(freq_p), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log2(F.col("c") / F.col("total"))), 4
+            ).alias("avg_neg_log2p"),
+        )
+    )

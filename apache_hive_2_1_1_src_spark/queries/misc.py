@@ -380,7 +380,64 @@ def q155_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_foreach_batch_sink(spark, sf_dir)
 
 
+def q161_constraint_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Informational PK/FK/NOT NULL constraints (HIVE-13290 — Hive 2.1's
+    ALTER TABLE ADD CONSTRAINT metadata, unenforced) realized as the
+    violation audit a warehouse runs: dup-key, orphan-FK, and null
+    counts, one row per declared constraint (operators/maintenance.py).
+    All counts are zero on the TPC-H-shaped testdata — the audit plan
+    (broadcast anti-joins, partial-agg dup counts) is the deliverable."""
+    from apache_hive_2_1_1_src_spark.operators.maintenance import (
+        validate_constraints,
+    )
+
+    tables = {
+        "orders": t(spark, sf_dir, "orders"),
+        "customer": t(spark, sf_dir, "customer"),
+        "lineitem": t(spark, sf_dir, "lineitem"),
+    }
+    constraints = [
+        {"name": "pk_orders", "kind": "primary_key", "table": "orders",
+         "columns": ["o_orderkey"]},
+        {"name": "pk_customer", "kind": "primary_key", "table": "customer",
+         "columns": ["c_custkey"]},
+        {"name": "fk_orders_customer", "kind": "foreign_key", "table": "orders",
+         "columns": ["o_custkey"], "ref_table": "customer",
+         "ref_columns": ["c_custkey"]},
+        {"name": "fk_lineitem_orders", "kind": "foreign_key", "table": "lineitem",
+         "columns": ["l_orderkey"], "ref_table": "orders",
+         "ref_columns": ["o_orderkey"]},
+        {"name": "nn_orders_status", "kind": "not_null", "table": "orders",
+         "columns": ["o_orderstatus"]},
+    ]
+    return validate_constraints(spark, tables, constraints).orderBy(
+        "constraint_name"
+    )
+
+
+def q162_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE upsert via foreachBatch + version-pointer COW
+    commits (streaming/jobs.py streaming_upsert_orders) — the
+    change-data-capture upsert shape; final table equals the one-shot
+    batch merge (full oracle)."""
+    from apache_hive_2_1_1_src_spark.streaming.jobs import streaming_upsert_orders
+
+    return streaming_upsert_orders(spark, sf_dir)
+
+
+def q163_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (stateless broadcast join per
+    micro-batch; streaming/jobs.stream_static_enrichment) — full oracle
+    (== batch join aggregate)."""
+    from apache_hive_2_1_1_src_spark.streaming.jobs import stream_static_enrichment
+
+    return stream_static_enrichment(spark, sf_dir)
+
+
 QUERIES = {
+    "q161_constraint_validation": q161_constraint_validation,
+    "q162_streaming_upsert": q162_streaming_upsert,
+    "q163_stream_static_join": q163_stream_static_join,
     "q136_streaming_dedup": q136_streaming_dedup,
     "q142_asof_join": q142_asof_join,
     "q150_session_window": q150_session_window,
@@ -406,6 +463,59 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q163_stream_static_join": """
+        SELECT c.c_mktsegment, COUNT(*) AS n_events,
+               ROUND(SUM(e.value), 2) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    "q162_streaming_upsert": """
+        WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+        src AS (
+          SELECT o_orderkey AS k, o_totalprice + 500 AS new_price
+          FROM orders WHERE o_orderkey % 13 = 0
+          UNION ALL
+          SELECT o_orderkey + mk.mk + 1, 50.0
+          FROM orders, mk WHERE o_orderkey % 509 = 0
+        ),
+        merged AS (
+          SELECT CASE WHEN o.o_orderkey IS NULL THEN 'N'
+                      ELSE o.o_orderstatus END AS status,
+                 CASE WHEN s.k IS NOT NULL THEN s.new_price
+                      ELSE o.o_totalprice END AS price
+          FROM orders o FULL JOIN src s ON o.o_orderkey = s.k
+        )
+        SELECT status, COUNT(*) AS n, ROUND(SUM(price), 2) AS total_price
+        FROM merged GROUP BY status ORDER BY status
+    """,
+    "q161_constraint_validation": """
+        SELECT 'fk_lineitem_orders' AS constraint_name, 'foreign_key' AS kind,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l.l_orderkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                 AS violation_count
+        UNION ALL
+        SELECT 'fk_orders_customer', 'foreign_key',
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_custkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'nn_orders_status', 'not_null',
+               (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL)
+        UNION ALL
+        SELECT 'pk_customer', 'primary_key',
+               CAST((SELECT COALESCE(SUM(n - 1), 0) FROM
+                 (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey
+                  HAVING COUNT(*) > 1)) AS BIGINT)
+        UNION ALL
+        SELECT 'pk_orders', 'primary_key',
+               CAST((SELECT COALESCE(SUM(n - 1), 0) FROM
+                 (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+                  HAVING COUNT(*) > 1)) AS BIGINT)
+        ORDER BY constraint_name
+    """,
     "q155_foreach_batch_sink": """
         SELECT user_id, COUNT(*) AS n_events,
                ROUND(SUM(value), 2) AS sum_value

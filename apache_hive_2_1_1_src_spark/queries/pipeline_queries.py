@@ -383,6 +383,36 @@ def p35_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("id")
 
 
+def p36_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame RMS/peak features over a binary waveform column
+    (mapInPandas Arrow kernel, deterministic fake PCM — real decoder
+    import-gated); completes the multimodal quartet.  Full oracle via
+    byte-arithmetic SQL."""
+    from apache_hive_2_1_1_src_spark.pipeline.multimodal import (
+        audio_frame_energy,
+        with_blob_column,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    frames = audio_frame_energy(with_blob_column(docs))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "n_samples",
+        F.round("rms", 4).alias("rms"),
+        "peak",
+    ).orderBy("doc_id", "frame_idx")
+
+
+def p37_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score (corpus-unigram LM, mean -log2 p per
+    doc) — full oracle."""
+    from apache_hive_2_1_1_src_spark.pipeline.text import unigram_logprob
+
+    docs = t(spark, sf_dir, "documents")
+    return unigram_logprob(docs).filter(F.col("doc_id") <= 600).orderBy("doc_id")
+
+
 QUERIES = {
     "p01_dedup_exact": p01_dedup_exact,
     "p27_chunk_documents": p27_chunk_documents,
@@ -419,6 +449,8 @@ QUERIES = {
     "p33_semantic_dedup": p33_semantic_dedup,
     "p34_paragraph_dedup": p34_paragraph_dedup,
     "p35_connected_components": p35_connected_components,
+    "p36_audio_energy": p36_audio_energy,
+    "p37_unigram_logprob": p37_unigram_logprob,
 }
 
 _SHINGLES_CTE = """
@@ -927,6 +959,43 @@ ORACLES = {
                COALESCE(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE kept),
                         '') AS text_kept
         FROM r GROUP BY doc_id ORDER BY doc_id
+    """,
+    "p36_audio_energy": """
+        WITH b AS (
+          SELECT doc_id, text,
+                 CAST(FLOOR(length(text) / 64.0) AS BIGINT) AS nf
+          FROM documents WHERE doc_id <= 400
+        ),
+        f AS (
+          SELECT doc_id, CAST(j AS INT) AS frame_idx,
+                 substr(text, CAST(j * 64 + 1 AS INT), 64) AS seg
+          FROM b, UNNEST(range(nf)) AS t(j) WHERE j < 6
+        )
+        SELECT doc_id, frame_idx, CAST(64 AS INT) AS n_samples,
+               ROUND(sqrt(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> ord(substr(seg, CAST(i AS INT), 1)) ^ 2),
+                   'sum') / 64.0), 4) AS rms,
+               CAST(list_aggregate(
+                   list_transform(range(1, 65),
+                                  i -> ord(substr(seg, CAST(i AS INT), 1))),
+                   'max') AS INT) AS peak
+        FROM f ORDER BY doc_id, frame_idx
+    """,
+    "p37_unigram_logprob": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM freq)
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(-log2(t2.c / tot.total)), 4) AS avg_neg_log2p
+        FROM toks t JOIN freq t2 USING (tok), tot
+        WHERE t.doc_id <= 600
+        GROUP BY t.doc_id ORDER BY t.doc_id
     """,
     "p35_connected_components": """
         WITH RECURSIVE pairs AS (

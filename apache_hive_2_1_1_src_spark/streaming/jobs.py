@@ -402,3 +402,151 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "first_event",
     ).orderBy("user_id", "session_start")
+
+
+def streaming_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE upsert via foreachBatch — the Structured-Streaming
+    upsert pattern (stream of changes merged into a base table per
+    micro-batch) without a transactional table format: each batch applies
+    the q160 copy-on-write full-outer rewrite and commits a new table
+    VERSION directory plus a pointer file (exactly the version-pointer
+    commit a COW table format performs; retries overwrite their own
+    version → idempotent).
+
+    Updates: keys %13==0 get price+500; inserts: keys %509==0 arrive
+    shifted past MAX(o_orderkey) with status 'N'.  With availableNow over
+    bounded input the final version equals the one-shot batch merge,
+    which the oracle checks.
+    """
+    import json
+    import shutil
+
+    from apache_hive_2_1_1_src_spark.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+
+    def stage_updates(p: str) -> None:
+        upd = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + 500).alias("new_price"),
+        )
+        ins = orders.filter(F.col("o_orderkey") % 509 == 0).select(
+            (F.col("o_orderkey") + F.lit(max_key) + 1).alias("k"),
+            F.lit(50.0).alias("new_price"),
+        )
+        upd.union(ins).write.mode("overwrite").parquet(p)
+
+    src_dir = _stage_once("upsert_src", sf_dir, stage_updates)
+
+    table_root = os.path.join(
+        tempfile.gettempdir(), f"hive_spark_upsert_tbl_{os.getpid()}"
+    )
+    ckpt_dir = os.path.join(
+        tempfile.gettempdir(), f"hive_spark_upsert_ckpt_{os.getpid()}"
+    )
+    for d in (table_root, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(table_root)
+    # version 0 = the base table (narrow projection of the merge columns)
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    base.write.mode("overwrite").parquet(os.path.join(table_root, "v0"))
+    pointer = os.path.join(table_root, "_CURRENT")
+    with open(pointer, "w") as f:
+        json.dump({"version": 0}, f)
+
+    def current_version() -> int:
+        with open(pointer) as f:
+            return json.load(f)["version"]
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = current_version()
+        tbl = spark.read.parquet(os.path.join(table_root, f"v{cur}"))
+        src = batch_df
+        m = tbl.join(src, tbl["key"] == src["k"], "full_outer")
+        merged = m.select(
+            F.coalesce(F.col("key"), F.col("k")).alias("key"),
+            F.when(F.col("key").isNull(), F.lit("N"))
+            .otherwise(F.col("status"))
+            .alias("status"),
+            F.when(F.col("k").isNotNull(), F.col("new_price"))
+            .otherwise(F.col("price"))
+            .alias("price"),
+        )
+        # commit = write the new version dir (idempotent on retry), then
+        # flip the pointer
+        merged.write.mode("overwrite").parquet(
+            os.path.join(table_root, f"v{batch_id + 1}")
+        )
+        with open(pointer, "w") as f:
+            json.dump({"version": batch_id + 1}, f)
+
+    stream = spark.readStream.schema("k bigint, new_price double").parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(
+        os.path.join(table_root, f"v{current_version()}")
+    )
+    return (
+        final.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+        .orderBy("status")
+    )
+
+
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the dimension-enrichment shape every ingest
+    pipeline runs: a stream of events joins a STATIC dimension table
+    (customer) row-by-row as micro-batches arrive.  Stream-static inner
+    joins are stateless (no watermark, no state store — each batch joins
+    against the static snapshot), and the static side broadcasts, so the
+    stream side never shuffles for the join.
+
+    availableNow over bounded input ⇒ result equals the batch join, which
+    the oracle checks (counts + value sums per market segment).
+    """
+    src_dir = _stage_once(
+        "enrich_src",
+        sf_dir,
+        lambda p: _events_with_ts(spark, sf_dir)
+        .select("event_id", "user_id", "value")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    from apache_hive_2_1_1_src_spark.io import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, value double")
+        .parquet(src_dir)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    query_name = f"stream_enrich_{os.getpid()}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("c_mktsegment")
