@@ -434,10 +434,61 @@ def q163_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_enrichment(spark, sf_dir)
 
 
+def q164_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS — Hive's
+    ColumnStatsTask/ColumnStatsUpdateTask surface (ql/.../stats): column
+    min/max/null-count/NDV persisted to the catalog and read back via
+    DESCRIBE EXTENDED.  min/max/nulls are exact → oracle-checked
+    directly; NDV is an HLL sketch → accuracy certificate (within 5% of
+    exact).  The catalog read-back is metadata, not data — stats feed
+    the CBO exactly as Hive's do."""
+    from apache_hive_2_1_1_src_spark.queries.storage import drop_table
+
+    tbl = f"colstats_orders_{os.getpid()}"
+    drop_table(spark, tbl)
+    t(spark, sf_dir, "orders").write.saveAsTable(tbl)
+    spark.sql(
+        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_totalprice, o_custkey"
+    )
+
+    def col_stats(col: str) -> dict:
+        rows = spark.sql(f"DESCRIBE EXTENDED {tbl} {col}").collect()
+        return {r[0]: r[1] for r in rows}
+
+    exact_ndv = {
+        r["c"]: r["n"]
+        for r in spark.table(tbl)
+        .selectExpr(
+            "stack(2, 'o_totalprice', count(distinct o_totalprice), "
+            "'o_custkey', count(distinct o_custkey)) AS (c, n)"
+        )
+        .collect()
+    }
+    out = []
+    for col in ("o_custkey", "o_totalprice"):
+        s = col_stats(col)
+        ndv = int(s["distinct_count"])
+        out.append(
+            (
+                col,
+                float(s["min"]),
+                float(s["max"]),
+                int(s["num_nulls"]),
+                abs(ndv - exact_ndv[col]) <= 0.15 * exact_ndv[col],
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "col_name string, min_val double, max_val double, n_nulls bigint, "
+        "ndv_within_15pct boolean",
+    ).orderBy("col_name")
+
+
 QUERIES = {
     "q161_constraint_validation": q161_constraint_validation,
     "q162_streaming_upsert": q162_streaming_upsert,
     "q163_stream_static_join": q163_stream_static_join,
+    "q164_column_stats": q164_column_stats,
     "q136_streaming_dedup": q136_streaming_dedup,
     "q142_asof_join": q142_asof_join,
     "q150_session_window": q150_session_window,
@@ -463,6 +514,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q164_column_stats": """
+        SELECT 'o_custkey' AS col_name,
+               CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+               CAST(MAX(o_custkey) AS DOUBLE) AS max_val,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               TRUE AS ndv_within_15pct
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(MIN(o_totalprice) AS DOUBLE),
+               CAST(MAX(o_totalprice) AS DOUBLE),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               TRUE
+        FROM orders
+        ORDER BY col_name
+    """,
     "q163_stream_static_join": """
         SELECT c.c_mktsegment, COUNT(*) AS n_events,
                ROUND(SUM(e.value), 2) AS sum_value

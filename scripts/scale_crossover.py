@@ -81,25 +81,30 @@ def build_scaled(spark) -> None:
     max_ok = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
     max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
 
-    def shift(df, col, step):
-        # copy-expand via crossJoin(range) — one job, not COPIES unions
+    nfiles = max(16, COPIES // 3)
+
+    def shift(df, col, step, nf):
+        # copy-expand via explode(range) — one job, not COPIES unions.
+        # repartition BEFORE the explode so the 100x fan-out runs on all
+        # cores (the single-row-group source reads as ~3 tasks otherwise)
+        # and the output lands pre-spread across nf files.
         copies = F.explode(
             F.sequence(F.lit(0), F.lit(COPIES - 1))
         ).alias("__copy")
         return (
-            df.select("*", copies)
+            df.repartition(nf)
+            .select("*", copies)
             .withColumn(col, F.col(col) + F.col("__copy").cast("long") * step)
             .drop("__copy")
         )
 
-    nfiles = max(16, COPIES)
-    shift(li, "l_orderkey", max_ok).repartition(nfiles).write.mode(
+    shift(li, "l_orderkey", max_ok, nfiles).write.mode(
         "overwrite"
     ).parquet(f"{SCRATCH}/lineitem.parquet")
-    shift(od, "o_orderkey", max_ok).repartition(nfiles // 2).write.mode(
+    shift(od, "o_orderkey", max_ok, nfiles // 2).write.mode(
         "overwrite"
     ).parquet(f"{SCRATCH}/orders.parquet")
-    shift(docs, "doc_id", max_doc).repartition(nfiles // 2).write.mode(
+    shift(docs, "doc_id", max_doc, nfiles // 2).write.mode(
         "overwrite"
     ).parquet(f"{SCRATCH}/documents.parquet")
 
