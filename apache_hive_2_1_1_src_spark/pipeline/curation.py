@@ -238,3 +238,66 @@ def corpus_pipeline(
         "doc_id", F.col("text_scrubbed").alias("text")
     )
     return chunk_documents(scrubbed, chunk_tokens=chunk_tokens, overlap=overlap)
+
+
+def hash_stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Deterministic hash-stratified rebalance — the reproducible sibling
+    of ``stratified_sample``: a doc survives iff the first 4 md5 nibbles
+    of its key (a 0..65535 hash space) fall below its stratum's threshold
+    ``floor(frac * 65536)`` (hex-string compare — lowercase hex of equal
+    length orders numerically).  Same device as the q133 TABLESAMPLE and
+    p26 domain-mix: layout- and partitioning-independent, stable when the
+    mix is retuned, and exactly reproducible by any engine — unlike
+    ``sampleBy``'s partition-seeded Bernoulli draws.  Strata absent from
+    ``fractions`` are dropped.  Per-row projection, no shuffle."""
+    thr_map = F.create_map(
+        *[
+            F.lit(x)
+            for stratum, frac in sorted(fractions.items())
+            for x in (stratum, format(int(frac * 65536), "04x"))
+        ]
+    )
+    h4 = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    thr = thr_map[F.col(stratum_col)]
+    return docs.filter(thr.isNotNull() & (h4 < thr)).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def shuffle_shards(
+    docs: DataFrame, n_shards: int = 16, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding for training order: every
+    doc gets a pseudorandom-but-stable sort key (md5 of its id) and a
+    shard (first md5 nibble, 0..15 for 16 shards); training reads shards
+    in order, rows within a shard ordered by sort key — a full-corpus
+    shuffle that is reproducible across runs and cluster layouts (the
+    property epoch-seeded ``orderBy(rand())`` lacks) and needs no global
+    sort: the write is ``repartition(shard)`` + within-partition sort.
+
+    Returns the per-shard digest (shard, n_docs, n_chars_total,
+    first_key, last_key) — the manifest a training job checks before
+    reading."""
+    if n_shards != 16:
+        raise ValueError("single-nibble sharding supports n_shards=16")
+    h = F.md5(F.col(key_col).cast("string"))
+    shard = (
+        F.expr(
+            f"instr('0123456789abcdef', substring(md5(cast({key_col} as string)), 1, 1)) - 1"
+        )
+    ).cast("int")
+    return (
+        docs.select(shard.alias("shard"), h.alias("sort_key"), F.col("n_chars"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.min("sort_key").alias("first_key"),
+            F.max("sort_key").alias("last_key"),
+        )
+    )

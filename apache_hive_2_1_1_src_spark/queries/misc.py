@@ -484,8 +484,34 @@ def q164_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+def q165_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST / NULLS LAST ordering (HiveParser.g:2149-2150 —
+    HIVE-12994, new in 2.1; Hive's default NULLS FIRST for ASC matches
+    Spark's).  The driver compare is order-insensitive, so each null
+    placement is materialized as a row_number rank column.  Global
+    window on 300 rows is a deliberate semantics probe, not a scale
+    pattern (q151 is the distributed row-numbering shape)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    v = (
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+    )
+    base = o.select("o_orderkey", v.alias("v"))
+    w_first = Window.orderBy(F.asc_nulls_first("v"), F.asc("o_orderkey"))
+    w_last = Window.orderBy(F.asc_nulls_last("v"), F.asc("o_orderkey"))
+    return base.select(
+        "o_orderkey",
+        "v",
+        F.row_number().over(w_first).alias("rn_nulls_first"),
+        F.row_number().over(w_last).alias("rn_nulls_last"),
+    ).orderBy("o_orderkey")
+
+
 QUERIES = {
     "q161_constraint_validation": q161_constraint_validation,
+    "q165_nulls_ordering": q165_nulls_ordering,
     "q162_streaming_upsert": q162_streaming_upsert,
     "q163_stream_static_join": q163_stream_static_join,
     "q164_column_stats": q164_column_stats,
@@ -514,6 +540,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q165_nulls_ordering": """
+        SELECT o_orderkey, v,
+               ROW_NUMBER() OVER (ORDER BY v ASC NULLS FIRST, o_orderkey)
+                 AS rn_nulls_first,
+               ROW_NUMBER() OVER (ORDER BY v ASC NULLS LAST, o_orderkey)
+                 AS rn_nulls_last
+        FROM (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                          ELSE o_totalprice END AS v
+              FROM orders WHERE o_orderkey <= 300)
+        ORDER BY o_orderkey
+    """,
     "q164_column_stats": """
         SELECT 'o_custkey' AS col_name,
                CAST(MIN(o_custkey) AS DOUBLE) AS min_val,

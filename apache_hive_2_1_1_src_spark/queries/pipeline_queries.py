@@ -271,13 +271,15 @@ def p21_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def p22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified rebalance via sampleBy (rows-only: Bernoulli
-    draws aren't SQL-reproducible; pytest pins determinism, subset-ness,
-    and per-stratum fractions)."""
-    from apache_hive_2_1_1_src_spark.pipeline.curation import stratified_sample
+    """Deterministic hash-stratified rebalance (md5-threshold per stratum
+    — the reproducible, oracle-checkable form; the seeded ``sampleBy``
+    Bernoulli surface stays pinned in pytest)."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import (
+        hash_stratified_sample,
+    )
 
     docs = t(spark, sf_dir, "documents")
-    return stratified_sample(
+    return hash_stratified_sample(
         docs, {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1}
     ).orderBy("doc_id")
 
@@ -345,6 +347,16 @@ def p27_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=50, overlap=10).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+def p38_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + 16-way sharding for training order
+    (md5 sort keys, nibble shards) — per-shard manifest digest; full
+    oracle."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import shuffle_shards
+
+    docs = t(spark, sf_dir, "documents")
+    return shuffle_shards(docs, n_shards=16).orderBy("shard")
 
 
 def p33_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,6 +463,7 @@ QUERIES = {
     "p35_connected_components": p35_connected_components,
     "p36_audio_energy": p36_audio_energy,
     "p37_unigram_logprob": p37_unigram_logprob,
+    "p38_shuffle_shards": p38_shuffle_shards,
 }
 
 _SHINGLES_CTE = """
@@ -959,6 +972,26 @@ ORACLES = {
                COALESCE(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE kept),
                         '') AS text_kept
         FROM r GROUP BY doc_id ORDER BY doc_id
+    """,
+    "p22_stratified_sample": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+              CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+                        WHEN 'es' THEN '4000' WHEN 'fr' THEN '1999' END
+        ORDER BY doc_id
+    """,
+    "p38_shuffle_shards": """
+        WITH k AS (
+          SELECT CAST(strpos('0123456789abcdef',
+                             substr(md5(doc_id::VARCHAR), 1, 1)) - 1 AS INT)
+                   AS shard,
+                 md5(doc_id::VARCHAR) AS sort_key, n_chars
+          FROM documents
+        )
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+               MIN(sort_key) AS first_key, MAX(sort_key) AS last_key
+        FROM k GROUP BY shard ORDER BY shard
     """,
     "p36_audio_energy": """
         WITH b AS (

@@ -68,17 +68,24 @@ def test_hash_extra_formats_and_determinism(spark, sf_dir):
 
 
 def test_stratified_sample_pinned(spark, sf_dir):
-    """p22 (rows-only): seeded sampleBy is deterministic, a subset of the
-    source, respects the stratum whitelist, and lands near the requested
-    fractions."""
+    """p22 (now hash-stratified, oracle-checked) stays deterministic, a
+    subset of the source, respects the stratum whitelist, and lands near
+    the requested fractions; the seeded ``sampleBy`` Bernoulli surface
+    keeps its determinism pin here."""
     from apache_hive_2_1_1_src_spark.io import load_table
+    from apache_hive_2_1_1_src_spark.pipeline.curation import stratified_sample
     from apache_hive_2_1_1_src_spark.queries.pipeline_queries import (
         p22_stratified_sample,
     )
 
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = stratified_sample(docs, {"en": 0.5, "de": 0.25}).count()
+    s2 = stratified_sample(docs, {"en": 0.5, "de": 0.25}).count()
+    assert s1 == s2, "seeded sampleBy must be deterministic"
+
     a = p22_stratified_sample(spark, sf_dir).collect()
     b = p22_stratified_sample(spark, sf_dir).collect()
-    assert a == b, "seeded sample must be deterministic"
+    assert a == b, "hash-stratified sample must be deterministic"
 
     docs = load_table(spark, sf_dir, "documents")
     all_ids = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
