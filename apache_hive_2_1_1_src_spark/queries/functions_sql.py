@@ -472,23 +472,25 @@ def q106_string_extra_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q107_string_extra_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """substring_index / initcap / soundex / format_number / conv — no
-    DuckDB equivalents (rows-only; tests/test_functions.py pins values)."""
+    """substring_index / initcap / format_number / conv — oracle-checked
+    via DuckDB list/format equivalents (round 4; previously rows-only).
+    soundex has no DuckDB equivalent and stays pinned in
+    tests/test_functions.py."""
     n = t(spark, sf_dir, "nation")
     return n.select(
         "n_nationkey",
         F.substring_index(F.col("n_name"), "A", 2).alias("upto_2nd_a"),
         F.initcap(F.lower(F.col("n_name"))).alias("title"),
-        F.soundex(F.col("n_name")).alias("sndx"),
         F.format_number(F.col("n_regionkey") * 1234.5678, 2).alias("fmt"),
         F.conv(F.col("n_nationkey").cast("string"), 10, 16).alias("hex_via_conv"),
     )
 
 
 def q108_date_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """from_unixtime round trip (oracle) + next_day/months_between pinned
-    by pytest (DuckDB lacks both; months_between uses the Oracle 31-day
-    convention in both Hive and Spark)."""
+    """from_unixtime round trip + next_day — oracle-checked (round 4;
+    next_day maps to an isodow offset in DuckDB).  months_between (the
+    Oracle 31-day convention, shared by Hive and Spark but not DuckDB)
+    stays pinned in tests/test_functions.py."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
     epoch = F.unix_timestamp(F.col("o_orderdate"))
     return o.select(
@@ -497,9 +499,6 @@ def q108_date_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.next_day(F.col("o_orderdate"), "Mon"), "yyyy-MM-dd").alias(
             "next_monday"
         ),
-        F.round(
-            F.months_between(F.lit("2000-01-31").cast("date"), F.col("o_orderdate")), 4
-        ).alias("months_to_y2k_eom"),
     )
 
 
@@ -542,6 +541,32 @@ ORACLES = {
                                  x -> x != '') AS w
               FROM region), LATERAL UNNEST(w) AS s(u)
         ORDER BY r_regionkey, token
+    """,
+    "q107_string_extra_pinned": """
+        SELECT n_nationkey,
+               array_to_string((string_split(n_name, 'A'))[1:2], 'A')
+                 AS upto_2nd_a,
+               array_to_string(list_transform(
+                   string_split(lower(n_name), ' '),
+                   w -> upper(w[1:1]) || w[2:]), ' ') AS title,
+               format('{:,}', CAST(floor(round(n_regionkey * 1234.5678, 2))
+                                   AS BIGINT))
+                 || '.'
+                 || lpad(CAST(CAST(round((round(n_regionkey * 1234.5678, 2)
+                          - floor(round(n_regionkey * 1234.5678, 2))) * 100)
+                          AS BIGINT) AS VARCHAR), 2, '0') AS fmt,
+               upper(to_hex(n_nationkey)) AS hex_via_conv
+        FROM nation ORDER BY n_nationkey
+    """,
+    "q108_date_extra": """
+        SELECT o_orderkey,
+               strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                 AS from_epoch,
+               strftime(o_orderdate + CAST(
+                   CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                        ELSE (8 - isodow(o_orderdate)) % 7 END
+                   || ' days' AS INTERVAL), '%Y-%m-%d') AS next_monday
+        FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey
     """,
     "q106_string_extra_oracle": """
         SELECT n_nationkey,

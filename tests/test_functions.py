@@ -53,10 +53,23 @@ def test_string_extra_pinned_values(spark, sf_dir):
     # only one 'A' in the name -> substring_index returns the whole string
     assert r0.upto_2nd_a == "NATION_0"
     assert r0.title == "Nation_0"
-    assert r0.sndx == "N350"
     assert r0.fmt == "0.00"
     assert rows[1].fmt == "1,234.57"
     assert rows[15].hex_via_conv == "F"
+
+    # soundex has no DuckDB equivalent -> pinned here (moved out of the
+    # oracle-checked q107 projection in round 4)
+    from pyspark.sql import functions as F
+
+    from apache_hive_2_1_1_src_spark.io import load_table
+
+    sndx = {
+        r.n_nationkey: r.sndx
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", F.soundex("n_name").alias("sndx"))
+        .collect()
+    }
+    assert sndx[0] == "N350"
 
 
 def test_date_extra_pinned_values(spark, sf_dir):
@@ -69,6 +82,25 @@ def test_date_extra_pinned_values(spark, sf_dir):
         nd = dt.date.fromisoformat(r.next_monday)
         assert nd.weekday() == 0  # always a Monday
         assert r.from_epoch.endswith("00:00:00")
+
+    # months_between keeps the Oracle 31-day convention in Hive and Spark
+    # but not DuckDB -> pinned here (moved out of q108's oracle projection)
+    from pyspark.sql import functions as F
+
+    mb = (
+        spark.range(1)
+        .select(
+            F.round(
+                F.months_between(
+                    F.lit("2000-01-31").cast("date"), F.lit("1999-12-31").cast("date")
+                ),
+                4,
+            ).alias("m")
+        )
+        .collect()[0]
+        .m
+    )
+    assert mb == 1.0  # both month-ends -> exactly 1 month apart
 
 
 def test_hive_text_roundtrip_preserves_nulls(spark, tmp_path):
