@@ -366,3 +366,32 @@ def test_bench_headline_names_exist():
     # every oracle key must also be a registered query
     dangling = [n for n in all_oracles() if n not in qs]
     assert not dangling, dangling
+
+
+def test_analyze_feeds_cbo_statistics(spark, sf_dir):
+    """ANALYZE TABLE must land row-count statistics the optimizer can
+    see (Hive's StatsTask → CBO handoff): after COMPUTE STATISTICS the
+    optimized plan's stats carry the exact rowCount."""
+    import os
+
+    from apache_hive_2_1_1_src_spark.io import load_table
+    from apache_hive_2_1_1_src_spark.queries.storage import drop_table
+
+    tbl = f"cbo_stats_{os.getpid()}"
+    drop_table(spark, tbl)
+    load_table(spark, sf_dir, "region").write.saveAsTable(tbl)
+    try:
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        # rowCount surfaces in plan stats only under CBO
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        stats = (
+            spark.table(tbl)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().isDefined(), "ANALYZE must persist rowCount"
+        assert stats.rowCount().get() == spark.table(tbl).count()
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        drop_table(spark, tbl)
