@@ -471,6 +471,25 @@ def q106_string_extra_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q166_string_fn_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """translate / locate / printf / unhex round-trip / current_user —
+    the last oracle-expressible FunctionRegistry stragglers
+    (GenericUDFTranslate, GenericUDFLocate, GenericUDFPrintf,
+    UDFUnhex, GenericUDFCurrentUser).  current_user differs per engine,
+    so the checked contract is non-emptiness."""
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.translate(F.col("n_name"), "AN", "xy").alias("translated"),
+        F.locate("ION", F.col("n_name")).alias("ion_pos"),
+        F.format_string("%s#%03d", F.col("n_name"), F.col("n_nationkey")).alias(
+            "printed"
+        ),
+        F.decode(F.unhex(F.hex(F.col("n_name"))), "UTF-8").alias("hex_roundtrip"),
+        (F.length(F.expr("current_user()")) > 0).alias("has_user"),
+    )
+
+
 def q107_string_extra_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """substring_index / initcap / format_number / conv — oracle-checked
     via DuckDB list/format equivalents (round 4; previously rows-only).
@@ -506,6 +525,7 @@ QUERIES = {
     "q141_python_udtf": q141_python_udtf,
     "q50_string_funcs": q50_string_funcs,
     "q106_string_extra_oracle": q106_string_extra_oracle,
+    "q166_string_fn_pack2": q166_string_fn_pack2,
     "q107_string_extra_pinned": q107_string_extra_pinned,
     "q108_date_extra": q108_date_extra,
     "q51_math_funcs": q51_math_funcs,
@@ -541,6 +561,15 @@ ORACLES = {
                                  x -> x != '') AS w
               FROM region), LATERAL UNNEST(w) AS s(u)
         ORDER BY r_regionkey, token
+    """,
+    "q166_string_fn_pack2": """
+        SELECT n_nationkey,
+               translate(n_name, 'AN', 'xy') AS translated,
+               CAST(strpos(n_name, 'ION') AS INT) AS ion_pos,
+               printf('%s#%03d', n_name, n_nationkey) AS printed,
+               decode(unhex(hex(n_name))) AS hex_roundtrip,
+               length(current_user) > 0 AS has_user
+        FROM nation ORDER BY n_nationkey
     """,
     "q107_string_extra_pinned": """
         SELECT n_nationkey,

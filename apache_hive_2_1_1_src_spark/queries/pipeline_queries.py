@@ -212,12 +212,18 @@ def p14_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def p15_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-id assignment over the fuzzy-dup pair graph (bounded label
-    propagation; rows-only — pytest pins transitive-closure behavior)."""
-    from apache_hive_2_1_1_src_spark.pipeline.dedup import canonicalize_pairs, minhash_dedup
+    """Canonical-id assignment by BOUNDED label propagation (3 hops) over
+    the embedding near-dup pair graph — the fixed-budget counterpart of
+    p35's convergent components, now full oracle (3 unrolled propagation
+    rounds in SQL; round 4 — previously rows-only over minhash pairs,
+    whose pairing stays covered by p02)."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import (
+        canonicalize_pairs,
+        embedding_near_dups,
+    )
 
-    docs = t(spark, sf_dir, "documents")
-    pairs = minhash_dedup(docs, threshold=0.4)
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.40)
     return canonicalize_pairs(pairs, iterations=3).orderBy("id")
 
 
@@ -1029,6 +1035,44 @@ ORACLES = {
         FROM toks t JOIN freq t2 USING (tok), tot
         WHERE t.doc_id <= 600
         GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    "p15_dedup_canonicalize": """
+        WITH pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 4)
+                >= 0.40
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        l0 AS (SELECT id, id AS lab FROM nodes),
+        l1 AS (
+          SELECT n.id, LEAST(l.lab, COALESCE(MIN(ln.lab), l.lab)) AS lab
+          FROM nodes n JOIN l0 l ON l.id = n.id
+          LEFT JOIN edges e ON e.src = n.id
+          LEFT JOIN l0 ln ON ln.id = e.dst
+          GROUP BY n.id, l.lab
+        ),
+        l2 AS (
+          SELECT n.id, LEAST(l.lab, COALESCE(MIN(ln.lab), l.lab)) AS lab
+          FROM nodes n JOIN l1 l ON l.id = n.id
+          LEFT JOIN edges e ON e.src = n.id
+          LEFT JOIN l1 ln ON ln.id = e.dst
+          GROUP BY n.id, l.lab
+        ),
+        l3 AS (
+          SELECT n.id, LEAST(l.lab, COALESCE(MIN(ln.lab), l.lab)) AS lab
+          FROM nodes n JOIN l2 l ON l.id = n.id
+          LEFT JOIN edges e ON e.src = n.id
+          LEFT JOIN l2 ln ON ln.id = e.dst
+          GROUP BY n.id, l.lab
+        )
+        SELECT id, lab AS canonical FROM l3 ORDER BY id
     """,
     "p35_connected_components": """
         WITH RECURSIVE pairs AS (
