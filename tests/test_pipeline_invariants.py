@@ -224,3 +224,17 @@ def test_paragraph_dedup_reassembly_exact(spark, sf_dir):
     assert mismatched == 0
     n_kept_total = out.agg(F.sum("n_kept")).collect()[0][0]
     assert n_kept_total is not None and n_kept_total > 0
+
+
+def test_streaming_upsert_rerun_is_deterministic(spark, sf_dir):
+    """q162: re-running the whole streaming upsert (fresh checkpoint +
+    fresh table root per call) lands the identical final digest — the
+    version-pointer COW commit protocol leaves no order- or
+    retry-dependent state behind."""
+    from apache_hive_2_1_1_src_spark.streaming.jobs import streaming_upsert_orders
+
+    a = streaming_upsert_orders(spark, sf_dir).collect()
+    b = streaming_upsert_orders(spark, sf_dir).collect()
+    assert a == b
+    statuses = {r.status for r in a}
+    assert "N" in statuses, "inserted rows must carry status 'N'"
