@@ -485,7 +485,15 @@ def streaming_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(pointer, "w") as f:
             json.dump({"version": batch_id + 1}, f)
 
-    stream = spark.readStream.schema("k bigint, new_price double").parquet(src_dir)
+    # maxFilesPerTrigger=1 forces one micro-batch per staged file, so the
+    # version chain exercises REAL incremental merges (v0→v1→…→vN), not a
+    # single catch-all batch; each key appears in exactly one update file,
+    # so slice-by-slice upserts land the same final state the oracle checks
+    stream = (
+        spark.readStream.schema("k bigint, new_price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
     q = (
         stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", ckpt_dir)
