@@ -491,20 +491,22 @@ def chunk_dedup(
 
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     nchunks = F.ceil(F.size("ws") / F.lit(words_per_chunk)).cast("int")
-    chunks = (
-        docs.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), nchunks - 1),
-                    lambda i: F.array_join(
-                        F.slice(F.col("ws"), i * words_per_chunk + 1, words_per_chunk),
-                        " ",
-                    ),
-                )
-            ).alias("idx", "chunk"),
-        )
+    # guard: sequence(0, -1) auto-reverses to [0, -1] in Spark, so an
+    # empty/whitespace-only doc would emit two phantom chunks — emit an
+    # empty chunk list instead (the doc then has no rows, like the oracle)
+    chunk_list = F.when(
+        F.size("ws") > 0,
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("ws"), i * words_per_chunk + 1, words_per_chunk),
+                " ",
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = docs.select(F.col(id_col).alias("doc_id"), words.alias("ws")).select(
+        "doc_id",
+        F.posexplode(chunk_list).alias("idx", "chunk"),
     )
     w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
     ranked = chunks.withColumn("kept", F.row_number().over(w) == 1)

@@ -238,3 +238,17 @@ def test_streaming_upsert_rerun_is_deterministic(spark, sf_dir):
     assert a == b
     statuses = {r.status for r in a}
     assert "N" in statuses, "inserted rows must carry status 'N'"
+
+
+def test_chunk_dedup_empty_docs_emit_no_chunks(spark, sf_dir):
+    """p34 edge: empty / whitespace-only docs must produce NO chunk rows
+    (Spark's sequence(0,-1) auto-reverses — the guard keeps phantom
+    chunks out of the global dedup)."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in chunk_dedup(df, words_per_chunk=2).collect()}
+    assert set(rows) == {1}
+    assert rows[1].n_chunks == 2 and rows[1].text_kept == "a b c"
