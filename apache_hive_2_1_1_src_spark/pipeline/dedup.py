@@ -418,18 +418,19 @@ def semantic_dedup(
     id_col: str = "vec_id",
     threshold: float = 0.4,
     sign_bits: int = 4,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse-
     cluster the embedding space, then drop any vector that has a
     higher-similarity, lower-id neighbor inside its cluster.
 
-    The coarse quantizer here is a deterministic sign grid — bucket =
+    The default coarse quantizer is a deterministic sign grid — bucket =
     the sign bits of the first ``sign_bits`` dimensions (2^sign_bits
     cells) — so the whole operator is closed-form and oracle-checkable.
-    At 100 TB swap the grid for the trained IVF coarse quantizer
-    (pipeline/ivf.py): same shape — assign is a broadcast-centroid
-    argmin, pairing stays bucket-local (never all-pairs), and the keep
-    rule below is unchanged.
+    For the 100 TB path pass ``bucket_col`` with a precomputed cluster
+    id (e.g. the IVF ``cid`` from ivf.assign_lists — a broadcast-
+    centroid argmin): pairing stays bucket-local either way, and the
+    keep rule is unchanged.
 
     Plan: one narrow projection (bucket bits), one bucket-keyed self-join
     (pairs exist only within a cell), one semi-join for the drop set —
@@ -438,15 +439,22 @@ def semantic_dedup(
 
     Returns (vec_id, bucket, kept) for every input vector.
     """
-    bucket = None
-    for i in range(sign_bits):
-        bit = (F.element_at(F.col("v"), i + 1) >= 0).cast("int") * (
-            2 ** (sign_bits - 1 - i)
+    if bucket_col is not None:
+        v = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.col(bucket_col).alias("bucket"),
         )
-        bucket = bit if bucket is None else bucket + bit
-    v = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", bucket)
+    else:
+        bucket = None
+        for i in range(sign_bits):
+            bit = (F.element_at(F.col("v"), i + 1) >= 0).cast("int") * (
+                2 ** (sign_bits - 1 - i)
+            )
+            bucket = bit if bucket is None else bucket + bit
+        v = emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).withColumn("bucket", bucket)
     a, b = v.alias("a"), v.alias("b")
     cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
     dropped = (

@@ -252,3 +252,38 @@ def test_chunk_dedup_empty_docs_emit_no_chunks(spark, sf_dir):
     rows = {r.doc_id: r for r in chunk_dedup(df, words_per_chunk=2).collect()}
     assert set(rows) == {1}
     assert rows[1].n_chunks == 2 and rows[1].text_kept == "a b c"
+
+
+def test_semantic_dedup_with_ivf_buckets(spark, sf_dir):
+    """p33's 100 TB composition: semantic_dedup over IVF cluster ids
+    (bucket_col) must keep exactly one representative per near-dup group
+    within each cluster — same keep-rule contract as the sign grid."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import cosine, semantic_dedup
+    from apache_hive_2_1_1_src_spark.pipeline.ivf import (
+        assign_lists,
+        train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, num_centroids=8, iterations=2)
+    clustered = assign_lists(emb, cents).select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding"), "cid"
+    )
+    res = semantic_dedup(clustered, threshold=0.4, bucket_col="cid")
+    assert res.count() == emb.count()
+    kept = res.filter("kept").join(clustered, "vec_id").select(
+        "vec_id", "cid", "embedding"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    leftover = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4) >= 0.4
+        )
+        .count()
+    )
+    assert leftover == 0
