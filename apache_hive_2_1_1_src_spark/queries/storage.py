@@ -332,7 +332,39 @@ def q158_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q167_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL lifecycle (DDLTask.java / DDLSemanticAnalyzer): CREATE TABLE
+    LIKE (schema copy, no data), INSERT, ALTER TABLE ADD COLUMNS,
+    TRUNCATE TABLE — each stage's (row count, column count) reported as
+    the oracle-checked digest.  All Hive 2.1 statements with direct
+    Spark SQL equivalents."""
+    base, like = f"ddl_lc_base_{_PID}", f"ddl_lc_like_{_PID}"
+    for tb in (base, like):
+        drop_table(spark, tb)
+    t(spark, sf_dir, "region").write.saveAsTable(base)
+    stages = []
+
+    def snap(stage: str, tb: str) -> None:
+        df = spark.table(tb)
+        stages.append((stage, df.count(), len(df.schema.fields)))
+
+    spark.sql(f"CREATE TABLE {like} LIKE {base}")
+    snap("1_create_like", like)
+    spark.sql(
+        f"INSERT INTO {like} SELECT * FROM {base} WHERE r_regionkey < 2"
+    )
+    snap("2_insert", like)
+    spark.sql(f"ALTER TABLE {like} ADD COLUMNS (load_tag STRING)")
+    snap("3_add_column", like)
+    spark.sql(f"TRUNCATE TABLE {like}")
+    snap("4_truncate", like)
+    return spark.createDataFrame(
+        stages, "stage string, n_rows bigint, n_cols int"
+    ).orderBy("stage")
+
+
 QUERIES = {
+    "q167_ddl_lifecycle": q167_ddl_lifecycle,
     "q158_show_partitions": q158_show_partitions,
     "q139_export_import": q139_export_import,
     "q147_compaction": q147_compaction,
@@ -350,6 +382,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q167_ddl_lifecycle": """
+        SELECT * FROM (VALUES
+          ('1_create_like', CAST(0 AS BIGINT), 2),
+          ('2_insert',      CAST(2 AS BIGINT), 2),
+          ('3_add_column',  CAST(2 AS BIGINT), 3),
+          ('4_truncate',    CAST(0 AS BIGINT), 3)
+        ) AS t(stage, n_rows, n_cols) ORDER BY stage
+    """,
     "q158_show_partitions": """
         SELECT DISTINCT 'o_orderpriority=' || o_orderpriority AS part_spec
         FROM orders ORDER BY part_spec
