@@ -45,27 +45,27 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     dt = dict(df.dtypes).get("ts")
-    if dt not in ("bigint", "timestamp_ntz"):
-        return df
-    # NTZ→TZ cast (and epoch-micros reinterpretation) is instant-preserving
-    # only under the UTC session zone the compat preset pins; fail loudly if
-    # a caller reaches this on a misconfigured bare session.
-    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
-    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
-        raise RuntimeError(
-            "events.ts normalization requires spark.sql.session.timeZone=UTC "
-            f"(got {tz!r}); build the session via session.build_session / "
-            "apply_compat_conf"
-        )
     if dt == "bigint":
-        # integer division: `/` is double division and epoch-nanos (~1.7e18)
+        # timestamp_micros reinterprets an epoch offset — instant-preserving
+        # under ANY session zone, so no tz guard here.
+        # Integer division: `/` is double division and epoch-nanos (~1.7e18)
         # exceeds double's 2^53 integer precision, corrupting microseconds.
         # Floor (not truncate-toward-zero) via pmod so pre-1970 nanos round
         # down to the containing microsecond instead of up by 1µs.
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000L)) div 1000"))
         )
-    else:
+    elif dt == "timestamp_ntz":
+        # the NTZ→TZ cast interprets the wall clock in the session zone —
+        # instant-preserving only under the UTC zone the compat preset
+        # pins; fail loudly on a misconfigured bare session.
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+            raise RuntimeError(
+                "events.ts NTZ normalization requires "
+                f"spark.sql.session.timeZone=UTC (got {tz!r}); build the "
+                "session via session.build_session / apply_compat_conf"
+            )
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -90,9 +90,19 @@ def validate_constraints(
             pk = parent.select(
                 *[F.col(rc).alias(cc) for cc, rc in zip(c["columns"], c["ref_columns"])]
             ).distinct()
+            # broadcast only when the caller says the parent key set is
+            # dimension-sized (default True — fact-sized parents at scale
+            # set False and let the planner pick a shuffled anti-join)
+            if c.get("broadcast_parent", True):
+                pk = F.broadcast(pk)
+            # SQL MATCH SIMPLE: a child row with NULL in ANY FK column is
+            # exempt, not an orphan
+            all_non_null = F.lit(True)
+            for col in c["columns"]:
+                all_non_null = all_non_null & F.col(col).isNotNull()
             v = (
-                child.join(F.broadcast(pk), on=list(c["columns"]), how="left_anti")
-                .filter(F.col(c["columns"][0]).isNotNull())
+                child.join(pk, on=list(c["columns"]), how="left_anti")
+                .filter(all_non_null)
                 .agg(F.count(F.lit(1)).cast("long").alias("v"))
             )
         elif kind == "not_null":

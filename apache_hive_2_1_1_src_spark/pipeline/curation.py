@@ -254,43 +254,48 @@ def hash_stratified_sample(
     p26 domain-mix: layout- and partitioning-independent, stable when the
     mix is retuned, and exactly reproducible by any engine — unlike
     ``sampleBy``'s partition-seeded Bernoulli draws.  Strata absent from
-    ``fractions`` are dropped.  Per-row projection, no shuffle."""
+    ``fractions`` are dropped.  Per-row projection, no shuffle.  Returns
+    the surviving rows with ALL input columns (callers project)."""
+
+    def thr_hex(frac: float) -> str:
+        # frac >= 1.0 would format to 5 hex chars ('10000'), which
+        # compares LESS than most 4-char hashes and silently drops ~94%
+        # of the stratum — 'g' sorts after every hex char, so it means
+        # keep-all in both engines
+        return "g" if frac >= 1.0 else format(max(int(frac * 65536), 0), "04x")
+
     thr_map = F.create_map(
         *[
             F.lit(x)
             for stratum, frac in sorted(fractions.items())
-            for x in (stratum, format(int(frac * 65536), "04x"))
+            for x in (stratum, thr_hex(frac))
         ]
     )
     h4 = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
     thr = thr_map[F.col(stratum_col)]
-    return docs.filter(thr.isNotNull() & (h4 < thr)).select(
-        "doc_id", "lang", "source"
-    )
+    return docs.filter(thr.isNotNull() & (h4 < thr))
 
 
 def shuffle_shards(
     docs: DataFrame, n_shards: int = 16, key_col: str = "doc_id"
 ) -> DataFrame:
-    """Deterministic corpus shuffle + sharding for training order: every
+    """Deterministic corpus-shuffle MANIFEST for training order: every
     doc gets a pseudorandom-but-stable sort key (md5 of its id) and a
     shard (first md5 nibble, 0..15 for 16 shards); training reads shards
-    in order, rows within a shard ordered by sort key — a full-corpus
-    shuffle that is reproducible across runs and cluster layouts (the
-    property epoch-seeded ``orderBy(rand())`` lacks) and needs no global
-    sort: the write is ``repartition(shard)`` + within-partition sort.
-
-    Returns the per-shard digest (shard, n_docs, n_chars_total,
-    first_key, last_key) — the manifest a training job checks before
-    reading."""
+    in order, rows within a shard ordered by sort key — reproducible
+    across runs and cluster layouts (the property epoch-seeded
+    ``orderBy(rand())`` lacks) and needing no global sort.  This function
+    computes the per-shard digest (shard, n_docs, n_chars_total,
+    first_key, last_key) a training job checks before reading; the
+    actual file write, when wanted, is the caller's
+    ``df.repartition('shard').sortWithinPartitions('sort_key').write...``
+    over the same two derived columns."""
     if n_shards != 16:
         raise ValueError("single-nibble sharding supports n_shards=16")
     h = F.md5(F.col(key_col).cast("string"))
-    shard = (
-        F.expr(
-            f"instr('0123456789abcdef', substring(md5(cast({key_col} as string)), 1, 1)) - 1"
-        )
-    ).cast("int")
+    # derive the shard from the SAME h expression (conv of its first
+    # nibble) rather than re-hashing — one hash definition, CSE-friendly
+    shard = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
     return (
         docs.select(shard.alias("shard"), h.alias("sort_key"), F.col("n_chars"))
         .groupBy("shard")

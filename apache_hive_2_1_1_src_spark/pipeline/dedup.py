@@ -613,4 +613,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = 12) -> DataFram
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        # silently returning unconverged labels would split one component
+        # into several (duplicates survive dedup) — fail loudly instead;
+        # callers wanting a fixed hop budget use canonicalize_pairs
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds the pointer-jump radius); "
+            "raise max_iterations"
+        )
     return labels

@@ -404,9 +404,11 @@ def q161_constraint_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"name": "fk_orders_customer", "kind": "foreign_key", "table": "orders",
          "columns": ["o_custkey"], "ref_table": "customer",
          "ref_columns": ["c_custkey"]},
+        # orders is fact-sized at scale: no broadcast hint — the planner
+        # picks a shuffled anti-join (SHJ under the compat preset)
         {"name": "fk_lineitem_orders", "kind": "foreign_key", "table": "lineitem",
          "columns": ["l_orderkey"], "ref_table": "orders",
-         "ref_columns": ["o_orderkey"]},
+         "ref_columns": ["o_orderkey"], "broadcast_parent": False},
         {"name": "nn_orders_status", "kind": "not_null", "table": "orders",
          "columns": ["o_orderstatus"]},
     ]
@@ -439,9 +441,10 @@ def q164_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ColumnStatsTask/ColumnStatsUpdateTask surface (ql/.../stats): column
     min/max/null-count/NDV persisted to the catalog and read back via
     DESCRIBE EXTENDED.  min/max/nulls are exact → oracle-checked
-    directly; NDV is an HLL sketch → accuracy certificate (within 5% of
-    exact).  The catalog read-back is metadata, not data — stats feed
-    the CBO exactly as Hive's do."""
+    directly; NDV is an HLL sketch (rsd=0.05) → accuracy certificate at
+    a 3-sigma 15% envelope (column ndv_within_15pct).  The catalog
+    read-back is metadata, not data — stats feed the CBO exactly as
+    Hive's do."""
     from apache_hive_2_1_1_src_spark.queries.storage import drop_table
 
     tbl = f"colstats_orders_{os.getpid()}"

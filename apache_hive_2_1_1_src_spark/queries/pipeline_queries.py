@@ -285,9 +285,11 @@ def p22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents")
-    return hash_stratified_sample(
-        docs, {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1}
-    ).orderBy("doc_id")
+    return (
+        hash_stratified_sample(docs, {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1})
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
 
 
 def p23_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

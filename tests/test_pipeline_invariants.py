@@ -287,3 +287,42 @@ def test_semantic_dedup_with_ivf_buckets(spark, sf_dir):
         .count()
     )
     assert leftover == 0
+
+
+def test_hash_stratified_sample_full_fraction_keeps_all(spark, sf_dir):
+    """frac >= 1.0 must keep the whole stratum (the 5-hex-char threshold
+    regression: '10000' < most hashes silently dropped ~94%)."""
+    from apache_hive_2_1_1_src_spark.io import load_table
+    from apache_hive_2_1_1_src_spark.pipeline.curation import (
+        hash_stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    kept = hash_stratified_sample(docs, {"en": 1.0}).count()
+    assert kept == n_en, (kept, n_en)
+    assert hash_stratified_sample(docs, {"en": 0.0}).count() == 0
+
+
+def test_fk_audit_match_simple_null_exemption(spark, sf_dir):
+    """Composite-FK audit: a child row with NULL in ANY FK column is
+    exempt (SQL MATCH SIMPLE), not an orphan."""
+    from apache_hive_2_1_1_src_spark.operators.maintenance import (
+        validate_constraints,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (1, None), (None, 10), (9, 99)], "a int, b int"
+    )
+    parent = spark.createDataFrame([(1, 10)], "pa int, pb int")
+    out = validate_constraints(
+        spark,
+        {"c": child, "p": parent},
+        [
+            {"name": "fk_ab", "kind": "foreign_key", "table": "c",
+             "columns": ["a", "b"], "ref_table": "p",
+             "ref_columns": ["pa", "pb"], "broadcast_parent": True}
+        ],
+    ).collect()[0]
+    # only (9, 99) is a true orphan; the NULL-bearing rows are exempt
+    assert out.violation_count == 1, out
