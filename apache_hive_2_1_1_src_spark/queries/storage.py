@@ -363,8 +363,43 @@ def q167_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage")
 
 
+def q168_opencsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenCSVSerde-equivalent round trip (serde2 OpenCSVSerde: quoted
+    fields, embedded delimiters/quotes, backslash escape): derive a
+    column containing commas and double quotes, write quoted CSV, read
+    back with explicit quote/escape options, and digest — proving the
+    quote/escape path is lossless, not just the ^A default (q89)."""
+    out = os.path.join(_SCRATCH, "customer_opencsv")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    tricky = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit('say "'), F.col("c_name"), F.lit('", segment: '),
+            F.col("c_mktsegment"), F.lit(","),
+        ).alias("note"),
+        "c_acctbal",
+    )
+    (
+        tricky.write.mode("overwrite")
+        .options(header=True, quote='"', escape='"')
+        .csv(out)
+    )
+    back = spark.read.options(header=True, quote='"', escape='"').schema(
+        "c_custkey bigint, note string, c_acctbal double"
+    ).csv(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("note")).alias("note_chars"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal_total"),
+        F.sum(F.when(F.col("note").contains('"'), 1).otherwise(0)).alias(
+            "n_quoted"
+        ),
+    )
+
+
 QUERIES = {
     "q167_ddl_lifecycle": q167_ddl_lifecycle,
+    "q168_opencsv_roundtrip": q168_opencsv_roundtrip,
     "q158_show_partitions": q158_show_partitions,
     "q139_export_import": q139_export_import,
     "q147_compaction": q147_compaction,
@@ -382,6 +417,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q168_opencsv_roundtrip": """
+        SELECT COUNT(*) AS n,
+               CAST(SUM(length('say "' || c_name || '", segment: '
+                               || c_mktsegment || ',')) AS BIGINT)
+                 AS note_chars,
+               ROUND(SUM(c_acctbal), 2) AS bal_total,
+               CAST(COUNT(*) AS BIGINT) AS n_quoted
+        FROM customer WHERE c_custkey <= 300
+    """,
     "q167_ddl_lifecycle": """
         SELECT * FROM (VALUES
           ('1_create_like', CAST(0 AS BIGINT), 2),
