@@ -48,21 +48,26 @@ def train_centroids(
     """Lloyd-refined codebook: (cid, centroid array<double>).
 
     Seed = the ``num_centroids`` lowest-id vectors (deterministic, no
-    RNG).  Each iteration: nearest-centroid assignment via a broadcast
-    join, then an element-wise mean per cluster (explode to (cid, dim)
-    rows — k×dims output, one shuffle of |corpus|×dims rows; at real
-    scale sample the corpus for training, the assignment step below
-    still covers every vector).
+    RNG), taken with ``orderBy(id).limit(k)`` so Catalyst plans a fully
+    distributed TakeOrderedAndProject (per-partition top-k, merged on
+    the driver) rather than forcing the corpus through a single-task
+    global-sort window.  The k survivors are ranked into cids by one
+    tiny single-row aggregate (k × dims values — same size as the
+    broadcast codebook itself).  Each iteration: nearest-centroid
+    assignment via a broadcast join, then an element-wise mean per
+    cluster (explode to (cid, dim) rows — k×dims output, one shuffle of
+    |corpus|×dims rows; at real scale sample the corpus for training,
+    the assignment step below still covers every vector).
     """
     vecs = emb.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    seed_w = Window.orderBy("id")
+    seeds = vecs.orderBy("id").limit(num_centroids)
     centroids = (
-        vecs.withColumn("rn", F.row_number().over(seed_w))
-        .filter(F.col("rn") <= num_centroids)
-        .select((F.col("rn") - 1).alias("cid"), F.col("v").alias("centroid"))
+        seeds.agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("s"))
+        .select(F.posexplode("s").alias("cid", "sv"))
+        .select("cid", F.col("sv.v").alias("centroid"))
     )
     for _ in range(iterations):
         assigned = assign_lists(vecs, centroids, vec_col="v", id_col="id")

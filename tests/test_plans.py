@@ -395,3 +395,39 @@ def test_analyze_feeds_cbo_statistics(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", "false")
         drop_table(spark, tbl)
+
+
+def _partitionless_windows(df) -> list[str]:
+    """Window nodes in the optimized logical plan with an empty
+    partitionSpec — every row funnels through ONE task; fatal at scale."""
+    hits: list[str] = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]  # noqa: SLF001
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            hits.append(node.simpleStringWithNodeId())
+        for i in range(node.children().length()):
+            stack.append(node.children().apply(i))
+    return hits
+
+
+def test_ivf_build_has_no_global_sort_window(spark, sf_dir):
+    """The IVF centroid seed must plan as TakeOrderedAndProject
+    (distributed per-partition top-k), never a partitionless
+    row_number window that sorts the whole corpus in one task
+    (VERDICT r4 'What's wrong' #1)."""
+    from apache_hive_2_1_1_src_spark.pipeline.ivf import train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, num_centroids=8, iterations=1)
+    assert _partitionless_windows(cents) == []
+    assert "TakeOrderedAndProject" in _plan(cents)
+
+
+def test_p23_ivf_query_has_no_partitionless_window(spark, sf_dir):
+    """End-to-end p23 plan: the only Window nodes are the per-query
+    top-k ones, all partitioned by query_id."""
+    from apache_hive_2_1_1_src_spark.queries.pipeline_queries import p23_ann_ivf
+
+    df = p23_ann_ivf(spark, sf_dir)
+    assert _partitionless_windows(df) == []
