@@ -333,20 +333,49 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def sign_bucket(vec: Column, sign_bits: int) -> Column:
+    """Deterministic coarse-quantizer cell id: the sign bits of the first
+    ``sign_bits`` dimensions packed into an int (2^sign_bits cells).
+    Shared by semantic_dedup and the bucketed pair generator, and
+    closed-form enough that DuckDB oracles reproduce it exactly."""
+    bucket = None
+    for i in range(sign_bits):
+        bit = (F.element_at(vec, i + 1) >= 0).cast("int") * (
+            2 ** (sign_bits - 1 - i)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
 def embedding_near_dups(
-    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.95
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    sign_bits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (i < j, rounded cosine >= threshold).
 
-    Test-scale plan: broadcast self-join.  100 TB plan: feed pairs from
-    similarity.lsh_bucketed_ann's hyperplane buckets instead of the
-    all-pairs join; the scoring expression is identical.
+    With ``sign_bits`` set (the scale path, and what the shipped p15/p35
+    graph-dedup entries use) pairing is bucket-local: both sides carry a
+    sign-grid cell id and the self-join is an equi-join on it, so
+    Catalyst plans a hash join keyed on the cell — shuffle volume is the
+    sum of squared cell sizes, never n², and no
+    BroadcastNestedLoopJoin appears (asserted by plan test).  Cells can
+    be swapped for IVF cids (ivf.assign_lists) without touching the
+    scoring.  ``sign_bits=None`` keeps the exact all-pairs join — the
+    brute-force baseline (p05), same role as p06 for ANN.
     """
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if sign_bits is not None:
+        v = v.withColumn("bucket", sign_bucket(F.col("v"), sign_bits))
     a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if sign_bits is not None:
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & cond
     cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
@@ -446,15 +475,9 @@ def semantic_dedup(
             F.col(bucket_col).alias("bucket"),
         )
     else:
-        bucket = None
-        for i in range(sign_bits):
-            bit = (F.element_at(F.col("v"), i + 1) >= 0).cast("int") * (
-                2 ** (sign_bits - 1 - i)
-            )
-            bucket = bit if bucket is None else bucket + bit
         v = emb.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-        ).withColumn("bucket", bucket)
+        ).withColumn("bucket", sign_bucket(F.col("v"), sign_bits))
     a, b = v.alias("a"), v.alias("b")
     cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
     dropped = (

@@ -213,17 +213,19 @@ def p14_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def p15_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-id assignment by BOUNDED label propagation (3 hops) over
-    the embedding near-dup pair graph — the fixed-budget counterpart of
-    p35's convergent components, now full oracle (3 unrolled propagation
-    rounds in SQL; round 4 — previously rows-only over minhash pairs,
-    whose pairing stays covered by p02)."""
+    the BUCKETED embedding near-dup pair graph — the fixed-budget
+    counterpart of p35's convergent components.  Round 5: the pair
+    source is sign-grid bucket-local (equi hash join on the cell id, no
+    BroadcastNestedLoopJoin — plan-tested), so the shipped plan IS the
+    100 TB plan; full oracle via 3 unrolled propagation rounds in SQL
+    over the identical bucketed pair set."""
     from apache_hive_2_1_1_src_spark.pipeline.dedup import (
         canonicalize_pairs,
         embedding_near_dups,
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(emb, threshold=0.40)
+    pairs = embedding_near_dups(emb, threshold=0.40, sign_bits=4)
     return canonicalize_pairs(pairs, iterations=3).orderBy("id")
 
 
@@ -389,17 +391,19 @@ def p34_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def p35_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True transitive connected components over the embedding near-dup
-    pair graph (min-label propagation to convergence — the convergent
-    big brother of p15's bounded pass).  Full oracle via DuckDB
-    recursive-CTE reachability."""
+    """True transitive connected components over the BUCKETED embedding
+    near-dup pair graph (min-label propagation to convergence — the
+    convergent big brother of p15's bounded pass).  Round 5: pair source
+    is sign-grid bucket-local (hash join on the cell id, no BNLJ —
+    plan-tested).  Full oracle via DuckDB recursive-CTE reachability
+    over the identical bucketed pair set."""
     from apache_hive_2_1_1_src_spark.pipeline.dedup import (
         connected_components,
         embedding_near_dups,
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(emb, threshold=0.40)
+    pairs = embedding_near_dups(emb, threshold=0.40, sign_bits=4)
     return connected_components(pairs).orderBy("id")
 
 
@@ -1039,12 +1043,19 @@ ORACLES = {
         GROUP BY t.doc_id ORDER BY t.doc_id
     """,
     "p15_dedup_canonicalize": """
-        WITH pairs AS (
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+                  + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+          FROM embeddings
+        ),
+        pairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                             CAST(b.embedding AS DOUBLE[])), 4)
-                >= 0.40
+          FROM v a JOIN v b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.40
         ),
         edges AS (
           SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1077,12 +1088,19 @@ ORACLES = {
         SELECT id, lab AS canonical FROM l3 ORDER BY id
     """,
     "p35_connected_components": """
-        WITH RECURSIVE pairs AS (
+        WITH RECURSIVE v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+                  + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+          FROM embeddings
+        ),
+        pairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                             CAST(b.embedding AS DOUBLE[])), 4)
-                >= 0.40
+          FROM v a JOIN v b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.40
         ),
         edges AS (
           SELECT id_a AS src, id_b AS dst FROM pairs

