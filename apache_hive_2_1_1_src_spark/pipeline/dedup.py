@@ -381,13 +381,62 @@ def embedding_near_dups(
     )
 
 
+def md5_minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures built from md5 instead of xxhash64:
+    h_i = lexicographic min over shingles of md5('i|' ++ shingle).
+
+    A lexicographic min over a uniform hex digest is a valid minhash
+    family, and md5 exists verbatim in DuckDB — so band buckets derived
+    from these signatures are fully oracle-reproducible (the xxhash64
+    family in minhash_signatures is faster but keeps p02 rows-only).
+    Same scale shape: explode(shingles) → one groupBy(doc) with
+    ``num_hashes`` codegen min aggregates, map-side partial mins."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), _word_shingles(F.col(text_col)).alias("sh")
+    )
+    exploded = sh.select("id", F.explode("sh").alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
+def md5_band_table(
+    sigs: DataFrame, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """(id, band_idx, band_hash) — banded LSH keys over an md5-minhash
+    signature table; ``bands`` rows per doc, md5 of the comma-joined
+    in-band signature columns."""
+    rows_per_band = num_hashes // bands
+    arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("id", F.posexplode(arr).alias("band_idx", "band_hash"))
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str = "source",
     threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 8,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-ingest dedup: flag each NEW doc against an EXISTING corpus —
     the incremental shape production pipelines run per batch, instead of
@@ -397,11 +446,16 @@ def incremental_dedup(
       semi-join keyed on md5, one shuffle of the (small) new batch; the
       corpus side at 100 TB is a pre-computed hash table read
       partition-pruned (hash-bucketed stage table), never rescanned text.
-    * ``best_jaccard`` / ``is_near_dup``: max word-3-gram Jaccard vs
-      blocked corpus candidates.  Block key here is ``block_col`` (test
-      scale); at 100 TB the block key comes from minhash band buckets
-      (minhash_lsh_candidates) against a stored corpus signature table —
-      identical downstream verify, linear emit, no corpus self-join.
+    * ``best_jaccard`` / ``is_near_dup``: max exact word-3-gram Jaccard
+      over minhash BAND-BLOCKED corpus candidates — the new batch's band
+      keys (md5_band_table) hash-join against the corpus signature
+      table's band keys, so candidate volume is linear in batch size ×
+      bucket occupancy, never |batch|×|corpus|.  Pass ``corpus_bands``
+      (a stored stage table, rebuilt only as the corpus grows) to skip
+      recomputing corpus signatures per batch — the 100 TB deployment
+      shape; when omitted it is derived here from the corpus text.
+      md5-minhash keeps every band key DuckDB-reproducible, so the whole
+      operator is full-oracle despite the approximation.
     """
     nh = new_docs.select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h")
@@ -414,13 +468,33 @@ def incremental_dedup(
     exact = nh.join(ch, "h", "left").select(
         "doc_id", F.coalesce("hit", F.lit(False)).alias("is_exact_dup")
     )
+
+    new_bands = md5_band_table(
+        md5_minhash_signatures(new_docs, text_col, id_col, num_hashes),
+        num_hashes,
+        bands,
+    )
+    if corpus_bands is None:
+        corpus_bands = md5_band_table(
+            md5_minhash_signatures(corpus, text_col, id_col, num_hashes),
+            num_hashes,
+            bands,
+        )
+    cand = (
+        new_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .select(F.col("n.id").alias("nid"), F.col("c.id").alias("cid"))
+        .distinct()
+    )
     nsh = new_docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(block_col).alias("blk"),
-        _word_shingles(F.col(text_col)).alias("sh_n"),
+        F.col(id_col).alias("nid"), _word_shingles(F.col(text_col)).alias("sh_n")
     )
     csh = corpus.select(
-        F.col(block_col).alias("blk"), _word_shingles(F.col(text_col)).alias("sh_c")
+        F.col(id_col).alias("cid"), _word_shingles(F.col(text_col)).alias("sh_c")
     )
     jac = F.round(
         F.size(F.array_intersect("sh_n", "sh_c"))
@@ -428,8 +502,9 @@ def incremental_dedup(
         6,
     )
     best = (
-        nsh.join(csh, "blk")
-        .select("doc_id", jac.alias("jac"))
+        cand.join(nsh, "nid")
+        .join(csh, "cid")
+        .select(F.col("nid").alias("doc_id"), jac.alias("jac"))
         .groupBy("doc_id")
         .agg(F.max("jac").alias("best_jaccard"))
     )

@@ -163,7 +163,10 @@ def p29_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p30_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (new-batch-vs-corpus) dedup: docs with doc_id % 5 == 0
     are the arriving batch, the rest the corpus — exact via md5 semi-join,
-    near via blocked 3-gram Jaccard; full oracle."""
+    near via md5-minhash BAND-BLOCKED candidates + exact 3-gram Jaccard
+    verify (round 5: the batch's band keys hash-join the corpus signature
+    table, replacing the low-cardinality `source` block key); full oracle
+    — md5-minhash band buckets reproduce verbatim in DuckDB."""
     from apache_hive_2_1_1_src_spark.pipeline.dedup import incremental_dedup
 
     docs = t(spark, sf_dir, "documents")
@@ -527,14 +530,31 @@ ORACLES = {
             ON n.h = c.h
           GROUP BY n.doc_id
         ),
+        sigs AS (
+          SELECT doc_id, CAST(i AS INT) AS i,
+                 MIN(md5(i::VARCHAR || '|' || shingle)) AS h
+          FROM sh, UNNEST(sh.s) AS u(shingle), UNNEST(range(16)) AS t(i)
+          GROUP BY doc_id, i
+        ),
+        bandt AS (
+          SELECT doc_id, CAST(i // 2 AS INT) AS band_idx,
+                 md5(string_agg(h, ',' ORDER BY i)) AS band_hash
+          FROM sigs GROUP BY doc_id, i // 2
+        ),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+          FROM (SELECT * FROM bandt WHERE doc_id % 5 = 0) n
+          JOIN (SELECT * FROM bandt WHERE doc_id % 5 != 0) c
+            ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+        ),
         nearj AS (
-          SELECT n.doc_id,
+          SELECT cand.nid AS doc_id,
                  MAX(ROUND(len(list_intersect(n.s, c.s)) * 1.0
                            / len(list_distinct(n.s || c.s)), 6)) AS best_jaccard
-          FROM (SELECT * FROM sh WHERE doc_id % 5 = 0) n
-          JOIN (SELECT * FROM sh WHERE doc_id % 5 != 0) c
-            ON n.source = c.source
-          GROUP BY n.doc_id
+          FROM cand
+          JOIN sh n ON n.doc_id = cand.nid
+          JOIN sh c ON c.doc_id = cand.cid
+          GROUP BY cand.nid
         )
         SELECT e.doc_id, e.is_exact_dup,
                COALESCE(nj.best_jaccard, 0.0) AS best_jaccard,
