@@ -64,32 +64,53 @@ def train_split(
 
 
 def sequence_packing(
-    docs: DataFrame, budget: int = 256, stratum: str = "lang"
+    docs: DataFrame, budget: int = 256, stratum: str = "lang", shards: int = 16
 ) -> DataFrame:
     """Pack documents into fixed token-budget sequences: within each
-    stratum (ordered by doc_id) a document starts the pack whose id is
-    ``floor(running_total_before / budget)`` — the streaming-friendly
-    chunked packing used for context-window construction.  Returns one
-    row per pack with doc and token totals."""
+    (stratum, shard) — ordered by doc_id — a document joins the pack
+    whose id is ``floor(running_total_before / budget)`` — the
+    streaming-friendly chunked packing used for context-window
+    construction.  Returns one row per pack with doc and token totals.
+
+    The running total is inherently sequential, so the window partition
+    IS the parallelism unit.  Partitioning by the raw stratum alone
+    (``lang`` has ~4 values) would funnel ~25 TB per language through
+    single sorted tasks at 100 TB; instead the stratum is composited
+    with a deterministic md5 shard of doc_id (``shards`` substrata), and
+    pack ids are shard-local.  Semantics change vs a single global
+    sequence per stratum: packs never span shards, so each stratum gets
+    up to ``shards`` partially-filled trailing packs instead of one —
+    the standard trade data pipelines accept, since packing quality
+    depends only on shard token mass being >> budget.  Raise ``shards``
+    so each substratum fits one task comfortably (100 TB / 4 langs /
+    budget-sized packs → thousands of shards)."""
     tokens = F.size(_words(F.col("text")))
+    shard = (
+        F.instr(
+            F.lit(_HEX), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        )
+        - F.lit(1)
+    ) % shards
     w = (
-        Window.partitionBy(stratum)
+        Window.partitionBy(stratum, "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     packed = docs.select(
         F.col(stratum), "doc_id", tokens.alias("n_tokens")
-    ).withColumn("pack_id", (cum_before / budget).cast("int"))
+    ).withColumn("shard", shard.cast("int")).withColumn(
+        "pack_id", (cum_before / budget).cast("int")
+    )
     return (
-        packed.groupBy(stratum, "pack_id")
+        packed.groupBy(stratum, "shard", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("pack_tokens"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
-        .orderBy(stratum, "pack_id")
+        .orderBy(stratum, "shard", "pack_id")
     )
 
 

@@ -257,11 +257,13 @@ def p18_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def p19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing (256-token packs per lang, chunked by
-    running total) — one window + one agg; per-pack doc/token totals."""
+    """Token-budget sequence packing (256-token packs, chunked by running
+    total within composite (lang, md5-shard) strata so no window
+    partition ever exceeds 1/16 of a language — round 5 scale fix) —
+    one window + one agg; per-pack doc/token totals."""
     from apache_hive_2_1_1_src_spark.pipeline.curation import sequence_packing
 
-    return sequence_packing(t(spark, sf_dir, "documents"), budget=256)
+    return sequence_packing(t(spark, sf_dir, "documents"), budget=256, shards=16)
 
 
 def p20_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,21 +685,25 @@ ORACLES = {
     "p19_sequence_packing": """
         WITH tok AS (
           SELECT lang, doc_id,
+                 CAST((strpos('0123456789abcdef',
+                              substr(md5(doc_id::VARCHAR), 1, 1)) - 1) % 16
+                      AS INT) AS shard,
                  len(list_filter(string_split_regex(lower(text), '\\s+'),
                                  x -> x != '')) AS n_tokens
           FROM documents
         ), packed AS (
-          SELECT lang, doc_id, n_tokens,
+          SELECT lang, shard, doc_id, n_tokens,
                  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
-                        PARTITION BY lang ORDER BY doc_id
+                        PARTITION BY lang, shard ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                       / 256) AS INT) AS pack_id
           FROM tok
         )
-        SELECT lang, pack_id, COUNT(*) AS n_docs,
+        SELECT lang, shard, pack_id, COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id
+        FROM packed GROUP BY lang, shard, pack_id
+        ORDER BY lang, shard, pack_id
     """,
     "p20_contamination": """
         WITH sh AS (

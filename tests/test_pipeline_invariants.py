@@ -326,3 +326,44 @@ def test_fk_audit_match_simple_null_exemption(spark, sf_dir):
     ).collect()[0]
     # only (9, 99) is a true orphan; the NULL-bearing rows are exempt
     assert out.violation_count == 1, out
+
+
+def test_sequence_packing_budget_and_shard_bounds(spark, sf_dir):
+    """Packing invariants: (a) a pack only exceeds the budget via its
+    final straddling doc — drop the last doc and what remains is under
+    budget (single oversized docs therefore get their own pack); (b)
+    pack ids are dense per (stratum, shard) starting at 0; (c) no window
+    partition exceeds ~1/shards of its stratum — the scale property the
+    composite key exists for."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import sequence_packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 256
+    packs = sequence_packing(docs, budget=budget, shards=16).collect()
+    assert packs
+    doc_tokens = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")).alias(
+                "n"
+            ),
+        ).collect()
+    }
+    by_shard: dict[tuple, list] = {}
+    for r in packs:
+        assert r.pack_tokens - doc_tokens[r.last_doc] < budget, r
+        by_shard.setdefault((r.lang, r.shard), []).append(r.pack_id)
+    for ids in by_shard.values():
+        assert sorted(ids) == list(range(len(ids)))
+    # shard balance: md5 spreads docs ~uniformly, so the largest shard of
+    # a stratum must stay well under the single-partition mass (1/16 of
+    # the stratum +/- sampling noise), never the whole stratum.
+    tot: dict[str, int] = {}
+    shard_tot: dict[tuple, int] = {}
+    for r in packs:
+        tot[r.lang] = tot.get(r.lang, 0) + r.pack_tokens
+        key = (r.lang, r.shard)
+        shard_tot[key] = shard_tot.get(key, 0) + r.pack_tokens
+    for (lang, _), t_shard in shard_tot.items():
+        assert t_shard < tot[lang] * 0.25, (lang, t_shard, tot[lang])
