@@ -397,8 +397,48 @@ def q168_opencsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q169_persistent_metastore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent metastore-backed catalog (HiveMetaStore.java; Thrift
+    Table struct metastore/if/hive_metastore.thrift:294): a first
+    session (own JVM, enableHiveSupport + embedded Derby) CREATEs a
+    database and a lang-partitioned managed table and DIES; a second,
+    brand-new JVM resolves the table purely from the on-disk catalog —
+    spark.table + SHOW PARTITIONS — and reports per-partition counts.
+    Both run as subprocesses (one JVM can't host two SparkContexts);
+    this session only reads the second JVM's parquet output, so every
+    returned row is proof the catalog survived session death."""
+    import subprocess
+    import sys
+
+    base = os.path.join(_SCRATCH, "metastore_demo")
+    env = dict(os.environ)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    for args in (["create", base, sf_dir], ["read", base]):
+        proc = subprocess.run(
+            [sys.executable, "-m", "apache_hive_2_1_1_src_spark.metastore_phase", *args],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            env=env,
+            cwd=repo_root,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"metastore phase {args[0]} failed:\n{proc.stderr[-2000:]}"
+            )
+    return (
+        spark.read.parquet(os.path.join(base, "result"))
+        .select("part", "n_docs", "chars_total")
+        .orderBy("part")
+    )
+
+
 QUERIES = {
     "q167_ddl_lifecycle": q167_ddl_lifecycle,
+    "q169_persistent_metastore": q169_persistent_metastore,
     "q168_opencsv_roundtrip": q168_opencsv_roundtrip,
     "q158_show_partitions": q158_show_partitions,
     "q139_export_import": q139_export_import,
@@ -417,6 +457,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q169_persistent_metastore": """
+        SELECT 'lang=' || lang AS part,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        FROM documents GROUP BY lang ORDER BY part
+    """,
     "q168_opencsv_roundtrip": """
         SELECT COUNT(*) AS n,
                CAST(SUM(length('say "' || c_name || '", segment: '
