@@ -29,6 +29,32 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Timing honesty (VERDICT r4 "What's wrong" #5): a ratio only means
+# something when both engines do comparable work.  q85's Spark side is a
+# partitioned WRITE plus read-back; its correctness oracle is a plain
+# SELECT, so for timing we give DuckDB the same job (partitioned COPY +
+# read-back aggregate).  q96 runs a full Structured Streaming job
+# (micro-batch machinery, state store, availableNow drain) that DuckDB
+# has no counterpart for, so it is reported without a ratio instead of
+# pretending a batch SELECT is equivalent.
+TIMING_WORK = {
+    "q85_write_partitioned": """
+        COPY (SELECT * FROM orders)
+          TO '{scratch}/duck_orders_by_priority'
+          (FORMAT PARQUET, PARTITION_BY (o_orderpriority),
+           OVERWRITE_OR_IGNORE);
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM read_parquet(
+               '{scratch}/duck_orders_by_priority/*/*.parquet',
+               hive_partitioning = true)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+}
+NO_RATIO = {
+    "q96_streaming_window_counts": "streaming job; no DuckDB counterpart",
+}
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -57,11 +83,21 @@ def main() -> None:
             queries[name](spark, sf_dir).count()
             spark_best = min(spark_best, time.perf_counter() - start)
         duck_best = None
-        if name in oracles:
+        note = NO_RATIO.get(name)
+        duck_sql = TIMING_WORK.get(name, oracles.get(name))
+        if duck_sql is not None and note is None:
+            if name in TIMING_WORK:
+                import tempfile
+
+                duck_sql = duck_sql.format(scratch=tempfile.gettempdir())
+                stmts = [s.strip() for s in duck_sql.split(";") if s.strip()]
+            else:
+                stmts = [duck_sql]
             duck_best = float("inf")
             for _ in range(2):
                 start = time.perf_counter()
-                con.execute(oracles[name]).fetchall()
+                for stmt in stmts:
+                    con.execute(stmt).fetchall()
                 duck_best = min(duck_best, time.perf_counter() - start)
         ratio = round(spark_best / duck_best, 2) if duck_best else None
         rows.append(
@@ -70,9 +106,12 @@ def main() -> None:
                 "spark_sec": round(spark_best, 3),
                 "duckdb_sec": round(duck_best, 3) if duck_best else None,
                 "ratio": ratio,
+                **({"note": note} if note else {}),
             }
         )
         flag = " <-- over 2x" if ratio is not None and ratio > 2 else ""
+        if note:
+            flag = f" ({note})"
         print(
             f"{name:32s} spark={spark_best:7.3f}s "
             f"duckdb={duck_best if duck_best is not None else float('nan'):7.3f}s "
