@@ -1,0 +1,312 @@
+"""Pure-Python Avro Object Container File reader/writer, distributed
+through Spark — real Avro IO for environments without the external
+spark-avro connector jar.
+
+Parity target: the reference's AvroSerDe
+(serde/src/java/org/apache/hadoop/hive/serde2/avro/AvroSerDe.java:1,
+AvroSerializer/AvroDeserializer) — Hive tables stored as Avro container
+files.  Spark's own connector is an external module; this container
+cannot fetch it, so the encode/decode here is implemented from the
+public Avro 1.x specification (container-file magic, metadata map,
+zigzag-varint primitives, sync-marked blocks).  The files it writes are
+valid per the OFFICIAL Apache Avro Java library — the Spark classpath
+ships avro-1.12.1, and tests/test_avro.py reads our output back through
+``org.apache.avro.file.DataFileReader`` over py4j to prove
+cross-implementation compatibility.
+
+Distribution model (the part that must scale):
+
+* **write**: ``mapInPandas`` over the source DataFrame — each Arrow
+  batch stream (one task per input partition) encodes its rows and
+  writes one ``part-*.avro`` container file, returning a one-row
+  manifest (path, n_records).  No driver-side data movement; the
+  manifest is the only thing collected.
+* **read**: ``spark.read.format("binaryFile")`` lists and splits the
+  files across tasks; ``mapInPandas`` decodes each container into
+  typed rows.  Avro container files are block-splittable in principle;
+  file-granularity parallelism matches what Hive's AvroContainerInput-
+  Format achieves per split at these file sizes.
+
+Schema subset: flat records of long/int/double/float/boolean/string/
+bytes, nullable via ``["null", T]`` unions — the shapes the TPC-H-ish
+tables need; nested types raise loudly rather than mis-encode.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+_SPARK_TO_AVRO = {
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.BooleanType: "boolean",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+}
+
+
+def spark_schema_to_avro(schema: T.StructType, name: str = "row") -> dict:
+    """Map a flat Spark schema to an Avro record schema (nullable fields
+    become ``["null", T]`` unions, Avro's idiom for optional)."""
+    fields = []
+    for f in schema.fields:
+        avro_type = None
+        for spark_t, avro_t in _SPARK_TO_AVRO.items():
+            if isinstance(f.dataType, spark_t):
+                avro_type = avro_t
+                break
+        if avro_type is None:
+            raise TypeError(
+                f"avro_io supports flat primitive schemas; field {f.name!r} "
+                f"has {f.dataType.simpleString()}"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", avro_type] if f.nullable else avro_type}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+# ---- primitive codec (Avro spec: binary encoding) ----
+
+
+def _write_long(buf: io.BytesIO, n: int) -> None:
+    n = (n << 1) ^ (n >> 63)  # zigzag
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def _read_long(buf: io.BufferedReader) -> int:
+    shift, acc = 0, 0
+    while True:
+        (b,) = buf.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)  # un-zigzag
+
+
+def _write_bytes(buf: io.BytesIO, data: bytes) -> None:
+    _write_long(buf, len(data))
+    buf.write(data)
+
+
+def _read_bytes(buf: io.BufferedReader) -> bytes:
+    return buf.read(_read_long(buf))
+
+
+def _encode_value(buf: io.BytesIO, avro_type, value) -> None:
+    if isinstance(avro_type, list):  # ["null", T] union
+        if value is None:
+            _write_long(buf, 0)
+            return
+        _write_long(buf, 1)
+        avro_type = avro_type[1]
+    if avro_type in ("long", "int"):
+        _write_long(buf, int(value))
+    elif avro_type == "double":
+        buf.write(struct.pack("<d", float(value)))
+    elif avro_type == "float":
+        buf.write(struct.pack("<f", float(value)))
+    elif avro_type == "boolean":
+        buf.write(b"\x01" if value else b"\x00")
+    elif avro_type == "string":
+        _write_bytes(buf, str(value).encode("utf-8"))
+    elif avro_type == "bytes":
+        _write_bytes(buf, bytes(value))
+    else:
+        raise TypeError(f"unsupported avro type {avro_type!r}")
+
+
+def _decode_value(buf: io.BufferedReader, avro_type):
+    if isinstance(avro_type, list):
+        if _read_long(buf) == 0:
+            return None
+        avro_type = avro_type[1]
+    if avro_type in ("long", "int"):
+        return _read_long(buf)
+    if avro_type == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if avro_type == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if avro_type == "boolean":
+        return buf.read(1) == b"\x01"
+    if avro_type == "string":
+        return _read_bytes(buf).decode("utf-8")
+    if avro_type == "bytes":
+        return _read_bytes(buf)
+    raise TypeError(f"unsupported avro type {avro_type!r}")
+
+
+# ---- container file (Avro spec: object container files) ----
+
+
+def encode_container(rows: Iterator[tuple], avro_schema: dict, sync: bytes) -> bytes:
+    """One Avro container file as bytes: header (magic, metadata map with
+    avro.schema/avro.codec, sync marker) + one data block per call batch."""
+    assert len(sync) == 16
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(avro_schema).encode(),
+        "avro.codec": b"null",
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode())
+        _write_bytes(out, v)
+    _write_long(out, 0)  # end of metadata map
+    out.write(sync)
+
+    types = [f["type"] for f in avro_schema["fields"]]
+    block = io.BytesIO()
+    n = 0
+    for row in rows:
+        for avro_type, value in zip(types, row):
+            _encode_value(block, avro_type, value)
+        n += 1
+    if n:
+        _write_long(out, n)
+        _write_bytes(out, block.getvalue())
+        out.write(sync)
+    return out.getvalue()
+
+
+def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
+    """Parse one container file → (avro schema, rows)."""
+    buf = io.BufferedReader(io.BytesIO(data))
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = _read_long(buf)
+        if count == 0:
+            break
+        if count < 0:  # negative count: abs items, preceded by block size
+            _read_long(buf)
+            count = -count
+        for _ in range(count):
+            key = _read_bytes(buf).decode()
+            meta[key] = _read_bytes(buf)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b""):
+        raise ValueError(f"unsupported codec {codec!r}")
+    sync = buf.read(16)
+    types = [f["type"] for f in schema["fields"]]
+    rows: list[tuple] = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, os.SEEK_CUR)
+        n = _read_long(buf)
+        block = io.BufferedReader(io.BytesIO(_read_bytes(buf)))
+        for _ in range(n):
+            rows.append(tuple(_decode_value(block, t) for t in types))
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch — corrupt container")
+    return schema, rows
+
+
+# ---- Spark integration ----
+
+
+def write_avro(df: DataFrame, path: str) -> int:
+    """Distributed Avro write: one container file per input partition via
+    mapInPandas (Arrow batches → encoded rows, written task-side).
+    Returns the total record count from the collected manifest (the only
+    driver-side data)."""
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    avro_schema = spark_schema_to_avro(df.schema)
+    binary_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.BinaryType)
+    ]
+
+    def write_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows: list[tuple] = []
+        for pdf in batches:
+            for col in binary_cols:
+                pdf[col] = pdf[col].map(lambda v: None if v is None else bytes(v))
+            pdf = pdf.astype(object).where(pdf.notna(), None)
+            rows.extend(pdf.itertuples(index=False, name=None))
+        # deterministic sync marker per file (spec requires 16 bytes;
+        # randomness is not required, only consistency within the file)
+        import hashlib
+
+        sync = hashlib.md5(f"sync-{pid}-{len(rows)}".encode()).digest()
+        data = encode_container(iter(rows), avro_schema, sync)
+        out = os.path.join(path, f"part-{pid:05d}.avro")
+        with open(out, "wb") as fh:
+            fh.write(data)
+        yield pd.DataFrame({"path": [out], "n_records": [len(rows)]})
+
+    manifest = df.mapInPandas(write_partition, "path string, n_records long")
+    return sum(r.n_records for r in manifest.collect())
+
+
+def read_avro(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Distributed Avro read: binaryFile source lists/distributes the
+    container files, mapInPandas decodes each into typed rows.  The
+    caller-declared read schema is validated against every file's
+    embedded writer schema (name + type per field), Hive-style
+    schema-on-read."""
+    import pandas as pd
+
+    expected = spark_schema_to_avro(schema)["fields"]
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            for content in pdf["content"]:
+                file_schema, rows = decode_container(bytes(content))
+                if file_schema["fields"] != expected:
+                    raise ValueError(
+                        f"writer schema {file_schema['fields']} != reader "
+                        f"schema {expected}"
+                    )
+                yield pd.DataFrame(rows, columns=cols)
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
+    return files.select("content").mapInPandas(decode, schema)
+
+
+def roundtrip_format(spark: SparkSession) -> str:
+    """'spark-avro' when the external connector is present, else
+    'avro-pure-python' — q92 reports which real Avro path ran."""
+    from apache_hive_2_1_1_src_spark.io import has_avro_support
+
+    return "spark-avro" if has_avro_support(spark) else "avro-pure-python"
+
+
+__all__ = [
+    "decode_container",
+    "encode_container",
+    "read_avro",
+    "roundtrip_format",
+    "spark_schema_to_avro",
+    "write_avro",
+]
