@@ -54,7 +54,15 @@ DECODED_SCHEMA = StructType(
 def with_blob_column(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Synthesize a binary column from text (the driver's tables carry no
     real media; encode(text) stands in for image bytes) plus a typed
-    metadata struct — the schema a real ingest would produce."""
+    metadata struct — the schema a real ingest would produce.
+
+    ASCII assumption (load-bearing for p36's oracle): byte-arithmetic
+    oracles equate character positions in ``text`` with byte offsets in
+    the blob, which holds only while the synthetic corpus is pure ASCII
+    (1 char == 1 byte).  tests/test_pipeline_invariants.py pins
+    length(text) == octet_length(encode(text)) over every documents
+    table so a multi-byte corpus change fails loudly instead of silently
+    desynchronizing frame boundaries."""
     blob = F.encode(F.col(text_col), "UTF-8").cast(BinaryType())
     return docs.select(
         "doc_id",

@@ -178,8 +178,12 @@ def test_connected_components_converges_past_hop_budget(spark, sf_dir):
 
 
 def test_semantic_dedup_keeps_one_per_dup_group(spark, sf_dir):
-    """p33: within every bucket, the kept set has no near-dup pair left
-    (every dropped vector has a kept lower-id witness in its bucket)."""
+    """p33: within every bucket, the kept set contains no in-bucket
+    near-dup pair.  (Note the drop rule is "ANY lower-id similar
+    neighbor, kept or not": in a chain a~b, b~c, a!~c both b and c are
+    dropped, so a dropped vector's lower-id witness may itself be
+    dropped — the invariant is kept-set pairwise dissimilarity, not a
+    kept witness per drop.)"""
     from apache_hive_2_1_1_src_spark.io import load_table
     from apache_hive_2_1_1_src_spark.pipeline.dedup import cosine, semantic_dedup
 
@@ -367,3 +371,18 @@ def test_sequence_packing_budget_and_shard_bounds(spark, sf_dir):
         shard_tot[key] = shard_tot.get(key, 0) + r.pack_tokens
     for (lang, _), t_shard in shard_tot.items():
         assert t_shard < tot[lang] * 0.25, (lang, t_shard, tot[lang])
+
+
+def test_documents_corpus_is_ascii(spark, sf_dir):
+    """Guard for the byte-arithmetic oracles (p36 audio frames, p29
+    resize): they equate text characters with blob bytes, valid only
+    while the corpus is pure ASCII.  If this ever fails, those oracles
+    must switch to octet-based framing before the corpus is used."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_multibyte = docs.filter(
+        F.length("text") != F.octet_length("text")
+    ).count()
+    assert n_multibyte == 0, (
+        f"{n_multibyte} documents contain multi-byte chars; "
+        "p36/p29 byte-offset oracles are no longer valid"
+    )
