@@ -1,0 +1,376 @@
+"""ACID tables: MVCC snapshot isolation, optimistic write-conflict
+detection, and minor/major compaction over a base+delta parquet layout.
+
+Reference surface being re-expressed (not translated):
+
+* ``ql/src/java/org/apache/hadoop/hive/ql/io/AcidUtils.java`` — the
+  ``base_N`` / ``delta_N`` directory layout and ValidTxnList snapshot
+  filtering (readers only see directories whose transaction committed
+  before their snapshot).
+* ``metastore/src/java/org/apache/hadoop/hive/metastore/txn/TxnHandler.java``
+  — open/commit/abort bookkeeping and the write-set conflict check that
+  aborts the second of two overlapping concurrent updaters.
+* ``ql/src/java/org/apache/hadoop/hive/ql/txn/compactor/Worker.java`` /
+  ``Cleaner.java`` — minor compaction (fold deltas), major compaction
+  (fold base+deltas into a new base), and retention of old directories
+  while a live snapshot might still read them.
+
+Layout at a table root::
+
+    base_0/                       parquet rows (write_id 0 after create,
+                                  write_id H after a major compaction)
+    delta_<uuid>/rows/            inserted rows for one txn
+    delta_<uuid>/tombstones/      deleted keys for one txn (key column)
+    _txn_log.json                 atomic committed-txn list (os.replace)
+
+Semantics are key-addressed (each ACID table declares a merge key, as
+Hive's bucketed ACID tables carry ROW__ID):
+
+* each committed txn gets a write_id (1-based, log order);
+* UPDATE = tombstone(key) + insert(new row) in the same delta;
+  DELETE = tombstone(key) only; INSERT = rows only;
+* a snapshot read at high-watermark H sees: base rows (tagged with the
+  base write_id) plus rows from committed deltas with write_id <= H,
+  where a row survives iff no visible tombstone on the same key carries
+  a STRICTLY higher write_id.  That is one distributed aggregate
+  (max tombstone write_id per key) plus one join — no driver loops, and
+  the tombstone side is broadcastable when deletes are dimension-sized.
+
+Concurrency control is TxnHandler's optimistic write-set check: commit
+raises :class:`WriteConflictError` iff a txn that committed AFTER this
+txn's snapshot tombstoned an overlapping key (update-update and
+update-delete conflicts).  Insert-only txns never conflict, matching
+Hive.  Aborted txns never enter the log, so their staged delta dirs are
+invisible to every reader until the cleaner removes them.
+
+100 TB design: the log holds txn METADATA only (directory names and
+write ids — KB-sized at any data scale); keys and rows live in parquet.
+Reads are a single shuffle (or a broadcast when the tombstone set is
+small); compactions are repartition rewrites (the same shape as
+operators/maintenance.compact_parquet) that commit by atomic log swap,
+never blocking concurrent readers on pinned snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class WriteConflictError(RuntimeError):
+    """Optimistic-concurrency failure: a concurrent committed txn wrote
+    an overlapping key (TxnHandler write-set conflict)."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    """Pinned view of the table: resolved directories, never re-reads
+    the log — compaction/commits after the pin cannot change what this
+    snapshot reads (ValidTxnList semantics)."""
+
+    high_watermark: int
+    base_dir: str
+    base_write_id: int
+    deltas: tuple[tuple[int, str], ...]  # (write_id, dir) committed <= hwm
+
+
+@dataclass
+class _Staged:
+    """One open txn's staged writes (a not-yet-committed delta dir)."""
+
+    dir: str
+    has_rows: bool = False
+    has_tombstones: bool = False
+
+
+LOG = "_txn_log.json"
+
+
+def _log_path(root: str) -> str:
+    return os.path.join(root, LOG)
+
+
+def _read_log(root: str) -> dict:
+    with open(_log_path(root)) as f:
+        return json.load(f)
+
+
+def _write_log(root: str, log: dict) -> None:
+    tmp = _log_path(root) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(log, f)
+    os.replace(tmp, _log_path(root))  # atomic commit point
+
+
+class AcidTable:
+    """A key-addressed MVCC table at ``root`` (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, root: str, key_col: str):
+        self.spark = spark
+        self.root = root
+        self.key_col = key_col
+
+    # ---------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls, spark: SparkSession, root: str, df: DataFrame, key_col: str
+    ) -> "AcidTable":
+        """Initialize the table: write ``base_0`` and an empty log."""
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        os.makedirs(root)
+        df.write.mode("overwrite").parquet(os.path.join(root, "base_0"))
+        _write_log(
+            root,
+            {
+                "key_col": key_col,
+                "base": "base_0",
+                "base_write_id": 0,
+                "next_write_id": 1,
+                "committed": [],  # [{write_id, dir, has_tombstones}]
+            },
+        )
+        return cls(spark, root, key_col)
+
+    # --------------------------------------------------------- reading
+    def snapshot(self) -> Snapshot:
+        log = _read_log(self.root)
+        deltas = tuple(
+            (e["write_id"], e["dir"]) for e in log["committed"]
+        )
+        hwm = max([log["base_write_id"]] + [w for w, _ in deltas])
+        return Snapshot(
+            high_watermark=hwm,
+            base_dir=log["base"],
+            base_write_id=log["base_write_id"],
+            deltas=deltas,
+        )
+
+    def read(self, snap: Snapshot | None = None) -> DataFrame:
+        """Reconstruct the table at ``snap`` (default: latest commit).
+
+        rows(write_id) = base ∪ delta inserts; survivors are rows with
+        no same-key tombstone at a strictly higher visible write_id —
+        one max-per-key aggregate + one join, fully distributed.
+        """
+        snap = snap or self.snapshot()
+        k = self.key_col
+        rows = self.spark.read.parquet(
+            os.path.join(self.root, snap.base_dir)
+        ).withColumn("_wid", F.lit(snap.base_write_id))
+        tombs: DataFrame | None = None
+        for wid, d in snap.deltas:
+            rdir = os.path.join(self.root, d, "rows")
+            tdir = os.path.join(self.root, d, "tombstones")
+            if os.path.exists(rdir):
+                rows = rows.unionByName(
+                    self.spark.read.parquet(rdir).withColumn("_wid", F.lit(wid))
+                )
+            if os.path.exists(tdir):
+                tt = self.spark.read.parquet(tdir).withColumn("_twid", F.lit(wid))
+                tombs = tt if tombs is None else tombs.unionByName(tt)
+        if tombs is None:
+            return rows.drop("_wid")
+        max_tomb = tombs.groupBy(k).agg(F.max("_twid").alias("_max_tomb"))
+        return (
+            rows.join(max_tomb, on=k, how="left")
+            # >= : a same-write_id tombstone+row pair is an UPDATE — the
+            # new row must survive its own tombstone; only STRICTLY later
+            # tombstones kill a row
+            .filter(F.col("_max_tomb").isNull() | (F.col("_wid") >= F.col("_max_tomb")))
+            .drop("_wid", "_max_tomb")
+        )
+
+    # --------------------------------------------------------- writing
+    def begin(self) -> "Txn":
+        return Txn(self)
+
+    # ------------------------------------------------------ compaction
+    def compact_minor(self) -> None:
+        """Fold ALL committed deltas into one (Worker.java minor
+        compaction): folded tombstones = distinct deleted keys; folded
+        rows = delta inserts that survive WITHIN the delta set.  Both
+        land at the fold write_id H; base rows (write_id < H) are still
+        killed by folded tombstones, while folded rows survive them
+        (same write_id is not strictly higher) — delta-internal ordering
+        is resolved at fold time, exactly like Hive's delta merge
+        resolving per-row txn ids."""
+        log = _read_log(self.root)
+        if not log["committed"]:
+            return
+        snap = self.snapshot()
+        k = self.key_col
+        hwm = snap.high_watermark
+        rows: DataFrame | None = None
+        tombs: DataFrame | None = None
+        for wid, d in snap.deltas:
+            rdir = os.path.join(self.root, d, "rows")
+            tdir = os.path.join(self.root, d, "tombstones")
+            if os.path.exists(rdir):
+                rr = self.spark.read.parquet(rdir).withColumn("_wid", F.lit(wid))
+                rows = rr if rows is None else rows.unionByName(rr)
+            if os.path.exists(tdir):
+                tt = self.spark.read.parquet(tdir).withColumn("_twid", F.lit(wid))
+                tombs = tt if tombs is None else tombs.unionByName(tt)
+        folded = f"delta_{uuid.uuid4().hex}"
+        fdir = os.path.join(self.root, folded)
+        os.makedirs(fdir)
+        wrote_rows = wrote_tombs = False
+        if rows is not None:
+            if tombs is not None:
+                mx = tombs.groupBy(k).agg(F.max("_twid").alias("_mx"))
+                rows = (
+                    rows.join(mx, on=k, how="left")
+                    .filter(F.col("_mx").isNull() | (F.col("_wid") >= F.col("_mx")))
+                    .drop("_mx")
+                )
+            surv = rows.drop("_wid")
+            surv.write.mode("overwrite").parquet(os.path.join(fdir, "rows"))
+            wrote_rows = True
+        if tombs is not None:
+            tombs.select(k).distinct().write.mode("overwrite").parquet(
+                os.path.join(fdir, "tombstones")
+            )
+            wrote_tombs = True
+        if not (wrote_rows or wrote_tombs):
+            shutil.rmtree(fdir)
+            return
+        log = _read_log(self.root)
+        log["committed"] = [
+            {"write_id": hwm, "dir": folded, "has_tombstones": wrote_tombs}
+        ]
+        _write_log(self.root, log)
+
+    def compact_major(self) -> None:
+        """Fold base+deltas into a new ``base_H`` (Worker.java major
+        compaction): materialize the latest snapshot, write it as the
+        new base at the current high-watermark, and clear the delta
+        list.  Old dirs stay on disk for pinned snapshots until
+        :meth:`clean` (Cleaner.java contract)."""
+        snap = self.snapshot()
+        hwm = snap.high_watermark
+        new_base = f"base_{hwm}_{uuid.uuid4().hex[:8]}"
+        self.read(snap).write.mode("overwrite").parquet(
+            os.path.join(self.root, new_base)
+        )
+        log = _read_log(self.root)
+        log["base"] = new_base
+        log["base_write_id"] = hwm
+        log["committed"] = []
+        _write_log(self.root, log)
+
+    def clean(self, live_snapshots: list[Snapshot] | None = None) -> list[str]:
+        """Remove directories no longer referenced by the current log
+        NOR by any live pinned snapshot — folded deltas, superseded
+        bases, and aborted staging dirs (Cleaner.java).  Returns the
+        removed directory names."""
+        log = _read_log(self.root)
+        keep = {log["base"]} | {e["dir"] for e in log["committed"]}
+        for s in live_snapshots or []:
+            keep.add(s.base_dir)
+            keep |= {d for _, d in s.deltas}
+        removed = []
+        for name in os.listdir(self.root):
+            if name == LOG or name in keep:
+                continue
+            full = os.path.join(self.root, name)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+                removed.append(name)
+        return removed
+
+
+class Txn:
+    """One open transaction: a pinned snapshot + a staged delta dir.
+    All reads inside the txn see the snapshot taken at ``begin()``."""
+
+    def __init__(self, table: AcidTable):
+        self.table = table
+        self.snap = table.snapshot()
+        self._staged = _Staged(dir=f"delta_{uuid.uuid4().hex}")
+        self._done = False
+
+    # reads-own-snapshot (not own writes — single-statement txns, like
+    # Hive's per-query ACID statements sharing one ValidTxnList)
+    def read(self) -> DataFrame:
+        return self.table.read(self.snap)
+
+    def _dir(self, sub: str) -> str:
+        return os.path.join(self.table.root, self._staged.dir, sub)
+
+    def insert(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self._dir("rows"))
+        self._staged.has_rows = True
+
+    def delete(self, cond: Column) -> None:
+        keys = self.read().filter(cond).select(self.table.key_col)
+        keys.write.mode("append").parquet(self._dir("tombstones"))
+        self._staged.has_tombstones = True
+
+    def update(self, cond: Column, assignments: dict[str, Column]) -> None:
+        """UPDATE = tombstone(old) + insert(new) in this txn's delta
+        (OrcRecordUpdater's delete+insert event pair)."""
+        matched = self.read().filter(cond)
+        new_rows = matched
+        for c, expr in assignments.items():
+            new_rows = new_rows.withColumn(c, expr)
+        matched.select(self.table.key_col).write.mode("append").parquet(
+            self._dir("tombstones")
+        )
+        new_rows.write.mode("append").parquet(self._dir("rows"))
+        self._staged.has_tombstones = True
+        self._staged.has_rows = True
+
+    def commit(self) -> int:
+        """Optimistic commit: write-set check against txns committed
+        after our snapshot, then atomic log append.  Insert-only txns
+        skip the check (they cannot conflict)."""
+        if self._done:
+            raise RuntimeError("txn already finished")
+        root = self.table.root
+        log = _read_log(root)
+        if self._staged.has_tombstones:
+            later = [
+                e
+                for e in log["committed"]
+                if e["write_id"] > self.snap.high_watermark and e["has_tombstones"]
+            ]
+            if later:
+                mine = self.table.spark.read.parquet(self._dir("tombstones")).select(
+                    self.table.key_col
+                )
+                theirs = None
+                for e in later:
+                    tt = self.table.spark.read.parquet(
+                        os.path.join(root, e["dir"], "tombstones")
+                    ).select(self.table.key_col)
+                    theirs = tt if theirs is None else theirs.unionByName(tt)
+                n = mine.join(theirs, on=self.table.key_col, how="left_semi").count()
+                if n > 0:
+                    self.abort()
+                    raise WriteConflictError(
+                        f"{n} overlapping key(s) written by a concurrent txn"
+                    )
+        wid = log["next_write_id"]
+        log["next_write_id"] = wid + 1
+        log["committed"].append(
+            {
+                "write_id": wid,
+                "dir": self._staged.dir,
+                "has_tombstones": self._staged.has_tombstones,
+            }
+        )
+        _write_log(root, log)
+        self._done = True
+        return wid
+
+    def abort(self) -> None:
+        """Never enters the log → invisible to all readers; the staged
+        dir is garbage the cleaner reaps."""
+        self._done = True

@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from apache_hive_2_1_1_src_spark.queries import (
+    acid_queries,
     aggregates,
     functions_sql,
     language_surface,
@@ -46,6 +47,7 @@ _MODULES = [
     tpch_like,
     tpch_full,
     pipeline_queries,
+    acid_queries,
 ]
 
 

@@ -1,0 +1,150 @@
+"""ACID transaction surface — registry entry for operators/acid.py.
+
+Completes SURVEY §2.1 component #30 (previously "ACID-lite"): MVCC
+snapshot isolation, optimistic write-conflict detection, abort
+invisibility, and minor+major compaction with snapshot-safe cleaning —
+the behavior of Hive 2.1's transactional tables
+(metastore/.../txn/TxnHandler.java, ql/.../io/AcidUtils.java,
+ql/.../txn/compactor/Worker.java) re-expressed as a base+delta parquet
+layout with distributed snapshot reconstruction.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_hive_2_1_1_src_spark.operators.acid import AcidTable, WriteConflictError
+from apache_hive_2_1_1_src_spark.queries._util import t
+
+
+def q170_acid_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scripted multi-txn ACID scenario, ending in a digest of the final
+    table plus three in-plan certificates:
+
+    1. txn1 UPDATE: open-status orders with key%3==0 get price*1.05;
+    2. snapshot S pinned (ValidTxnList at high-watermark 1);
+    3. txn2 DELETE: key%7==0 — S must still see the deleted rows;
+    4. txnA and txnB race: both UPDATE overlapping keys (%5 vs %10);
+       A commits first, B's commit must raise WriteConflictError and
+       leave no trace (abort invisibility);
+    5. minor then major compaction + clean (S kept live) — the latest
+       digest must be unchanged and S must still read its pinned state.
+
+    Certificates: conflict_detected (B aborted), snapshot_isolated
+    (S's row count pinned through delete AND compaction+clean),
+    compaction_preserved (digest identical before/after folding).
+    The oracle replays the surviving txns as plain SQL — the aborted
+    txnB must have zero effect on the digest.
+    """
+    root = os.path.join(tempfile.gettempdir(), f"hive_spark_acid_{os.getpid()}")
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    n_base = base.count()
+    tbl = AcidTable.create(spark, root, base, key_col="o_orderkey")
+
+    tx1 = tbl.begin()
+    tx1.update(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 3 == 0),
+        {"o_totalprice": F.col("o_totalprice") * 1.05},
+    )
+    tx1.commit()
+
+    snap = tbl.snapshot()  # pinned BEFORE the delete
+
+    tx2 = tbl.begin()
+    tx2.delete(F.col("o_orderkey") % 7 == 0)
+    tx2.commit()
+    n_deleted = tbl.read(snap).filter(F.col("o_orderkey") % 7 == 0).count()
+
+    # optimistic-concurrency race: A wins, B must abort
+    tx_a = tbl.begin()
+    tx_b = tbl.begin()
+    tx_a.update(
+        F.col("o_orderkey") % 5 == 0, {"o_totalprice": F.col("o_totalprice") + 100}
+    )
+    tx_b.update(
+        F.col("o_orderkey") % 10 == 0, {"o_totalprice": F.col("o_totalprice") + 999}
+    )
+    tx_a.commit()
+    conflict_detected = False
+    try:
+        tx_b.commit()
+    except WriteConflictError:
+        conflict_detected = True
+
+    def digest() -> list:
+        return sorted(
+            tbl.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .collect()
+        )
+
+    before = digest()
+    tbl.compact_minor()
+    tbl.compact_major()
+    tbl.clean(live_snapshots=[snap])
+    after = digest()
+
+    pinned_ok = (
+        tbl.read(snap).count() == n_base  # delete invisible to S, even post-clean
+        and tbl.read().count() == n_base - n_deleted
+    )
+    cert = spark.createDataFrame(
+        [(conflict_detected, pinned_ok, before == after)],
+        "conflict_detected boolean, snapshot_isolated boolean, compaction_preserved boolean",
+    )
+    out = (
+        tbl.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .crossJoin(F.broadcast(cert))
+        .orderBy("o_orderstatus")
+    )
+    rows = out.collect()  # materialize before the table dir is torn down
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+QUERIES = {
+    "q170_acid_snapshot_isolation": q170_acid_snapshot_isolation,
+}
+
+ORACLES = {
+    "q170_acid_snapshot_isolation": """
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey <= 2000
+        ), t1 AS (  -- txn1 UPDATE
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderstatus = 'O' AND o_orderkey % 3 = 0
+                      THEN o_totalprice * 1.05 ELSE o_totalprice END AS p
+          FROM base
+        ), t2 AS (  -- txn2 DELETE
+          SELECT * FROM t1 WHERE o_orderkey % 7 <> 0
+        ), t3 AS (  -- txnA UPDATE wins; aborted txnB (%10, +999) must not appear
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 5 = 0 THEN p + 100 ELSE p END AS p
+          FROM t2
+        )
+        SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(p), 2) AS total,
+               TRUE AS conflict_detected, TRUE AS snapshot_isolated,
+               TRUE AS compaction_preserved
+        FROM t3 GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+}
