@@ -449,7 +449,61 @@ def q169_persistent_metastore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q171_hive_bucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-bucket-FILE compatibility (closes the SURVEY §1.4 murmur3
+    divergence note): write customer bucketed by c_custkey into 8
+    Hive-layout files (ObjectInspectorUtils.getBucketNumber arithmetic,
+    Utilities.getBucketIdFromFile 000000_0 naming), read the whole table
+    back with the bucket id recovered from file names, and point-probe
+    key 42 through a pruned read that opens exactly ONE file.
+
+    Output: per-bucket digest + certificates — files_ok (exactly 8
+    Hive-named files), pruned_hit (the 1-file probe found exactly the
+    key-42 row), pruned_one_file (inputFiles() of the probe == 1).
+    The oracle reproduces Hive's bucket arithmetic in SQL: custkey
+    values here are < 2^31 so hashCode == key and bucket == key % 8."""
+    from apache_hive_2_1_1_src_spark.operators.bucketing import (
+        bucket_file,
+        bucket_pruned_read,
+        hive_bucketed_write,
+        read_bucketed,
+    )
+
+    path = os.path.join(_SCRATCH, f"hive_bucketed_customer_{os.getpid()}")
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    hive_bucketed_write(cust, path, ["c_custkey"], 8)
+
+    import glob as _glob
+
+    files = sorted(os.path.basename(p) for p in _glob.glob(os.path.join(path, "*_0")))
+    files_ok = files == [bucket_file(b) for b in range(8)]
+    probe = bucket_pruned_read(spark, path, ["c_custkey"], 8, [42])
+    pruned_one_file = len(probe.inputFiles()) == 1
+    probe_rows = probe.collect()
+    pruned_hit = len(probe_rows) == 1 and probe_rows[0]["c_custkey"] == 42
+
+    cert = spark.createDataFrame(
+        [(files_ok, pruned_hit, pruned_one_file)],
+        "files_ok boolean, pruned_hit boolean, pruned_one_file boolean",
+    )
+    return (
+        read_bucketed(spark, path)
+        .groupBy(F.col("_hive_bucket").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .crossJoin(F.broadcast(cert))
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
+    "q171_hive_bucket_layout": q171_hive_bucket_layout,
     "q167_ddl_lifecycle": q167_ddl_lifecycle,
     "q169_persistent_metastore": q169_persistent_metastore,
     "q168_opencsv_roundtrip": q168_opencsv_roundtrip,
@@ -470,6 +524,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q171_hive_bucket_layout": """
+        SELECT CAST(c_custkey % 8 AS INT) AS bucket,
+               COUNT(*) AS n,
+               ROUND(SUM(c_acctbal), 2) AS bal,
+               MIN(c_custkey) AS min_key,
+               MAX(c_custkey) AS max_key,
+               TRUE AS files_ok, TRUE AS pruned_hit, TRUE AS pruned_one_file
+        FROM customer GROUP BY bucket ORDER BY bucket
+    """,
     "q169_persistent_metastore": """
         SELECT 'lang=' || lang AS part,
                COUNT(*) AS n_docs,
