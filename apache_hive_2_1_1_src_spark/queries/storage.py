@@ -502,7 +502,40 @@ def q171_hive_bucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q172_jdbc_thrift_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveServer2-protocol endpoint (SQLOperation.java:153; SURVEY §3.2
+    "reuse Spark Thrift Server"): a subprocess JVM starts
+    HiveThriftServer2, then connects BACK to itself over a localhost
+    Thrift socket with the stock Hive JDBC driver, lists the catalog via
+    the Thrift GetTables metadata operation, streams an aggregate's
+    ResultSet through the wire protocol, and persists the fetched rows.
+    This session only reads that output — every row returned travelled
+    the real JDBC/Thrift path.  Certificates: jdbc_roundtrip,
+    table_visible (GetTables saw the registered view)."""
+    import subprocess
+    import sys
+
+    base = os.path.join(_SCRATCH, f"jdbc_endpoint_{os.getpid()}")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "apache_hive_2_1_1_src_spark.jdbc_phase", base, sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=repo_root,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"jdbc phase failed:\n{proc.stderr[-2000:]}")
+    return spark.read.parquet(base).orderBy("o_orderpriority")
+
+
 QUERIES = {
+    "q172_jdbc_thrift_endpoint": q172_jdbc_thrift_endpoint,
     "q171_hive_bucket_layout": q171_hive_bucket_layout,
     "q167_ddl_lifecycle": q167_ddl_lifecycle,
     "q169_persistent_metastore": q169_persistent_metastore,
@@ -524,6 +557,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q172_jdbc_thrift_endpoint": """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               TRUE AS jdbc_roundtrip, TRUE AS table_visible
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "q171_hive_bucket_layout": """
         SELECT CAST(c_custkey % 8 AS INT) AS bucket,
                COUNT(*) AS n,
