@@ -94,6 +94,34 @@ def read_hive_text(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.options(**HIVE_TEXT_OPTIONS).schema(schema).csv(path)
 
 
+def write_hive_sequencefile(df: DataFrame, path: str) -> None:
+    """Write as Hive SEQUENCEFILE storage — a real Hadoop SequenceFile
+    container (SEQ magic, Text/Text records) holding LazySimpleSerDe
+    lines as values (ql/.../io/HiveSequenceFileOutputFormat.java:1
+    writes the serialized row as the value and ignores the key; Hive
+    readers likewise drop keys).  The serialization is the same
+    ^A-delimited / \\N-null framing as the text serde (q89), so the two
+    formats share one schema-on-read parser.  Distributed: one
+    SequenceFile per partition via saveAsSequenceFile — the only RDD
+    hop in the engine's IO layer, required because DataFrameWriter has
+    no sequencefile source; the per-row map is a projection already
+    computed JVM-side."""
+    from pyspark.sql import functions as F
+
+    line = F.concat_ws(
+        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in df.columns]
+    ).alias("line")
+    df.select(line).rdd.map(lambda r: ("", r[0])).saveAsSequenceFile(path)
+
+
+def read_hive_sequencefile(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read Hive SEQUENCEFILE: container → Text values → the same
+    schema-on-read parse as read_hive_text (keys ignored, as Hive's
+    SequenceFileInputFormat binding does)."""
+    values = spark.sparkContext.sequenceFile(path).values()
+    return spark.read.options(**HIVE_TEXT_OPTIONS).schema(schema).csv(values)
+
+
 def has_avro_support(spark: SparkSession) -> bool:
     """spark-avro is an external module; gate Avro paths on its presence.
     Probed with a real one-row write — class-presence checks false-positive

@@ -534,7 +534,43 @@ def q172_jdbc_thrift_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(base).orderBy("o_orderpriority")
 
 
+def q173_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCEFILE storage round trip
+    (ql/.../io/HiveSequenceFileOutputFormat.java:1): orders sample →
+    real Hadoop SequenceFile containers (Text values holding
+    LazySimpleSerDe lines, keys ignored) → schema-on-read parse →
+    digest.  Mixed types cross the serde: bigint, string, double, date."""
+    from apache_hive_2_1_1_src_spark.io import (
+        read_hive_sequencefile,
+        write_hive_sequencefile,
+    )
+    import shutil
+
+    out = os.path.join(_SCRATCH, f"orders_seq_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    write_hive_sequencefile(orders, out)
+    back = read_hive_sequencefile(
+        spark,
+        out,
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, o_orderdate date",
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
+    "q173_sequencefile_roundtrip": q173_sequencefile_roundtrip,
     "q172_jdbc_thrift_endpoint": q172_jdbc_thrift_endpoint,
     "q171_hive_bucket_layout": q171_hive_bucket_layout,
     "q167_ddl_lifecycle": q167_ddl_lifecycle,
@@ -557,6 +593,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q173_sequencefile_roundtrip": """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               CAST(MIN(o_orderdate) AS DATE) AS first_date,
+               CAST(MAX(o_orderdate) AS DATE) AS last_date
+        FROM orders WHERE o_orderkey <= 5000
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "q172_jdbc_thrift_endpoint": """
         SELECT o_orderpriority, COUNT(*) AS n,
                ROUND(SUM(o_totalprice), 2) AS total,

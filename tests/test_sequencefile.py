@@ -1,0 +1,34 @@
+"""SEQUENCEFILE storage pins: the container really is a Hadoop
+SequenceFile (SEQ magic), nulls round-trip as \\N, keys are ignored."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+
+from apache_hive_2_1_1_src_spark.io import (
+    read_hive_sequencefile,
+    write_hive_sequencefile,
+)
+
+
+def test_sequencefile_magic_and_null_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "seq")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (3, "c", -0.25)],
+        "k int, s string, v double",
+    )
+    write_hive_sequencefile(df, path)
+    parts = [
+        p
+        for p in glob.glob(os.path.join(path, "part-*"))
+        if not p.endswith((".crc", "_SUCCESS"))
+    ]
+    assert parts, "no sequencefile parts written"
+    for p in parts:
+        with open(p, "rb") as f:
+            assert f.read(3) == b"SEQ", "not a Hadoop SequenceFile container"
+    back = read_hive_sequencefile(spark, path, "k int, s string, v double")
+    rows = {r["k"]: (r["s"], r["v"]) for r in back.collect()}
+    assert rows == {1: ("a", 1.5), 2: (None, None), 3: ("c", -0.25)}
