@@ -470,7 +470,90 @@ def p37_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs).filter(F.col("doc_id") <= 600).orderBy("doc_id")
 
 
+def p39_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host-level dedup stats (pipeline/web.py):
+    messy synthetic URLs (upper-cased scheme/host, www., default port,
+    tracking params, unsorted query, trailing slash, fragment) are
+    normalized to their canonical dedup key entirely in codegen
+    expressions; digest = per-host URL count, distinct-canonical count
+    (the URL-dedup collapse), and min canonical.  The oracle derives
+    the expected canonical form analytically from the same id
+    arithmetic — any canonicalizer defect breaks the hash."""
+    from apache_hive_2_1_1_src_spark.pipeline.web import canonicalize_url, url_host
+
+    docs = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Path/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("&b=2&a=1#frag"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    urls = docs.select(
+        "doc_id",
+        canonicalize_url(raw).alias("canonical"),
+        url_host(raw).alias("host"),
+    )
+    return (
+        urls.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("canonical").alias("n_unique"),
+            F.min("canonical").alias("min_canonical"),
+        )
+        .orderBy("host")
+    )
+
+
+def p40_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip (pipeline/web.py html_extract_text,
+    trafilatura-style expression heuristic): each document is wrapped in
+    a full HTML page (head/title/script/style, nav, ad-classed div,
+    footer, entity-escaped body) and the extractor must recover exactly
+    the body text.  Digest = per-lang count + extracted char sum +
+    an all-rows-clean certificate (extracted == expected body)."""
+    from apache_hive_2_1_1_src_spark.pipeline.web import html_extract_text
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 1500)
+    html = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><script type="text/javascript">var x = 1 < 2;</script>'
+            "<style>p { color: red; }</style></head><body><nav>Home | About</nav>"
+            '<div class="main"><p>'
+        ),
+        F.col("text"),
+        F.lit(
+            ' &amp; more</p></div><div class="ads banner">BUY NOW!!!</div>'
+            "<footer>(c) 2020 Example</footer></body></html>"
+        ),
+    )
+    expected = F.trim(
+        F.regexp_replace(F.concat(F.col("text"), F.lit(" & more")), r"\s+", " ")
+    )
+    rows = docs.select(
+        "lang",
+        html_extract_text(html).alias("extracted"),
+        expected.alias("expected"),
+    ).withColumn("clean", (F.col("extracted") == F.col("expected")).cast("int"))
+    return (
+        rows.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("extracted")).alias("chars_sum"),
+            (F.sum("clean") == F.count(F.lit(1))).alias("all_extracted_clean"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
+    "p39_url_canonicalize": p39_url_canonicalize,
+    "p40_html_extract": p40_html_extract,
     "p01_dedup_exact": p01_dedup_exact,
     "p27_chunk_documents": p27_chunk_documents,
     "p25_repetition": p25_repetition,
@@ -524,6 +607,27 @@ _SHINGLES_CTE = """
 """
 
 ORACLES = {
+    "p39_url_canonicalize": """
+        WITH u AS (
+          SELECT 'example' || (doc_id % 7) || '.com' AS host,
+                 'https://example' || (doc_id % 7) || '.com/Path/'
+                   || (doc_id % 100) || '?a=1&b=2&id=' || (doc_id % 50)
+                   AS canonical
+          FROM documents
+        )
+        SELECT host, COUNT(*) AS n_urls,
+               CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_unique,
+               MIN(canonical) AS min_canonical
+        FROM u GROUP BY host ORDER BY host
+    """,
+    "p40_html_extract": """
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(LENGTH(TRIM(regexp_replace(text || ' & more',
+                        '\\s+', ' ', 'g')))) AS BIGINT) AS chars_sum,
+               TRUE AS all_extracted_clean
+        FROM documents WHERE doc_id <= 1500
+        GROUP BY lang ORDER BY lang
+    """,
     "p27_chunk_documents": """
         WITH d AS (
           SELECT doc_id,
