@@ -427,6 +427,20 @@ def q162_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_upsert_orders(spark, sf_dir)
 
 
+def q174_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming checkpoint crash/restart recovery with exactly-once
+    output (streaming/jobs.streaming_checkpoint_recovery): half the
+    input is processed, the query is discarded, the rest lands, and a
+    NEW query over the SAME checkpoint must process only unseen files.
+    Full oracle — double-processing or data loss flips the per-type
+    digest."""
+    from apache_hive_2_1_1_src_spark.streaming.jobs import (
+        streaming_checkpoint_recovery,
+    )
+
+    return streaming_checkpoint_recovery(spark, sf_dir)
+
+
 def q163_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment (stateless broadcast join per
     micro-batch; streaming/jobs.stream_static_enrichment) — full oracle
@@ -517,6 +531,7 @@ QUERIES = {
     "q165_nulls_ordering": q165_nulls_ordering,
     "q162_streaming_upsert": q162_streaming_upsert,
     "q163_stream_static_join": q163_stream_static_join,
+    "q174_checkpoint_recovery": q174_checkpoint_recovery,
     "q164_column_stats": q164_column_stats,
     "q136_streaming_dedup": q136_streaming_dedup,
     "q142_asof_join": q142_asof_join,
@@ -571,6 +586,11 @@ ORACLES = {
                TRUE
         FROM orders
         ORDER BY col_name
+    """,
+    "q174_checkpoint_recovery": """
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "q163_stream_static_join": """
         SELECT c.c_mktsegment, COUNT(*) AS n_events,

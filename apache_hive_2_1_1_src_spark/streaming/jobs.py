@@ -558,3 +558,79 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(query_name).orderBy("c_mktsegment")
+
+
+def streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint crash/restart recovery with exactly-once output — the
+    guarantee a production ingest pipeline actually relies on.
+
+    Deterministic two-run protocol (no timing games):
+
+    1. stage HALF the events (even event_id) into the landing dir and
+       run an availableNow query to completion — the checkpoint records
+       every processed file;
+    2. append the other half and START A NEW QUERY over the SAME
+       checkpoint: Structured Streaming's file-source log makes the
+       restarted query process ONLY the unseen files.
+
+    The sink is the idempotent foreachBatch per-batch-directory pattern
+    in append mode (each micro-batch writes its own partial aggregate;
+    retries overwrite their own directory).  Final answer = re-aggregate
+    of all batch partials.  If recovery double-processed the first half
+    — or dropped it — the per-type counts diverge from the batch oracle,
+    so the driver's hash IS the exactly-once check.
+    """
+    import shutil
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hive_spark_ckpt_recovery_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    land, sink, ckpt = (os.path.join(base, d) for d in ("land", "sink", "ckpt"))
+    events = _events_with_ts(spark, sf_dir).select("event_id", "event_type", "value")
+
+    first_visit = not os.path.isdir(base)
+    if first_visit:
+        shutil.rmtree(base, ignore_errors=True)
+        events.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(land)
+
+    def run_once() -> None:
+        # stateless stream: the thing under test is the file-source
+        # commit log (which files a restarted query re-reads), so the
+        # per-batch PARTIAL aggregate lives in foreachBatch — summing
+        # partials across batches is correct iff no file is read twice
+        stream = spark.readStream.schema(
+            "event_id bigint, event_type string, value double"
+        ).parquet(land)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            partial = batch_df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_partial"),
+                F.sum("value").alias("sum_partial"),
+            )
+            partial.write.mode("overwrite").parquet(
+                os.path.join(sink, f"run_batch={batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # run 1: first half, then the "crash" (query object discarded)
+    if first_visit:
+        events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(land)
+    run_once()  # run 2: SAME checkpoint — must pick up only the new files
+
+    partials = spark.read.parquet(os.path.join(sink, "run_batch=*"))
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.sum("n_partial").alias("n_events"),
+            F.round(F.sum("sum_partial"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,46 @@
+"""Mechanics pin for streaming checkpoint recovery (q174): the sink
+must contain (at least) two batch partials, and the post-restart batches
+must cover exactly the second half of the input — proving the restarted
+query re-read nothing and missed nothing."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from apache_hive_2_1_1_src_spark.io import load_events
+from apache_hive_2_1_1_src_spark.streaming.jobs import streaming_checkpoint_recovery
+
+
+def test_two_runs_partition_the_input_exactly(spark, sf_dir):
+    out = streaming_checkpoint_recovery(spark, sf_dir)
+    base = glob.glob(
+        os.path.join(
+            tempfile.gettempdir(), f"hive_spark_ckpt_recovery_{os.getpid()}_*"
+        )
+    )
+    assert base, "recovery staging dir missing"
+    batch_dirs = sorted(glob.glob(os.path.join(base[0], "sink", "run_batch=*")))
+    assert len(batch_dirs) >= 2, "restart did not produce its own batch"
+
+    events = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    n_total = events.count()
+    n_first_half = events.filter(F.col("event_id") % 2 == 0).count()
+
+    partial_counts = [
+        spark.read.parquet(d).agg(F.sum("n_partial")).collect()[0][0]
+        for d in batch_dirs
+    ]
+    # batch 0 saw exactly the first half; later batches exactly the rest
+    assert partial_counts[0] == n_first_half
+    assert sum(partial_counts) == n_total
+    # and the returned digest equals the full batch aggregate
+    got = {r["event_type"]: r["n_events"] for r in out.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
