@@ -198,10 +198,11 @@ class HiveEngine:
         after variable substitution and Hive-hint translation."""
         return self.spark.sql(self.translate_hints(self.substitute(text)))
 
-    def run_script(self, script: str):
-        """Execute a ';'-separated multi-statement script (CliDriver
-        processLine semantics: statements run in order, ';' inside quotes
-        is not a separator); returns the last statement's DataFrame."""
+    @staticmethod
+    def split_statements(script: str) -> list[str]:
+        """Split a ';'-separated script into runnable statements
+        (CliDriver processLine semantics: ';' inside quotes is not a
+        separator; whitespace/comment-only fragments are dropped)."""
         stmts, buf, quote = [], [], None
         for ch in script:
             if quote:
@@ -219,16 +220,19 @@ class HiveEngine:
         stmts.append("".join(buf))
 
         def runnable(s: str) -> bool:
-            # skip statements that are only whitespace / -- line comments /
-            # /* */ blocks (CliDriver tolerates trailing comments)
+            # CliDriver tolerates trailing -- line and /* */ block comments
             bare = re.sub(r"--[^\n]*", "", s)
             bare = re.sub(r"/\*.*?\*/", "", bare, flags=re.S)
             return bool(bare.strip())
 
+        return [s for s in stmts if runnable(s)]
+
+    def run_script(self, script: str):
+        """Execute a multi-statement script; returns the last
+        statement's DataFrame."""
         result = None
-        for s in stmts:
-            if runnable(s):
-                result = self.sql(s)
+        for s in self.split_statements(script):
+            result = self.sql(s)
         return result
 
     def table(self, name: str):
