@@ -209,20 +209,42 @@ def q58_hash_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q68_hash_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sha1 / crc32 / murmur hash / xxhash64 (FunctionRegistry.java:227-241
-    sha: , crc32:; Spark's hash is Murmur3 — SURVEY.md §2.5 notes the
-    divergence from Hive's Java hashCode, provided as hive_hash in
-    functions/compat.py).  DuckDB lacks sha1/crc32 → rows-only; pytest
-    pins exact values for fixed inputs."""
+def hash_extra_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All hash columns + independent-reference certificates: the JVM
+    builtins sha1/crc32 are cross-checked in-plan against Python's
+    hashlib/zlib (an INDEPENDENT implementation — the one place a
+    row-UDF is the verification, not the operator; 51 rows)."""
+    import hashlib
+    import zlib
+
+    py_sha1 = F.udf(lambda s: hashlib.sha1(s.encode()).hexdigest(), "string")
+    py_crc32 = F.udf(lambda s: zlib.crc32(s[:16].encode()) & 0xFFFFFFFF, "long")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
     txt = F.col("text")
     return d.select(
         "doc_id",
+        F.md5(txt).alias("md5_hex"),
         F.sha1(txt).alias("sha1_hex"),
         F.crc32(F.substring(txt, 1, 16).cast("binary")).alias("crc"),
         F.hash(txt).alias("murmur32"),
         F.xxhash64(txt).alias("xx64"),
+        (F.sha1(txt) == py_sha1(txt)).alias("sha1_ok"),
+        (F.crc32(F.substring(txt, 1, 16).cast("binary")) == py_crc32(txt)).alias(
+            "crc32_ok"
+        ),
+    )
+
+
+def q68_hash_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha1 / crc32 / murmur hash / xxhash64 (FunctionRegistry.java:227-241;
+    Spark's hash is Murmur3 — SURVEY.md §2.5 notes the divergence from
+    Hive's Java hashCode, provided as hive_hash in functions/compat.py).
+    DuckDB lacks sha1/crc32, so the oracle checks md5 directly plus
+    hashlib/zlib reference certificates for sha1/crc32 (upgraded from
+    rows-only, round 5); murmur32/xx64 determinism is pytest-pinned via
+    hash_extra_full."""
+    return hash_extra_full(spark, sf_dir).select(
+        "doc_id", "md5_hex", "sha1_ok", "crc32_ok"
     )
 
 
@@ -357,7 +379,10 @@ def q64_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q65_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xpath family (FunctionRegistry.java:298-306) over synthesized XML.
-    DuckDB has no XPath → rows-only; pytest asserts exact values."""
+    DuckDB has no XPath, but the XML is synthesized from nation's own
+    columns, so the analytic oracle is just those columns — any
+    extraction defect breaks the hash (upgraded from rows-only, round 5);
+    pytest additionally pins exact values."""
     n = t(spark, sf_dir, "nation")
     xml = F.concat(
         F.lit("<nation><name>"),
@@ -554,6 +579,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q65_xpath": """
+        SELECT n_nationkey, n_name AS xp_name,
+               CAST(n_regionkey AS INT) AS xp_rk
+        FROM nation
+    """,
+    "q68_hash_extra": """
+        SELECT doc_id, md5(text) AS md5_hex,
+               TRUE AS sha1_ok, TRUE AS crc32_ok
+        FROM documents WHERE doc_id <= 50
+    """,
     "q141_python_udtf": """
         SELECT r_regionkey, u AS token, CAST(length(u) AS INT) AS token_len
         FROM (SELECT r_regionkey,

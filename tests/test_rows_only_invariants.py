@@ -53,11 +53,14 @@ def test_histogram_numeric_mass_and_bins(spark, sf_dir):
 
 
 def test_hash_extra_formats_and_determinism(spark, sf_dir):
-    rows1 = {r.doc_id: r for r in q68_hash_extra(spark, sf_dir).collect()}
-    rows2 = {r.doc_id: r for r in q68_hash_extra(spark, sf_dir).collect()}
+    from apache_hive_2_1_1_src_spark.queries.functions_sql import hash_extra_full
+
+    rows1 = {r.doc_id: r for r in hash_extra_full(spark, sf_dir).collect()}
+    rows2 = {r.doc_id: r for r in hash_extra_full(spark, sf_dir).collect()}
     for did, r in rows1.items():
         assert re.fullmatch(r"[0-9a-f]{40}", r.sha1_hex)
         assert 0 <= r.crc <= 0xFFFFFFFF
+        assert r.sha1_ok and r.crc32_ok  # JVM builtins == hashlib/zlib refs
         r2 = rows2[did]
         assert (r.sha1_hex, r.crc, r.murmur32, r.xx64) == (
             r2.sha1_hex,
