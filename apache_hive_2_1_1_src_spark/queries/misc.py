@@ -427,6 +427,33 @@ def q162_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_upsert_orders(spark, sf_dir)
 
 
+def q175_explain_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN DEPENDENCY surface (ExplainTask.java getJSONDependencies,
+    tools/LineageInfo.java): input-table lineage of a query mixing a
+    CTE, a correlated subquery, and joins — the dependency list must
+    name exactly the base tables (customer/nation/orders/region), never
+    the CTE alias.  Full oracle (VALUES)."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    deps = eng.explain_dependency(
+        """
+        WITH big_nations AS (
+          SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey >= 0
+        )
+        SELECT c_name, r_name
+        FROM customer
+        JOIN big_nations bn ON c_nationkey = bn.n_nationkey
+        JOIN region ON bn.n_regionkey = r_regionkey
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """
+    )
+    return spark.createDataFrame([(d,) for d in deps], "input_table string").orderBy(
+        "input_table"
+    )
+
+
 def q174_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming checkpoint crash/restart recovery with exactly-once
     output (streaming/jobs.streaming_checkpoint_recovery): half the
@@ -532,6 +559,7 @@ QUERIES = {
     "q162_streaming_upsert": q162_streaming_upsert,
     "q163_stream_static_join": q163_stream_static_join,
     "q174_checkpoint_recovery": q174_checkpoint_recovery,
+    "q175_explain_dependency": q175_explain_dependency,
     "q164_column_stats": q164_column_stats,
     "q136_streaming_dedup": q136_streaming_dedup,
     "q142_asof_join": q142_asof_join,
@@ -586,6 +614,11 @@ ORACLES = {
                TRUE
         FROM orders
         ORDER BY col_name
+    """,
+    "q175_explain_dependency": """
+        SELECT * FROM (VALUES ('customer'), ('nation'), ('orders'), ('region'))
+          AS t(input_table)
+        ORDER BY input_table
     """,
     "q174_checkpoint_recovery": """
         SELECT event_type, COUNT(*) AS n_events,

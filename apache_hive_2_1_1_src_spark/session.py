@@ -235,5 +235,44 @@ class HiveEngine:
             result = self.sql(s)
         return result
 
+    def explain_dependency(self, text: str) -> list[str]:
+        """EXPLAIN DEPENDENCY equivalent (ExplainTask.java
+        getJSONDependencies / ql/.../tools/LineageInfo.java): the input
+        tables a query reads, extracted from the ANALYZED plan — a
+        SubqueryAlias sitting directly on a leaf relation is a base-table
+        scan; CTE/derived-table aliases wrap non-leaf plans and are
+        excluded, exactly like Hive's dependency output lists tables,
+        not CTE names.  Sorted unique names."""
+        import json as _json
+
+        df = self.sql(text)
+        analyzed = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        # expression-embedded subqueries (EXISTS/IN/scalar) carry their own
+        # plans outside the main node list — include them, as Hive's
+        # dependency walk does
+        plans = [analyzed]
+        subs = analyzed.subqueriesAll()
+        for i in range(subs.size()):
+            plans.append(subs.apply(i))
+
+        leaf_classes = {"LogicalRelation", "HiveTableRelation", "UnresolvedCatalogRelation"}
+        tables = set()
+        for plan in plans:
+            nodes = _json.loads(plan.toJSON())
+            for i, node in enumerate(nodes):
+                if not node.get("class", "").endswith("SubqueryAlias"):
+                    continue
+                j = i + 1  # temp views analyze as SubqueryAlias → View → leaf
+                if j < len(nodes) and nodes[j].get("class", "").endswith(".View"):
+                    j += 1
+                if (
+                    j < len(nodes)
+                    and nodes[j].get("class", "").rsplit(".", 1)[-1] in leaf_classes
+                ):
+                    name = (node.get("identifier") or {}).get("name")
+                    if name:
+                        tables.add(name)
+        return sorted(tables)
+
     def table(self, name: str):
         return self.spark.table(name)
