@@ -57,6 +57,14 @@ _SPARK_TO_AVRO = {
 }
 
 
+def _plain_type(t) -> str:
+    """Primitive type name of a field type that may be a ["null", T]
+    optional union."""
+    if isinstance(t, list):
+        return next(x for x in t if x != "null")
+    return t
+
+
 def spark_schema_to_avro(schema: T.StructType, name: str = "row") -> dict:
     """Map a flat Spark schema to an Avro record schema (nullable fields
     become ``["null", T]`` unions, Avro's idiom for optional)."""
@@ -242,6 +250,28 @@ def write_avro(df: DataFrame, path: str) -> int:
     binary_cols = [
         f.name for f in df.schema.fields if isinstance(f.dataType, T.BinaryType)
     ]
+    # Arrow→pandas turns a nullable int64 batch into float64 (silently
+    # corrupting longs above 2^53) and folds genuine NaN doubles into
+    # null.  Counter both BEFORE the bridge: integers travel as exact
+    # decimal strings; float/double columns get a companion isNull flag
+    # so NaN-the-value survives distinct from null.
+    int_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType))
+    ]
+    float_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+    ]
+    proj = df
+    for c in int_cols:
+        proj = proj.withColumn(c, F.col(c).cast("string"))
+    flag_of = {c: f"__isnull__{c}" for c in float_cols}
+    for c, flag in flag_of.items():
+        proj = proj.withColumn(flag, F.col(c).isNull())
+    data_cols = [f.name for f in df.schema.fields]
 
     def write_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from pyspark import TaskContext
@@ -249,10 +279,29 @@ def write_avro(df: DataFrame, path: str) -> int:
         pid = TaskContext.get().partitionId()
         rows: list[tuple] = []
         for pdf in batches:
-            for col in binary_cols:
-                pdf[col] = pdf[col].map(lambda v: None if v is None else bytes(v))
-            pdf = pdf.astype(object).where(pdf.notna(), None)
-            rows.extend(pdf.itertuples(index=False, name=None))
+            out = {}
+            for col in data_cols:
+                if col in binary_cols:
+                    out[col] = [
+                        None if v is None else bytes(v) for v in pdf[col]
+                    ]
+                elif col in int_cols:  # exact decimal strings → int
+                    out[col] = [
+                        None if v is None else int(v)
+                        for v in pdf[col].astype(object).where(
+                            pdf[col].notna(), None
+                        )
+                    ]
+                elif col in float_cols:  # flag distinguishes null from NaN
+                    out[col] = [
+                        None if isnull else float(v)
+                        for v, isnull in zip(pdf[col], pdf[flag_of[col]])
+                    ]
+                else:
+                    out[col] = list(
+                        pdf[col].astype(object).where(pdf[col].notna(), None)
+                    )
+            rows.extend(zip(*[out[c] for c in data_cols]))
         # deterministic sync marker per file (spec requires 16 bytes;
         # randomness is not required, only consistency within the file)
         import hashlib
@@ -264,7 +313,7 @@ def write_avro(df: DataFrame, path: str) -> int:
             fh.write(data)
         yield pd.DataFrame({"path": [out], "n_records": [len(rows)]})
 
-    manifest = df.mapInPandas(write_partition, "path string, n_records long")
+    manifest = proj.mapInPandas(write_partition, "path string, n_records long")
     return sum(r.n_records for r in manifest.collect())
 
 
@@ -274,24 +323,41 @@ def read_avro(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     caller-declared read schema is validated against every file's
     embedded writer schema (name + type per field), Hive-style
     schema-on-read."""
-    import pandas as pd
+    import pyarrow as pa
 
     expected = spark_schema_to_avro(schema)["fields"]
+    _ARROW = {
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "string": pa.string(),
+        "bytes": pa.binary(),
+    }
+    pa_types = [_ARROW[_plain_type(f["type"])] for f in expected]
+    cols = [f.name for f in schema.fields]
 
-    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = [f.name for f in schema.fields]
-        for pdf in batches:
-            for content in pdf["content"]:
-                file_schema, rows = decode_container(bytes(content))
+    # mapInArrow, not mapInPandas: building arrays from Python lists with
+    # explicit arrow types keeps NaN a VALUE and None a null — the
+    # pandas bridge would fold NaN doubles into nulls on the way back
+    def decode(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            for content in batch.column("content"):
+                file_schema, rows = decode_container(content.as_py())
                 if file_schema["fields"] != expected:
                     raise ValueError(
                         f"writer schema {file_schema['fields']} != reader "
                         f"schema {expected}"
                     )
-                yield pd.DataFrame(rows, columns=cols)
+                arrays = [
+                    pa.array([r[i] for r in rows], type=pa_types[i])
+                    for i in range(len(cols))
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, names=cols)
 
     files = spark.read.format("binaryFile").option("pathGlobFilter", "*.avro").load(path)
-    return files.select("content").mapInPandas(decode, schema)
+    return files.select("content").mapInArrow(decode, schema)
 
 
 def roundtrip_format(spark: SparkSession) -> str:

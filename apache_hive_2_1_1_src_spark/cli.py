@@ -79,7 +79,10 @@ def main(argv: list[str] | None = None) -> int:
     script = args.query if args.query else open(args.file).read()
     print_header = conf.get("hive.cli.print.header", "false").lower() == "true"
 
+    if not args.silent:
+        print(f"Session ready in {time.time() - t0:.3f} seconds", file=sys.stderr)
     for stmt in eng.split_statements(script):
+        t_stmt = time.time()  # per-statement, matching Hive's CLI output
         df = eng.sql(stmt)
         rows = df.collect()
         if print_header:
@@ -88,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
             print("\t".join(_fmt(v) for v in r))
         if not args.silent:
             print(
-                f"Time taken: {time.time() - t0:.3f} seconds, "
+                f"Time taken: {time.time() - t_stmt:.3f} seconds, "
                 f"Fetched: {len(rows)} row(s)",
                 file=sys.stderr,
             )

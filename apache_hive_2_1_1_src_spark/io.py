@@ -115,11 +115,14 @@ def write_hive_sequencefile(df: DataFrame, path: str) -> None:
 
 
 def read_hive_sequencefile(spark: SparkSession, path: str, schema) -> DataFrame:
-    """Read Hive SEQUENCEFILE: container → Text values → the same
-    schema-on-read parse as read_hive_text (keys ignored, as Hive's
-    SequenceFileInputFormat binding does)."""
+    """Read Hive SEQUENCEFILE: container → Text values → schema-on-read
+    parse (keys ignored, as Hive's SequenceFileInputFormat binding
+    does).  Quoting is DISABLED: the writer emits raw LazySimpleSerDe
+    lines (no quote-escaping, exactly like Hive), so a value beginning
+    with '\"' must parse verbatim, not as a CSV quote opener."""
     values = spark.sparkContext.sequenceFile(path).values()
-    return spark.read.options(**HIVE_TEXT_OPTIONS).schema(schema).csv(values)
+    opts = dict(HIVE_TEXT_OPTIONS, quote="", escape="")
+    return spark.read.options(**opts).schema(schema).csv(values)
 
 
 def has_avro_support(spark: SparkSession) -> bool:

@@ -105,7 +105,40 @@ def _write_log(root: str, log: dict) -> None:
     tmp = _log_path(root) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(log, f)
-    os.replace(tmp, _log_path(root))  # atomic commit point
+    os.replace(tmp, _log_path(root))  # atomic publish point
+
+
+class _log_mutation:
+    """Mutual exclusion for log read-modify-write sections (the role
+    TxnHandler delegates to the metastore DB's transactions): an
+    O_CREAT|O_EXCL lockfile with bounded retry.  Serializes concurrent
+    commits and compactions on one filesystem; on HDFS/S3 deployments
+    the same contract comes from the metastore service."""
+
+    def __init__(self, root: str, timeout_s: float = 60.0):
+        self.path = os.path.join(root, "_txn_log.lock")
+        self.timeout_s = timeout_s
+
+    def __enter__(self):
+        import time
+
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"txn log lock held too long: {self.path}")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        return False
 
 
 class AcidTable:
@@ -152,6 +185,18 @@ class AcidTable:
             deltas=deltas,
         )
 
+    def _load_tombstones(self, d: str, wid: int) -> DataFrame:
+        """Tombstones of one delta as (key, _twid).  Plain deltas carry
+        just the key column (their write_id is the log entry's); FOLDED
+        deltas persist a per-key ``_twid`` column so minor compaction
+        never re-stamps historical deletes at the fold watermark — which
+        would otherwise fabricate write-set conflicts for txns open
+        across the compaction."""
+        tt = self.spark.read.parquet(os.path.join(self.root, d, "tombstones"))
+        if "_twid" not in tt.columns:
+            tt = tt.withColumn("_twid", F.lit(wid))
+        return tt.select(self.key_col, "_twid")
+
     def read(self, snap: Snapshot | None = None) -> DataFrame:
         """Reconstruct the table at ``snap`` (default: latest commit).
 
@@ -173,7 +218,7 @@ class AcidTable:
                     self.spark.read.parquet(rdir).withColumn("_wid", F.lit(wid))
                 )
             if os.path.exists(tdir):
-                tt = self.spark.read.parquet(tdir).withColumn("_twid", F.lit(wid))
+                tt = self._load_tombstones(d, wid)
                 tombs = tt if tombs is None else tombs.unionByName(tt)
         if tombs is None:
             return rows.drop("_wid")
@@ -216,7 +261,7 @@ class AcidTable:
                 rr = self.spark.read.parquet(rdir).withColumn("_wid", F.lit(wid))
                 rows = rr if rows is None else rows.unionByName(rr)
             if os.path.exists(tdir):
-                tt = self.spark.read.parquet(tdir).withColumn("_twid", F.lit(wid))
+                tt = self._load_tombstones(d, wid)
                 tombs = tt if tombs is None else tombs.unionByName(tt)
         folded = f"delta_{uuid.uuid4().hex}"
         fdir = os.path.join(self.root, folded)
@@ -234,18 +279,22 @@ class AcidTable:
             surv.write.mode("overwrite").parquet(os.path.join(fdir, "rows"))
             wrote_rows = True
         if tombs is not None:
-            tombs.select(k).distinct().write.mode("overwrite").parquet(
-                os.path.join(fdir, "tombstones")
-            )
+            # persist per-key original write ids (see _load_tombstones)
+            tombs.groupBy(k).agg(F.max("_twid").alias("_twid")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(fdir, "tombstones"))
             wrote_tombs = True
         if not (wrote_rows or wrote_tombs):
             shutil.rmtree(fdir)
             return
-        log = _read_log(self.root)
-        log["committed"] = [
-            {"write_id": hwm, "dir": folded, "has_tombstones": wrote_tombs}
-        ]
-        _write_log(self.root, log)
+        with _log_mutation(self.root):
+            # keep any commit that landed AFTER the compaction snapshot —
+            # folding must never erase acknowledged transactions
+            log = _read_log(self.root)
+            log["committed"] = [
+                {"write_id": hwm, "dir": folded, "has_tombstones": wrote_tombs}
+            ] + [e for e in log["committed"] if e["write_id"] > hwm]
+            _write_log(self.root, log)
 
     def compact_major(self) -> None:
         """Fold base+deltas into a new ``base_H`` (Worker.java major
@@ -259,11 +308,13 @@ class AcidTable:
         self.read(snap).write.mode("overwrite").parquet(
             os.path.join(self.root, new_base)
         )
-        log = _read_log(self.root)
-        log["base"] = new_base
-        log["base_write_id"] = hwm
-        log["committed"] = []
-        _write_log(self.root, log)
+        with _log_mutation(self.root):
+            log = _read_log(self.root)
+            log["base"] = new_base
+            log["base_write_id"] = hwm
+            # commits that landed during the rewrite survive as deltas
+            log["committed"] = [e for e in log["committed"] if e["write_id"] > hwm]
+            _write_log(self.root, log)
 
     def clean(self, live_snapshots: list[Snapshot] | None = None) -> list[str]:
         """Remove directories no longer referenced by the current log
@@ -280,9 +331,15 @@ class AcidTable:
             if name == LOG or name in keep:
                 continue
             full = os.path.join(self.root, name)
-            if os.path.isdir(full):
-                shutil.rmtree(full)
-                removed.append(name)
+            if not os.path.isdir(full):
+                continue
+            if os.path.exists(os.path.join(full, "_OPEN")):
+                # a LIVE transaction's staging dir — not garbage.  Crashed
+                # writers leave these forever; a production deployment
+                # reaps them by age, as Hive's timeout-abort does.
+                continue
+            shutil.rmtree(full)
+            removed.append(name)
         return removed
 
 
@@ -295,6 +352,11 @@ class Txn:
         self.snap = table.snapshot()
         self._staged = _Staged(dir=f"delta_{uuid.uuid4().hex}")
         self._done = False
+        # _OPEN marker: tells the cleaner this staging dir belongs to a
+        # live txn (removed on commit; the whole dir goes away on abort)
+        full = os.path.join(table.root, self._staged.dir)
+        os.makedirs(full, exist_ok=True)
+        open(os.path.join(full, "_OPEN"), "w").close()
 
     # reads-own-snapshot (not own writes — single-statement txns, like
     # Hive's per-query ACID statements sharing one ValidTxnList)
@@ -328,49 +390,66 @@ class Txn:
         self._staged.has_rows = True
 
     def commit(self) -> int:
-        """Optimistic commit: write-set check against txns committed
-        after our snapshot, then atomic log append.  Insert-only txns
-        skip the check (they cannot conflict)."""
+        """Optimistic commit: under the log lock, write-set check
+        against txns committed after our snapshot, then atomic log
+        append.  The lock serializes concurrent commits so two txns can
+        never claim one write_id or overwrite each other's log entry
+        (the role TxnHandler delegates to the metastore DB).  Insert-only
+        txns skip the conflict check (they cannot conflict)."""
         if self._done:
             raise RuntimeError("txn already finished")
         root = self.table.root
-        log = _read_log(root)
-        if self._staged.has_tombstones:
-            later = [
-                e
-                for e in log["committed"]
-                if e["write_id"] > self.snap.high_watermark and e["has_tombstones"]
-            ]
-            if later:
-                mine = self.table.spark.read.parquet(self._dir("tombstones")).select(
-                    self.table.key_col
-                )
-                theirs = None
-                for e in later:
-                    tt = self.table.spark.read.parquet(
-                        os.path.join(root, e["dir"], "tombstones")
+        with _log_mutation(root):
+            log = _read_log(root)
+            if self._staged.has_tombstones:
+                later = [
+                    e
+                    for e in log["committed"]
+                    if e["write_id"] > self.snap.high_watermark
+                    and e["has_tombstones"]
+                ]
+                if later:
+                    mine = self.table.spark.read.parquet(
+                        self._dir("tombstones")
                     ).select(self.table.key_col)
-                    theirs = tt if theirs is None else theirs.unionByName(tt)
-                n = mine.join(theirs, on=self.table.key_col, how="left_semi").count()
-                if n > 0:
-                    self.abort()
-                    raise WriteConflictError(
-                        f"{n} overlapping key(s) written by a concurrent txn"
-                    )
-        wid = log["next_write_id"]
-        log["next_write_id"] = wid + 1
-        log["committed"].append(
-            {
-                "write_id": wid,
-                "dir": self._staged.dir,
-                "has_tombstones": self._staged.has_tombstones,
-            }
-        )
-        _write_log(root, log)
+                    theirs = None
+                    for e in later:
+                        # folded deltas carry per-key _twid: only deletes
+                        # STRICTLY after our snapshot are conflicts
+                        tt = self.table._load_tombstones(  # noqa: SLF001
+                            e["dir"], e["write_id"]
+                        ).filter(F.col("_twid") > self.snap.high_watermark).select(
+                            self.table.key_col
+                        )
+                        theirs = tt if theirs is None else theirs.unionByName(tt)
+                    n = mine.join(
+                        theirs, on=self.table.key_col, how="left_semi"
+                    ).count()
+                    if n > 0:
+                        self.abort()
+                        raise WriteConflictError(
+                            f"{n} overlapping key(s) written by a concurrent txn"
+                        )
+            wid = log["next_write_id"]
+            log["next_write_id"] = wid + 1
+            log["committed"].append(
+                {
+                    "write_id": wid,
+                    "dir": self._staged.dir,
+                    "has_tombstones": self._staged.has_tombstones,
+                }
+            )
+            _write_log(root, log)
+        try:
+            os.unlink(os.path.join(root, self._staged.dir, "_OPEN"))
+        except FileNotFoundError:
+            pass
         self._done = True
         return wid
 
     def abort(self) -> None:
         """Never enters the log → invisible to all readers; the staged
-        dir is garbage the cleaner reaps."""
+        dir is removed outright (a crashed writer's dir is instead left
+        with its _OPEN marker for an age-based reaper)."""
+        shutil.rmtree(os.path.join(self.table.root, self._staged.dir), ignore_errors=True)
         self._done = True

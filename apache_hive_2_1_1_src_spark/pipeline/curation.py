@@ -85,12 +85,14 @@ def sequence_packing(
     so each substratum fits one task comfortably (100 TB / 4 langs /
     budget-sized packs → thousands of shards)."""
     tokens = F.size(_words(F.col("text")))
+    # 4 hex chars → 65536 distinct values, so ``shards`` scales to the
+    # thousands the docstring calls for (a single hex char would silently
+    # cap the substrata at 16, keeping the giant-window funnel)
     shard = (
-        F.instr(
-            F.lit(_HEX), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-        )
-        - F.lit(1)
-    ) % shards
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % shards
+    )
     w = (
         Window.partitionBy(stratum, "shard")
         .orderBy("doc_id")

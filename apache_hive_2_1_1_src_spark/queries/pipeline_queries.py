@@ -88,6 +88,33 @@ def p06_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5).orderBy("query_id", "neighbor_id")
 
 
+def _recall_certificate(
+    approx: DataFrame, exact: DataFrame, threshold: float, col_name: str, k: int
+) -> DataFrame:
+    """Shared in-plan recall certificate (p07/p23): join approximate
+    and exact top-k pair sets, emit (n_queries, recall >= threshold,
+    per-query boundedness) as oracle-checkable booleans."""
+    n_hit = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_ex = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.countDistinct("query_id").alias("n_queries"),
+    )
+    mx = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.max("c").alias("mx")
+    )
+    return (
+        n_ex.crossJoin(n_hit)
+        .crossJoin(mx)
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            (F.col("n_hit") / F.col("n_exact") >= threshold).alias(col_name),
+            (F.col("mx") <= k).alias("bounded_topk"),
+        )
+    )
+
+
 def p07_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN, full-oracle via an in-plan recall
     CERTIFICATE (the q25/q27 pattern — round 5, previously rows-only):
@@ -105,25 +132,7 @@ def p07_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = lsh_bucketed_ann(emb, queries, k=5, num_planes=4, num_tables=8).select(
         "query_id", "neighbor_id"
     )
-    n_hit = ap.join(ex, ["query_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    n_ex = ex.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.countDistinct("query_id").alias("n_queries"),
-    )
-    mx = ap.groupBy("query_id").agg(F.count(F.lit(1)).alias("c")).agg(
-        F.max("c").alias("mx")
-    )
-    return (
-        n_ex.crossJoin(n_hit)
-        .crossJoin(mx)
-        .select(
-            F.col("n_queries").cast("long").alias("n_queries"),
-            (F.col("n_hit") / F.col("n_exact") >= 0.3).alias("recall_ge_030"),
-            (F.col("mx") <= 5).alias("bounded_topk"),
-        )
-    )
+    return _recall_certificate(ap, ex, 0.3, "recall_ge_030", k=5)
 
 
 def p08_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,25 +355,7 @@ def p23_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=4).select(
         "query_id", "neighbor_id"
     )
-    n_hit = ap.join(ex, ["query_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    n_ex = ex.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.countDistinct("query_id").alias("n_queries"),
-    )
-    mx = ap.groupBy("query_id").agg(F.count(F.lit(1)).alias("c")).agg(
-        F.max("c").alias("mx")
-    )
-    return (
-        n_ex.crossJoin(n_hit)
-        .crossJoin(mx)
-        .select(
-            F.col("n_queries").cast("long").alias("n_queries"),
-            (F.col("n_hit") / F.col("n_exact") >= 0.5).alias("recall_ge_050"),
-            (F.col("mx") <= 5).alias("bounded_topk"),
-        )
-    )
+    return _recall_certificate(ap, ex, 0.5, "recall_ge_050", k=5)
 
 
 def p24_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,9 +835,8 @@ ORACLES = {
     "p19_sequence_packing": """
         WITH tok AS (
           SELECT lang, doc_id,
-                 CAST((strpos('0123456789abcdef',
-                              substr(md5(doc_id::VARCHAR), 1, 1)) - 1) % 16
-                      AS INT) AS shard,
+                 CAST((CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4)
+                            AS INTEGER)) % 16 AS BIGINT) AS shard,
                  len(list_filter(string_split_regex(lower(text), '\\s+'),
                                  x -> x != '')) AS n_tokens
           FROM documents

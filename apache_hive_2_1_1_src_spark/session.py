@@ -262,12 +262,17 @@ class HiveEngine:
             for i, node in enumerate(nodes):
                 if not node.get("class", "").endswith("SubqueryAlias"):
                     continue
-                j = i + 1  # temp views analyze as SubqueryAlias → View → leaf
-                if j < len(nodes) and nodes[j].get("class", "").endswith(".View"):
-                    j += 1
+                if i + 1 >= len(nodes):
+                    continue
+                child_cls = nodes[i + 1].get("class", "")
+                # a SubqueryAlias over a View is a table/view REFERENCE
+                # regardless of what the view expands to (views may wrap
+                # arbitrary plans, e.g. the events ts-normalizing
+                # projection) — Hive lists views as dependencies too;
+                # a SubqueryAlias directly over a leaf is a base scan.
                 if (
-                    j < len(nodes)
-                    and nodes[j].get("class", "").rsplit(".", 1)[-1] in leaf_classes
+                    child_cls.endswith(".View")
+                    or child_cls.rsplit(".", 1)[-1] in leaf_classes
                 ):
                     name = (node.get("identifier") or {}).get("name")
                     if name:

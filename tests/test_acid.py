@@ -94,9 +94,76 @@ def test_abort_is_invisible(spark, tbl):
     tx.update(F.col("k") <= 20, {"v": F.lit(-1.0)})
     tx.abort()
     assert tbl.read().filter(F.col("v") < 0).count() == 0
-    # cleaner reaps the orphaned staging dir
+    # abort removed its own staging dir; nothing left for the cleaner
+    assert tbl.clean() == []
+
+
+def test_cleaner_spares_open_txns_reaps_crashed_ones(spark, tbl):
+    import os
+
+    tx = tbl.begin()
+    tx.update(F.col("k") == 1, {"v": F.lit(5.0)})
+    # cleaner must NOT delete a live txn's staging dir
+    assert tbl.clean() == []
+    tx.commit()
+    assert tbl.read().filter(F.col("k") == 1).first()["v"] == 5.0
+    # a crashed writer = staged dir whose _OPEN marker never cleared;
+    # dropping the marker (the age-based reaper's job) frees it
+    crashed = tbl.begin()
+    crashed.insert(
+        spark.createDataFrame([(99, "x", 1.0)], "k int, grp string, v double")
+    )
+    assert tbl.clean() == []
+    os.unlink(os.path.join(tbl.root, crashed._staged.dir, "_OPEN"))  # noqa: SLF001
     removed = tbl.clean()
-    assert len(removed) == 1 and removed[0].startswith("delta_")
+    assert removed == [crashed._staged.dir]  # noqa: SLF001
+
+
+def test_compaction_preserves_commits_after_its_snapshot(spark, tbl):
+    from apache_hive_2_1_1_src_spark.operators import acid
+
+    tx = tbl.begin()
+    tx.delete(F.col("k") == 2)
+    tx.commit()
+    # simulate a commit landing between the fold job and the log swap:
+    # snapshot the fold input now, commit afterwards, then fold with the
+    # stale snapshot — monkeypatching snapshot() to return the old one
+    old_snap = tbl.snapshot()
+    tx2 = tbl.begin()
+    tx2.update(F.col("k") == 4, {"v": F.lit(44.0)})
+    tx2.commit()
+    real_snapshot = acid.AcidTable.snapshot
+    try:
+        acid.AcidTable.snapshot = lambda self: old_snap
+        tbl.compact_minor()
+    finally:
+        acid.AcidTable.snapshot = real_snapshot
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert 2 not in got  # folded delete intact
+    assert got[4] == 44.0  # tx2's commit survived the fold
+
+
+def test_no_spurious_conflict_with_pre_snapshot_tombstones(spark, tbl):
+    # k=9's tombstone is historical (wid 1, before T's snapshot); an
+    # unrelated later delete (wid 3) pushes the FOLD watermark above T's
+    # snapshot.  The folded delta keeps per-key ORIGINAL write ids, so
+    # T updating k=9 must not conflict with the wid-1 tombstone that the
+    # fold would otherwise re-stamp at wid 3.
+    tx = tbl.begin()
+    tx.delete(F.col("k") == 9)
+    tx.commit()  # wid 1
+    tx = tbl.begin()
+    tx.insert(spark.createDataFrame([(9, "re", 9.5)], "k int, grp string, v double"))
+    tx.commit()  # wid 2
+    t_open = tbl.begin()  # snapshot hwm = 2
+    tx = tbl.begin()
+    tx.delete(F.col("k") == 15)
+    tx.commit()  # wid 3 — unrelated key
+    tbl.compact_minor()  # folded entry at wid 3, tombstones carry _twid
+    t_open.update(F.col("k") == 9, {"v": F.lit(10.0)})
+    t_open.commit()  # must NOT raise WriteConflictError
+    assert tbl.read().filter(F.col("k") == 9).first()["v"] == 10.0
+    assert tbl.read().filter(F.col("k") == 15).count() == 0
 
 
 def test_minor_then_major_compaction_preserve_contents(spark, tbl):

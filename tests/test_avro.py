@@ -109,3 +109,32 @@ def test_nested_types_fail_loudly():
     )
     with pytest.raises(TypeError, match="flat primitive"):
         spark_schema_to_avro(schema)
+
+
+def test_nullable_long_precision_and_nan_vs_null(spark, tmp_path):
+    """Arrow→pandas float64 coercion must not corrupt nullable bigints
+    above 2^53 nor fold a genuine NaN double into null (write_avro
+    routes integers as exact strings and floats with an isNull flag)."""
+    import math
+
+    path = str(tmp_path / "avro_precision")
+    big = 2**60 + 1
+    df = spark.createDataFrame(
+        [(1, big, 1.5), (2, None, float("nan")), (3, -(2**61) - 7, None)],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("v", T.LongType(), True),
+                T.StructField("d", T.DoubleType(), True),
+            ]
+        ),
+    )
+    n = write_avro(df, path)
+    assert n == 3
+    back = read_avro(spark, path, df.schema)
+    rows = {r["k"]: (r["v"], r["d"]) for r in back.collect()}
+    assert rows[1][0] == big and rows[1][1] == 1.5
+    assert rows[2][0] is None
+    assert rows[2][1] is not None and math.isnan(rows[2][1])  # NaN, NOT null
+    assert rows[3][0] == -(2**61) - 7
+    assert rows[3][1] is None  # null, NOT NaN

@@ -32,3 +32,16 @@ def test_sequencefile_magic_and_null_roundtrip(spark, tmp_path):
     back = read_hive_sequencefile(spark, path, "k int, s string, v double")
     rows = {r["k"]: (r["s"], r["v"]) for r in back.collect()}
     assert rows == {1: ("a", 1.5), 2: (None, None), 3: ("c", -0.25)}
+
+
+def test_sequencefile_quote_leading_value_roundtrips(spark, tmp_path):
+    # raw serde lines have no quote-escaping: a value starting with '"'
+    # must parse verbatim, not swallow the ^A delimiter as a CSV quote
+    path = str(tmp_path / "seqq")
+    df = spark.createDataFrame(
+        [(1, '"hello', 2.0), (2, 'mid"quote', 3.0)], "k int, s string, v double"
+    )
+    write_hive_sequencefile(df, path)
+    back = read_hive_sequencefile(spark, path, "k int, s string, v double")
+    rows = {r["k"]: (r["s"], r["v"]) for r in back.collect()}
+    assert rows == {1: ('"hello', 2.0), 2: ('mid"quote', 3.0)}
