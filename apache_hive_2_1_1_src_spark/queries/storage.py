@@ -569,7 +569,46 @@ def q173_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q176_show_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW command family (HiveParser.g SHOW grammar;
+    DDLSemanticAnalyzer → ShowTablesDesc/ShowColumnsDesc/ShowFunctionsDesc,
+    ql/.../exec/DDLTask.java showTables/showColumns/showFunctions):
+    SHOW TABLES LIKE, SHOW COLUMNS, SHOW DATABASES, SHOW FUNCTIONS LIKE
+    and SHOW CREATE TABLE, digested to deterministic (item, value) rows
+    against a VALUES oracle."""
+    for tname in ("showdemo_a", "showdemo_b"):
+        drop_table(spark, tname)
+    spark.range(3).selectExpr("id AS k", "CAST(id AS STRING) AS s").write.mode(
+        "overwrite"
+    ).saveAsTable("showdemo_a")
+    spark.range(2).selectExpr("id AS k").write.mode("overwrite").saveAsTable(
+        "showdemo_b"
+    )
+    tables = ",".join(
+        sorted(r.tableName for r in spark.sql("SHOW TABLES LIKE 'showdemo*'").collect())
+    )
+    cols = ",".join(
+        r.col_name for r in spark.sql("SHOW COLUMNS IN showdemo_a").collect()
+    )
+    fns = ",".join(
+        sorted(r.function for r in spark.sql("SHOW FUNCTIONS LIKE 'sha*'").collect())
+    )
+    ddl = spark.sql("SHOW CREATE TABLE showdemo_a").collect()[0][0]
+    dbs = {r.namespace for r in spark.sql("SHOW DATABASES").collect()}
+    rows = [
+        ("show_tables", tables),
+        ("show_columns_a", cols),
+        ("show_functions_sha", fns),
+        ("show_create_using_parquet", str("USING parquet" in ddl).lower()),
+        ("show_databases_has_default", str("default" in dbs).lower()),
+    ]
+    for tname in ("showdemo_a", "showdemo_b"):
+        drop_table(spark, tname)
+    return spark.createDataFrame(rows, "item string, value string").orderBy("item")
+
+
 QUERIES = {
+    "q176_show_surface": q176_show_surface,
     "q173_sequencefile_roundtrip": q173_sequencefile_roundtrip,
     "q172_jdbc_thrift_endpoint": q172_jdbc_thrift_endpoint,
     "q171_hive_bucket_layout": q171_hive_bucket_layout,
@@ -593,6 +632,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q176_show_surface": """
+        SELECT * FROM (VALUES
+          ('show_columns_a', 'k,s'),
+          ('show_create_using_parquet', 'true'),
+          ('show_databases_has_default', 'true'),
+          ('show_functions_sha', 'sha,sha1,sha2'),
+          ('show_tables', 'showdemo_a,showdemo_b')
+        ) AS t(item, value) ORDER BY item
+    """,
     "q173_sequencefile_roundtrip": """
         SELECT o_orderstatus, COUNT(*) AS n,
                ROUND(SUM(o_totalprice), 2) AS total,
