@@ -607,7 +607,37 @@ def q176_show_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, value string").orderBy("item")
 
 
+def q177_hive_udf_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unmodified Hive GenericUDF classes via CREATE TEMPORARY FUNCTION
+    (FunctionSemanticAnalyzer.java; GenericUDF.java) — the user-extension
+    jar path.  A Hive-enabled subprocess JVM registers GenericUDFSoundex /
+    UDFConv / UDFAscii from the hive-exec jar and certifies each against
+    Spark's independent builtin per row (hive_udf_phase.py); every
+    agreement count must equal the group size."""
+    import subprocess
+    import sys
+
+    base = os.path.join(_SCRATCH, f"hive_udf_{os.getpid()}")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "apache_hive_2_1_1_src_spark.hive_udf_phase", base, sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=repo_root,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"hive udf phase failed:\n{proc.stderr[-2000:]}")
+    return spark.read.parquet(base).orderBy("c_mktsegment")
+
+
 QUERIES = {
+    "q177_hive_udf_classes": q177_hive_udf_classes,
     "q176_show_surface": q176_show_surface,
     "q173_sequencefile_roundtrip": q173_sequencefile_roundtrip,
     "q172_jdbc_thrift_endpoint": q172_jdbc_thrift_endpoint,
@@ -632,6 +662,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q177_hive_udf_classes": """
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(COUNT(*) AS BIGINT) AS soundex_agree,
+               CAST(COUNT(*) AS BIGINT) AS conv_agree,
+               CAST(COUNT(*) AS BIGINT) AS ascii_agree
+        FROM customer WHERE c_custkey <= 500
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
     "q176_show_surface": """
         SELECT * FROM (VALUES
           ('show_columns_a', 'k,s'),
