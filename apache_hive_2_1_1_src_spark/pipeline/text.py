@@ -302,3 +302,38 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
             ).alias("avg_neg_log2p"),
         )
     )
+
+
+def classifier_score(
+    docs: DataFrame, dim: int = 1024, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hashed-bag-of-words linear quality classifier — the fastText-style
+    scoring pass pipelines run after heuristic filters (a trained model
+    is a weight vector indexed by a token-hash feature id; CCNet and
+    the GPT-3 data work both score documents this way).
+
+    Feature id = md5-derived token hash modulo ``dim`` (the hashing
+    trick); the weight vector here is a deterministic integer function
+    of the feature id — a stand-in with the exact shape of a trained
+    model, which would broadcast its real weights the same way.  Scores
+    are INTEGER sums, so results are bit-identical regardless of
+    aggregation order (no float summation ambiguity), making the whole
+    operator oracle-checkable.
+
+    100 TB: explode + hash + groupBy(doc) — one shuffle keyed by doc id;
+    the weight "vector" lives in the expression (a real model's array
+    broadcasts with the plan, as p37's frequency table does).
+    """
+    tok = F.explode(_words(F.col(text_col))).alias("tok")
+    feats = docs.select(F.col(id_col), tok)
+    idx = F.conv(F.substring(F.md5(F.col("tok")), 1, 6), 16, 10).cast("long") % dim
+    w = (idx * F.lit(2654435761)) % 997 - 498
+    return (
+        feats.select(id_col, w.alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("w").alias("score_sum"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .withColumn("keep", F.col("score_sum") > 0)
+    )

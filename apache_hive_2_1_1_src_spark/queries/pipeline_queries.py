@@ -569,7 +569,19 @@ def p40_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p41_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier (pipeline/text.py
+    classifier_score): token-hash features, broadcast-shaped weight
+    vector, integer scoring (order-independent) — full oracle replaying
+    the identical hash/weight arithmetic in SQL."""
+    from apache_hive_2_1_1_src_spark.pipeline.text import classifier_score
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 1200)
+    return classifier_score(docs).orderBy("doc_id")
+
+
 QUERIES = {
+    "p41_quality_classifier": p41_quality_classifier,
     "p39_url_canonicalize": p39_url_canonicalize,
     "p40_html_extract": p40_html_extract,
     "p01_dedup_exact": p01_dedup_exact,
@@ -625,6 +637,22 @@ _SHINGLES_CTE = """
 """
 
 ORACLES = {
+    "p41_quality_classifier": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x != '')) AS tok
+          FROM documents WHERE doc_id <= 1200
+        ), feat AS (
+          SELECT doc_id,
+                 ((CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT) % 1024)
+                   * 2654435761) % 997 - 498 AS w
+          FROM toks
+        )
+        SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score_sum,
+               COUNT(*) AS n_tokens, SUM(w) > 0 AS keep
+        FROM feat GROUP BY doc_id ORDER BY doc_id
+    """,
     "p39_url_canonicalize": """
         WITH u AS (
           SELECT 'example' || (doc_id % 7) || '.com' AS host,
