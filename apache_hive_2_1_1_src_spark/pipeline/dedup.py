@@ -721,3 +721,68 @@ def connected_components(pairs: DataFrame, max_iterations: int = 12) -> DataFram
             "raise max_iterations"
         )
     return labels
+
+
+def duplicated_span_fraction(
+    docs: DataFrame,
+    window: int = 20,
+    stride: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-PASSAGE detection (the practical Spark
+    shape of Lee et al.'s exact-substring dedup, "Deduplicating
+    Training Data Makes Language Models Better"): overlapping
+    ``window``-token spans at ``stride`` offsets are hashed; a span
+    hash seen in >= 2 DISTINCT documents marks both occurrences as
+    duplicated text.  Returns per-doc window counts and the duplicated
+    fraction — the score pipelines threshold on before dropping or
+    trimming documents.
+
+    Differs from paragraph_dedup (p34: non-overlapping chunk
+    first-occurrence at fixed boundaries): overlapping strides catch
+    copied passages at ARBITRARY positions.  The suffix-array of the
+    paper is a single-machine structure; the distributed equivalent
+    trades stride granularity for two linear shuffles.
+
+    100 TB: windows per doc = n_tokens/stride (linear emit); the span
+    hashes are content-uniform so the groupBy is skew-safe, and the
+    dup-hash set (usually tiny) broadcasts back onto the window
+    stream.  No all-pairs anywhere.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(F.col(id_col), toks.alias("_t")).filter(
+        F.size("_t") >= window
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("_t") - F.lit(window), F.lit(stride)
+    )
+    wins = base.select(
+        id_col,
+        F.explode(starts).alias("_s"),
+        F.col("_t"),
+    ).select(
+        id_col,
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("_t"), F.col("_s") + 1, window))
+        ).alias("_h"),
+    )
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h", F.lit(1).alias("_dup"))
+    )
+    flagged = wins.join(F.broadcast(dup), on="_h", how="left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup") / F.col("n_windows"), 6)
+        )
+    )

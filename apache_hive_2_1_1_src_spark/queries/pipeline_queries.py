@@ -580,7 +580,19 @@ def p41_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs).orderBy("doc_id")
 
 
+def p42_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection (overlapping 20-token
+    windows at stride 5, Lee-et-al exact-substring shape —
+    pipeline/dedup.duplicated_span_fraction): per-doc duplicated-window
+    fraction, full oracle replaying the identical windows in SQL."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import duplicated_span_fraction
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 800)
+    return duplicated_span_fraction(docs).orderBy("doc_id")
+
+
 QUERIES = {
+    "p42_repeated_passages": p42_repeated_passages,
     "p41_quality_classifier": p41_quality_classifier,
     "p39_url_canonicalize": p39_url_canonicalize,
     "p40_html_extract": p40_html_extract,
@@ -637,6 +649,30 @@ _SHINGLES_CTE = """
 """
 
 ORACLES = {
+    "p42_repeated_passages": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '') AS t
+          FROM documents WHERE doc_id <= 800
+        ), d2 AS (
+          SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 20
+        ), wins AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(t, s, s + 19), ' ')) AS h
+          FROM d2, unnest(generate_series(1, n - 19, 5)) AS u(s)
+        ), dup AS (
+          SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT w.doc_id,
+               COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN w.h IN (SELECT h FROM dup)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               ROUND(CAST(SUM(CASE WHEN w.h IN (SELECT h FROM dup)
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                 AS dup_frac
+        FROM wins w GROUP BY w.doc_id ORDER BY w.doc_id
+    """,
     "p41_quality_classifier": """
         WITH toks AS (
           SELECT doc_id,
