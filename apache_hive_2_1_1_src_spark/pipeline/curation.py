@@ -329,3 +329,48 @@ def shuffle_shards(
             F.max("sort_key").alias("last_key"),
         )
     )
+
+
+def epoch_weighted_mix(
+    docs: DataFrame,
+    weights: dict,
+    default_weight: float = 1.0,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Epoch-weighted domain mixing — the LLaMA/GPT-style data recipe
+    where high-quality domains are UPSAMPLED (seen for >1 epoch) and
+    bulk web text runs below one epoch: weight 2.5 means every doc
+    appears twice plus a 50%-probability third copy.
+
+    * integer part: ``explode(sequence(...))`` replication (per-row,
+      narrow — no shuffle, no driver loop);
+    * fractional part: one extra copy gated by a deterministic md5
+      threshold on (id, 'epoch') — reproducible across runs and
+      cluster layouts, exactly the p22/p26 hash-sampling idiom;
+    * ``copy_id`` disambiguates replicas for downstream shuffling/
+      packing (p38/p19 consume it like any row id).
+
+    100 TB: output volume = Σ w_d·|d| by construction; everything is a
+    flat map, so the mix composes with the shard shuffle (p38) without
+    adding a shuffle of its own.
+    """
+    w_map = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    w = F.coalesce(w_map[F.col(domain_col)], F.lit(float(default_weight)))
+    n_whole = F.floor(w).cast("int")
+    frac = w - n_whole
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("epoch"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    n_copies = (n_whole + F.when(u < frac, 1).otherwise(0)).alias("_n")
+    rep = docs.withColumn("_n", n_copies).filter(F.col("_n") >= 1)
+    return rep.select(
+        "*", F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_id")
+    ).drop("_n")

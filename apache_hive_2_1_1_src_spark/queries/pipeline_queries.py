@@ -591,7 +591,31 @@ def p42_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_fraction(docs).orderBy("doc_id")
 
 
+def p43_epoch_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLaMA-style epoch-weighted domain mixing (curation.py
+    epoch_weighted_mix): src0 upsampled 3 epochs, src1 2.5, src2 half
+    an epoch, src3 dropped, everything else 1.0 — integer replication +
+    md5-deterministic fractional copies; full oracle replays the
+    identical weight/threshold arithmetic."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import epoch_weighted_mix
+
+    docs = t(spark, sf_dir, "documents")
+    mixed = epoch_weighted_mix(
+        docs, {"src0": 3.0, "src1": 2.5, "src2": 0.5, "src3": 0.0}
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("copy_id").alias("max_copies"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "p43_epoch_mixing": p43_epoch_mixing,
     "p42_repeated_passages": p42_repeated_passages,
     "p41_quality_classifier": p41_quality_classifier,
     "p39_url_canonicalize": p39_url_canonicalize,
@@ -649,6 +673,26 @@ _SHINGLES_CTE = """
 """
 
 ORACLES = {
+    "p43_epoch_mixing": """
+        WITH w AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.5
+                             WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.0
+                             ELSE 1.0 END AS wt,
+                 CAST('0x' || substr(md5(doc_id || 'epoch'), 1, 8) AS BIGINT)
+                   / 4294967296.0 AS u
+          FROM documents
+        ), c AS (
+          SELECT doc_id, source,
+                 CAST(FLOOR(wt) AS INT)
+                   + CASE WHEN u < wt - FLOOR(wt) THEN 1 ELSE 0 END AS n
+          FROM w
+        )
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_docs,
+               CAST(MAX(n) AS BIGINT) AS max_copies
+        FROM c WHERE n >= 1 GROUP BY source ORDER BY source
+    """,
     "p42_repeated_passages": """
         WITH toks AS (
           SELECT doc_id,
