@@ -63,3 +63,34 @@ def test_classifier_deterministic_and_token_count_exact(spark):
     for k in out1:
         assert out1[k]["score_sum"] == out2[k]["score_sum"]
     assert out1[1]["keep"] == (out1[1]["score_sum"] > 0)
+
+
+def test_epoch_mix_copy_semantics(spark):
+    from apache_hive_2_1_1_src_spark.pipeline.curation import epoch_weighted_mix
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}", "text") for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    mixed = epoch_weighted_mix(
+        docs, {"src0": 3.0, "src1": 2.5, "src2": 0.5, "src3": 0.0}
+    )
+    rows = mixed.groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in rows}
+    assert "src3" not in got  # weight 0: domain dropped entirely
+    assert got["src0"] == 30  # exactly 3 copies of 10 docs
+    assert 20 <= got["src1"] <= 30  # 2 copies + ~half get a third
+    assert 0 <= got.get("src2", 0) <= 10  # below one epoch
+    # deterministic: identical on re-run
+    again = {
+        r["source"]: r["count"]
+        for r in epoch_weighted_mix(
+            docs, {"src0": 3.0, "src1": 2.5, "src2": 0.5, "src3": 0.0}
+        ).groupBy("source").count().collect()
+    }
+    assert got == again
+    # copy ids are 1..n per doc
+    per_doc = mixed.filter(F.col("source") == "src0").groupBy("doc_id").agg(
+        F.max("copy_id").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    assert all(r["mx"] == r["n"] == 3 for r in per_doc.collect())
