@@ -37,10 +37,15 @@ def p01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def p02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash-LSH candidates + exact Jaccard verify (threshold .4).
-    Candidate generation is signature-dependent → rows-only here; pytest
-    asserts the planted near-dup pair is recovered and candidate count
-    stays ≪ all-pairs."""
+    """Banded MinHash-LSH candidates + exact Jaccard verify (threshold .4)
+    — FULL oracle (round 5, previously rows-only): the DuckDB side
+    computes the exact all-pairs thresholded set, and the LSH pipeline's
+    verified output must equal it.  Sound here because the corpus's true
+    near-dups sit far above the threshold, where 32/8 banding detects
+    with probability ≈1 (measured recall exactly 1.0 at sf0.001 AND
+    sf0.01); the generic low-jaccard recall trade-off stays pinned in
+    tests/test_pipeline_invariants.py, and the verify step guarantees
+    no false positive can ever make the list longer than exact."""
     from apache_hive_2_1_1_src_spark.pipeline.dedup import minhash_dedup
 
     docs = t(spark, sf_dir, "documents")
@@ -673,6 +678,28 @@ _SHINGLES_CTE = """
 """
 
 ORACLES = {
+    "p02_dedup_minhash_lsh": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '') AS w
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                 ELSE [array_to_string(w, ' ')] END AS sh
+          FROM t
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(a.sh || b.sh)), 6) >= 0.4
+        ORDER BY id_a, id_b
+    """,
     "p43_epoch_mixing": """
         WITH w AS (
           SELECT doc_id, source,
