@@ -454,6 +454,18 @@ def q175_explain_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q178_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP (append mode): two deterministic
+    micro-batches; batch-2 rows whose 1-hour window closed below the
+    batch-1 watermark must be discarded, on-time batch-2 rows merged
+    (streaming/jobs.streaming_late_data_drop).  Oracle excludes the
+    late rows analytically — merged-late or dropped-on-time rows flip
+    the per-window counts."""
+    from apache_hive_2_1_1_src_spark.streaming.jobs import streaming_late_data_drop
+
+    return streaming_late_data_drop(spark, sf_dir)
+
+
 def q174_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming checkpoint crash/restart recovery with exactly-once
     output (streaming/jobs.streaming_checkpoint_recovery): half the
@@ -559,6 +571,7 @@ QUERIES = {
     "q162_streaming_upsert": q162_streaming_upsert,
     "q163_stream_static_join": q163_stream_static_join,
     "q174_checkpoint_recovery": q174_checkpoint_recovery,
+    "q178_watermark_late_drop": q178_watermark_late_drop,
     "q175_explain_dependency": q175_explain_dependency,
     "q164_column_stats": q164_column_stats,
     "q136_streaming_dedup": q136_streaming_dedup,
@@ -619,6 +632,23 @@ ORACLES = {
         SELECT * FROM (VALUES ('customer'), ('nation'), ('orders'), ('region'))
           AS t(input_table)
         ORDER BY input_table
+    """,
+    "q178_watermark_late_drop": """
+        WITH b1 AS (
+          SELECT event_id, ts, event_type FROM events WHERE event_id % 3 <> 0
+        ), wm AS (
+          SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM b1
+        ), kept AS (
+          SELECT event_id, ts, event_type FROM b1
+          UNION ALL
+          SELECT e.event_id, e.ts, e.event_type
+          FROM events e, wm
+          WHERE e.event_id % 3 = 0
+            AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.w
+        )
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               COUNT(*) AS n_events
+        FROM kept GROUP BY 1, 2 ORDER BY win_start, event_type
     """,
     "q174_checkpoint_recovery": """
         SELECT event_type, COUNT(*) AS n_events,

@@ -634,3 +634,92 @@ def streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP semantics (append mode) — the one
+    watermark behavior the rest of the streaming suite doesn't pin:
+    a row arriving after the watermark has passed its window is
+    discarded, not merged.
+
+    Spark only GUARANTEES dropping once the window's state has been
+    evicted (late rows arriving while state survives may still merge —
+    verified empirically), so the construction forces eviction first:
+
+    * batch 1: events with event_id % 3 != 0 → watermark becomes
+      max_ts(batch1) - 30min after the batch commits;
+    * batch 2: one watermark-pusher row (max_ts + 1h) — processing it
+      EMITS AND EVICTS every window ending below that watermark;
+    * batch 3: the remaining events — rows whose window was evicted
+      (window_end <= wm1) are now guaranteed-dropped; rows whose window
+      state survived merge normally;
+    * batch 4: a far-future sentinel flushes every remaining window
+      through the append sink.
+
+    ``maxFilesPerTrigger=1`` + mtime ordering makes file→batch
+    assignment exact; the oracle excludes exactly the evicted-window
+    rows — merged-late or dropped-on-time events flip the counts.
+    """
+    import datetime as _dt
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hive_spark_late_drop_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    land, sink, ckpt = (os.path.join(base, d) for d in ("land", "sink", "ckpt"))
+    ev = _events_with_ts(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+
+    if not os.path.isdir(base):
+        os.makedirs(land)
+        max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+
+        def sentinel(eid: int, ts) -> DataFrame:
+            return spark.createDataFrame(
+                [(eid, ts, "zz_sentinel", 0.0)],
+                "event_id bigint, ts timestamp, event_type string, value double",
+            )
+
+        batches = [
+            ("f1", ev.filter(F.col("event_id") % 3 != 0)),
+            ("f2", sentinel(-1, max_ts + _dt.timedelta(hours=1))),
+            ("f3", ev.filter(F.col("event_id") % 3 == 0)),
+            ("f4", sentinel(-2, max_ts + _dt.timedelta(days=365))),
+        ]
+        now = _time.time()
+        for i, (name, df) in enumerate(batches):
+            d = os.path.join(base, name + ".dir")
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            f = os.path.join(land, name)
+            shutil.move(_glob.glob(os.path.join(d, "part-*.parquet"))[0], f)
+            shutil.rmtree(d)
+            age = now - (len(batches) - i) * 120
+            os.utime(f, (age, age))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("event_type") != "zz_sentinel")
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+        .orderBy("win_start", "event_type")
+    )
