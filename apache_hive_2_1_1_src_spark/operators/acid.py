@@ -389,6 +389,62 @@ class Txn:
         self._staged.has_tombstones = True
         self._staged.has_rows = True
 
+    def merge(
+        self,
+        source: DataFrame,
+        when_matched_update: dict[str, Column] | None = None,
+        when_matched_delete: Column | None = None,
+        insert_unmatched: bool = True,
+    ) -> None:
+        """Transactional MERGE (HIVE-10924's ACID-table form, vs q160's
+        copy-on-write rewrite): against THIS txn's snapshot,
+
+        * matched target rows (key ∈ source) satisfying
+          ``when_matched_delete`` are tombstoned;
+        * other matched rows get ``when_matched_update`` assignments
+          applied to the SOURCE-JOINED row (source columns accessible
+          via the ``src_`` prefix) — tombstone + new row;
+        * unmatched source rows insert as-is (columns must match the
+          table schema).
+
+        One inner join on the merge key + the delta writes — the same
+        single-pass shape an ACID MERGE compiles to; commit-time
+        conflict detection then covers the whole write set."""
+        k = self.table.key_col
+        snap_df = self.read()
+        src = source
+        for c in src.columns:
+            if c != k:
+                src = src.withColumnRenamed(c, f"src_{c}")
+        matched = snap_df.join(src, on=k, how="inner")
+        if when_matched_delete is not None:
+            updated_in = matched.filter(~when_matched_delete)
+        else:
+            updated_in = matched
+        new_rows = updated_in
+        for c, expr in (when_matched_update or {}).items():
+            new_rows = new_rows.withColumn(c, expr)
+        new_rows = new_rows.select(*snap_df.columns)  # back to table schema
+        # every matched key is tombstoned (update = delete+insert; delete = delete)
+        matched.select(k).write.mode("append").parquet(self._dir("tombstones"))
+        self._staged.has_tombstones = True
+        out_rows = new_rows
+        if insert_unmatched:
+            unmatched = src.join(snap_df.select(k), on=k, how="left_anti")
+            inserts = unmatched.select(
+                F.col(k),
+                *[
+                    F.col(f"src_{c}").alias(c)
+                    for c in snap_df.columns
+                    if c != k
+                ],
+            )
+            out_rows = out_rows.unionByName(inserts)
+        # doomed rows need no action beyond their tombstone (already
+        # covered by the all-matched-keys tombstone write above)
+        out_rows.write.mode("append").parquet(self._dir("rows"))
+        self._staged.has_rows = True
+
     def commit(self) -> int:
         """Optimistic commit: under the log lock, write-set check
         against txns committed after our snapshot, then atomic log

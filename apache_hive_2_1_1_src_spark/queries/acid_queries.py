@@ -121,11 +121,99 @@ def q170_acid_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q179_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE on the MVCC table (HIVE-10924's ACID form —
+    completing q160's copy-on-write MERGE with snapshot semantics):
+    source = deterministic updates (keys %37, price+1000), inserts
+    (keys %101 shifted past max), WHEN MATCHED AND %111 THEN DELETE.
+    A reader snapshot pinned BEFORE the merge must still see the
+    original table after merge + major compaction + clean
+    (snapshot_preserved certificate); the digest oracle replays the
+    merge in SQL."""
+    root = os.path.join(tempfile.gettempdir(), f"hive_spark_acid_merge_{os.getpid()}")
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    n_base = base.count()
+    tbl = AcidTable.create(spark, root, base, key_col="o_orderkey")
+    snap = tbl.snapshot()
+
+    mk = base.agg(F.max("o_orderkey").alias("mk"))
+    src_upd = base.filter(F.col("o_orderkey") % 37 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    src_ins = (
+        base.filter(F.col("o_orderkey") % 101 == 0)
+        .crossJoin(F.broadcast(mk))
+        .select(
+            (F.col("o_orderkey") + F.col("mk") + 1).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    )
+    tx = tbl.begin()
+    tx.merge(
+        src_upd.unionByName(src_ins),
+        when_matched_update={"o_totalprice": F.col("src_o_totalprice")},
+        when_matched_delete=F.col("o_orderkey") % 111 == 0,
+        insert_unmatched=True,
+    )
+    tx.commit()
+    tbl.compact_major()
+    tbl.clean(live_snapshots=[snap])
+
+    snapshot_preserved = tbl.read(snap).count() == n_base
+    cert = spark.createDataFrame(
+        [(snapshot_preserved,)], "snapshot_preserved boolean"
+    )
+    out = (
+        tbl.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .crossJoin(F.broadcast(cert))
+        .orderBy("o_orderstatus")
+    )
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 QUERIES = {
     "q170_acid_snapshot_isolation": q170_acid_snapshot_isolation,
+    "q179_acid_merge": q179_acid_merge,
 }
 
 ORACLES = {
+    "q179_acid_merge": """
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey <= 4000
+        ), mk AS (
+          SELECT MAX(o_orderkey) AS mk FROM base
+        ), kept AS (  -- matched+deleted keys (%111 ⊂ %37) vanish
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 37 = 0
+                      THEN o_totalprice + 1000 ELSE o_totalprice END AS p
+          FROM base WHERE o_orderkey % 111 <> 0
+        ), ins AS (
+          SELECT b.o_orderkey + mk.mk + 1 AS o_orderkey,
+                 'N' AS o_orderstatus, 100.0 AS p
+          FROM base b, mk WHERE b.o_orderkey % 101 = 0
+        )
+        SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(p), 2) AS total,
+               TRUE AS snapshot_preserved
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "q170_acid_snapshot_isolation": """
         WITH base AS (
           SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -222,3 +222,37 @@ def test_read_plan_has_no_bnlj_or_cartesian(spark, tbl):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_transactional_merge_update_delete_insert(spark, tbl):
+    src = spark.createDataFrame(
+        # update k=2 (v -> 222), delete k=4, insert k=100
+        [(2, "g", 222.0), (4, "g", 0.0), (100, "new", 1.0)],
+        "k int, grp string, v double",
+    )
+    tx = tbl.begin()
+    tx.merge(
+        src,
+        when_matched_update={"v": F.col("src_v")},
+        when_matched_delete=F.col("k") == 4,
+        insert_unmatched=True,
+    )
+    tx.commit()
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got[2] == 222.0
+    assert 4 not in got
+    assert got[100] == 1.0
+    assert got[6] == 60.0  # untouched rows intact
+    assert len(got) == 20  # 20 - 1 delete + 1 insert
+
+
+def test_merge_conflicts_with_concurrent_update(spark, tbl):
+    a = tbl.begin()
+    b = tbl.begin()
+    a.update(F.col("k") == 2, {"v": F.lit(0.0)})
+    src = spark.createDataFrame([(2, "g", 5.0)], "k int, grp string, v double")
+    b.merge(src, when_matched_update={"v": F.col("src_v")})
+    a.commit()
+    with pytest.raises(WriteConflictError):
+        b.commit()  # merge's write set overlaps a's
+    assert tbl.read().filter(F.col("k") == 2).first()["v"] == 0.0
