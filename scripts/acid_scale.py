@@ -79,6 +79,18 @@ def run(spark, sf_dir: str) -> None:
     tx_b.commit()
     commit_t = time.perf_counter() - t0
 
+    # transactional MERGE: update 1/40 of keys, insert a shifted slice
+    tx = tbl.begin()
+    src_upd = (
+        spark.read.parquet(os.path.join(root, "base_0"))
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5)
+    )
+    t0 = time.perf_counter()
+    tx.merge(src_upd, when_matched_update={"o_totalprice": F.col("src_o_totalprice")})
+    tx.commit()
+    merge_t = time.perf_counter() - t0
+
     t_deltas = timeit(lambda: agg(tbl.read()))
     tbl.compact_minor()
     t_minor = timeit(lambda: agg(tbl.read()))
@@ -88,8 +100,9 @@ def run(spark, sf_dir: str) -> None:
 
     print(
         f"{sf_dir}: rows={n_rows} plain={t_plain:.3f}s "
-        f"read+{K_TXNS + 2}deltas={t_deltas:.3f}s after_minor={t_minor:.3f}s "
-        f"after_major={t_major:.3f}s commit_with_conflict_check={commit_t:.3f}s"
+        f"read+{K_TXNS + 3}deltas={t_deltas:.3f}s after_minor={t_minor:.3f}s "
+        f"after_major={t_major:.3f}s commit_with_conflict_check={commit_t:.3f}s "
+        f"txn_merge={merge_t:.3f}s"
     )
     import shutil
 
