@@ -256,3 +256,35 @@ def test_merge_conflicts_with_concurrent_update(spark, tbl):
     with pytest.raises(WriteConflictError):
         b.commit()  # merge's write set overlaps a's
     assert tbl.read().filter(F.col("k") == 2).first()["v"] == 0.0
+
+
+def test_threaded_commits_never_lose_or_collide(spark, tbl):
+    """Real concurrency against the log lock: 6 threads commit
+    insert-only txns simultaneously; every commit must land with a
+    DISTINCT write_id and every inserted row must be visible (no lost
+    log entries, no reused ids — the two races the lockfile closes)."""
+    import threading
+
+    wids, errors = [], []
+
+    def worker(i: int) -> None:
+        try:
+            tx = tbl.begin()
+            tx.insert(
+                spark.createDataFrame(
+                    [(1000 + i, f"t{i}", float(i))], "k int, grp string, v double"
+                )
+            )
+            wids.append(tx.commit())
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(wids) == 6 and len(set(wids)) == 6  # no write_id reuse
+    got = {r["k"] for r in tbl.read().filter(F.col("k") >= 1000).collect()}
+    assert got == {1000 + i for i in range(6)}  # no lost commit
