@@ -59,3 +59,25 @@ def test_html_extract_malformed_keeps_text(spark):
 def test_html_entities_no_double_decode(spark):
     # "&amp;lt;" is the ESCAPED text "&lt;" -> must decode to "&lt;", not "<"
     assert _one(spark, "<p>&amp;lt;</p>", html_extract_text) == "&lt;"
+
+
+def test_canonicalize_is_idempotent(spark):
+    # canonical output must be a fixed point — dedup keys break if a
+    # second normalization pass changes the key
+    raws = [
+        "HTTPS://WWW.Example7.COM:443/Path/33/?utm_source=feed&id=8&b=2&a=1#f",
+        "http://a.com:8080/x?z=1&y=2",
+        "https://sub.domain.org/deep/path/?gclid=g",
+        "https://a.com",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "v string")
+    once = [
+        r["c"]
+        for r in df.select(canonicalize_url(F.col("v")).alias("c")).collect()
+    ]
+    df2 = spark.createDataFrame([(c,) for c in once], "v string")
+    twice = [
+        r["c"]
+        for r in df2.select(canonicalize_url(F.col("v")).alias("c")).collect()
+    ]
+    assert once == twice
