@@ -200,27 +200,44 @@ def minhash_dedup(
     return jaccard_pairs(docs, cands, text_col, id_col, threshold, shingles=sh)
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_md5: bool = False,
+) -> DataFrame:
     """64-bit SimHash per document.
 
     explode(words) → xxhash64(word) → per-bit ±1 sums (64 JVM aggregates)
     → reassemble sign bits into one long.  One shuffle keyed by doc id.
+
+    ``use_md5=True`` switches the word hash to the first 15 hex chars of
+    md5 (a 60-bit signature, still chunked 4 ways) — slightly slower than
+    xxhash64 but bit-for-bit reproducible in any engine with md5, which
+    is what lets p04's DuckDB oracle recompute the identical signature.
+    Empty tokens are dropped in this mode so both engines tokenize alike.
     """
-    h = F.xxhash64(F.col("word"))
+    nbits = 60 if use_md5 else 64
+    words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
     exploded = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("word"),
-    ).select("id", h.alias("h"))
+        F.col(id_col).alias("id"), F.explode(words).alias("word")
+    )
+    if use_md5:
+        exploded = exploded.filter(F.col("word") != "")
+        h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("word"))
+    exploded = exploded.select("id", h.alias("h"))
     bit_sums = exploded.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(nbits)
         ]
     )
     sim = None
-    for b in range(64):
+    for b in range(nbits):
         bit = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
             F.lit(0).cast("long")
         )
@@ -229,20 +246,27 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def simhash_near_dups(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    use_md5: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, blocked on the
     4 16-bit chunks (pigeonhole: ≤3 differing bits → ≥1 identical chunk),
-    so pairing is bucket-local, never all-pairs."""
-    sims = simhash64(docs, text_col, id_col)
+    so pairing is bucket-local, never all-pairs.  With ``use_md5`` the
+    signature is 60-bit and the chunks 15-bit — same pigeonhole bound."""
+    sims = simhash64(docs, text_col, id_col, use_md5=use_md5)
+    width = 15 if use_md5 else 16
+    mask = (1 << width) - 1
     chunks = sims.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col("simhash"), width * c)
+                    .bitwiseAND(F.lit(mask))
                     .cast("int")
                     for c in range(4)
                 ]

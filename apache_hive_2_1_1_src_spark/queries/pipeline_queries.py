@@ -72,10 +72,15 @@ def p03_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def p04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups, Hamming ≤ 3, chunk-blocked (rows-only; pytest
-    pins signature determinism and the planted-pair recovery)."""
+    """SimHash near-dups, Hamming ≤ 3, chunk-blocked — FULL oracle
+    (round 5, previously the registry's last rows-only entry): the
+    md5-based 60-bit signature variant is bit-for-bit recomputable in
+    DuckDB (same tokenizer, same per-bit ±1 sums, same 15-bit chunk
+    blocking), so the oracle verifies signatures, blocking, and the
+    Hamming filter end-to-end.  The xxhash64 production variant stays
+    pinned by pytest (determinism + planted-pair recovery)."""
     docs = t(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_near_dups(docs, max_hamming=3, use_md5=True).orderBy("id_a", "id_b")
 
 
 def p05_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,7 +682,59 @@ _SHINGLES_CTE = """
     )
 """
 
+def _simhash_oracle() -> str:
+    """Generated DuckDB recomputation of the md5-variant 60-bit SimHash
+    (pipeline/dedup.py simhash64 use_md5=True): identical tokenizer
+    (lower + \\s+ split, empties dropped, distinct words), identical word
+    hash (first 15 md5 hex chars as a 60-bit int), identical per-bit ±1
+    majority vote, identical 15-bit chunk blocking and Hamming filter."""
+    bit_sums = ",\n                 ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    recompose = "\n                 + ".join(
+        f"CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+        for b in range(60)
+    )
+    return f"""
+        WITH w AS (
+          SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents
+          ) WHERE word != ''
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+          FROM w
+        ), bits AS (
+          SELECT doc_id,
+                 {bit_sums}
+          FROM h GROUP BY doc_id
+        ), sim AS (
+          SELECT doc_id,
+                 {recompose} AS simhash
+          FROM bits
+        ), ch AS (
+          SELECT doc_id, simhash, c.c AS chunk_idx,
+                 CAST((simhash >> (15 * c.c)) & 32767 AS INT) AS chunk_val
+          FROM sim, (SELECT unnest(range(4)) AS c) c
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                 l.simhash AS sh_a, r.simhash AS sh_b
+          FROM ch l JOIN ch r
+            ON l.chunk_idx = r.chunk_idx AND l.chunk_val = r.chunk_val
+           AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        ORDER BY id_a, id_b
+    """
+
+
 ORACLES = {
+    "p04_dedup_simhash": _simhash_oracle(),
     "p02_dedup_minhash_lsh": """
         WITH t AS (
           SELECT doc_id,
