@@ -374,3 +374,91 @@ def epoch_weighted_mix(
     return rep.select(
         "*", F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_id")
     ).drop("_n")
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_source: str = "src0",
+    k: int = 200,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling"):
+    score every document by the log likelihood ratio of a hashed-unigram
+    LM fit on a *target* domain vs the raw corpus, then draw the top-k
+    under Gumbel perturbation (Gumbel-top-k ≡ sampling without
+    replacement proportional to the importance weights).
+
+    Relational plan, mirroring the reference's two-pass stats shape
+    (ANALYZE-then-query, ql/.../stats/StatsUtils.java:1) rather than any
+    driver-side model fit:
+
+    1. explode tokens → md5-hash into ``dim`` feature buckets (the
+       hashing trick — same idiom as classifier_score/p41);
+    2. two feature-count tables (target slice, whole corpus) — one
+       groupBy shuffle each over a ``dim``-row result, then broadcast;
+    3. per-doc score = Σ_tok [ln(tc+1) − ln(rc+1) + ln(R+dim) − ln(T+dim)]
+       (add-one smoothing; the normalizer folds into the per-token term);
+    4. deterministic Gumbel key from md5(doc_id‖'dsir') — reproducible
+       across runs/cluster layouts like every sampling op here;
+    5. global top-k via orderBy().limit(k): Catalyst plans
+       TakeOrderedAndProject — fully distributed, never a
+       single-partition window (the p23-seed lesson).
+
+    100 TB: the feature tables are ``dim`` rows regardless of corpus
+    size, both joins stay broadcast, and the only corpus-sized shuffles
+    are the two feature-count groupBys and the per-doc aggregation.
+
+    Returns top-k rows of (doc_id, n_tokens, log_w, samp_key).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("src"),
+        F.explode(_words(F.col(text_col))).alias("tok"),
+    )
+    feat = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 6), 16, 10).cast("long") % dim
+    ).alias("f")
+    feats = toks.select("doc_id", "src", feat)
+    raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = (
+        feats.filter(F.col("src") == target_source)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tab = raw.join(tgt, "f", "left").na.fill({"tc": 0})
+    totals = tab.agg(F.sum("rc").alias("R"), F.sum("tc").alias("T"))
+    lw = tab.crossJoin(F.broadcast(totals)).select(
+        "f",
+        (
+            F.log(F.col("tc") + 1)
+            - F.log(F.col("rc") + 1)
+            + F.log(F.col("R") + F.lit(dim))
+            - F.log(F.col("T") + F.lit(dim))
+        ).alias("lw"),
+    )
+    scored = (
+        feats.join(F.broadcast(lw), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lw"), 6).alias("log_w"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("dsir"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    keyed = scored.withColumn(
+        "samp_key", F.round(F.col("log_w") - F.log(-F.log(u)), 6)
+    )
+    return keyed.orderBy(F.desc("samp_key"), "doc_id").limit(k)

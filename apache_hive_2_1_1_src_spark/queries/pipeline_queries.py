@@ -682,6 +682,20 @@ _SHINGLES_CTE = """
     )
 """
 
+def p44_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (curation.dsir_resample): hashed-unigram
+    importance weights against the src0 target domain, Gumbel-top-200
+    selection via distributed TakeOrderedAndProject — full oracle
+    replaying the identical hash/count/log arithmetic and Gumbel keys."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import dsir_resample
+
+    docs = t(spark, sf_dir, "documents")
+    return dsir_resample(docs, target_source="src0", k=200, dim=256).orderBy("doc_id")
+
+
+QUERIES["p44_dsir_resample"] = p44_dsir_resample
+
+
 def _simhash_oracle() -> str:
     """Generated DuckDB recomputation of the md5-variant 60-bit SimHash
     (pipeline/dedup.py simhash64 use_md5=True): identical tokenizer
@@ -734,6 +748,45 @@ def _simhash_oracle() -> str:
 
 
 ORACLES = {
+    "p44_dsir_resample": """
+        WITH tok AS (
+          SELECT doc_id, source,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x != '')) AS tok
+          FROM documents
+        ), feats AS (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5(tok), 1, 6))::BIGINT % 256 AS f
+          FROM tok
+        ), raw AS (
+          SELECT f, COUNT(*) AS rc FROM feats GROUP BY f
+        ), tgt AS (
+          SELECT f, COUNT(*) AS tc FROM feats WHERE source = 'src0' GROUP BY f
+        ), tab AS (
+          SELECT raw.f, rc, COALESCE(tc, 0) AS tc
+          FROM raw LEFT JOIN tgt ON raw.f = tgt.f
+        ), tot AS (
+          SELECT SUM(rc) AS r_total, SUM(tc) AS t_total FROM tab
+        ), lw AS (
+          SELECT f, ln(tc + 1) - ln(rc + 1)
+                    + ln(r_total + 256) - ln(t_total + 256) AS lw
+          FROM tab, tot
+        ), scored AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 ROUND(SUM(lw), 6) AS log_w
+          FROM feats JOIN lw USING (f) GROUP BY doc_id
+        ), keyed AS (
+          SELECT doc_id, n_tokens, log_w,
+                 ROUND(log_w - ln(-ln(
+                   ('0x' || substr(md5(doc_id || 'dsir'), 1, 8))::BIGINT
+                     / 4294967296.0)), 6) AS samp_key
+          FROM scored
+        )
+        SELECT doc_id, n_tokens, log_w, samp_key
+        FROM keyed
+        ORDER BY samp_key DESC, doc_id
+        LIMIT 200
+    """,
     "p04_dedup_simhash": _simhash_oracle(),
     "p02_dedup_minhash_lsh": """
         WITH t AS (

@@ -447,3 +447,30 @@ def test_graph_dedup_pair_source_is_bucketed_hash_join(spark, sf_dir):
         plan = _plan(q(spark, sf_dir))
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_dsir_topk_is_distributed_take_ordered(spark, sf_dir):
+    """p44's Gumbel-top-k selection must plan as TakeOrderedAndProject
+    (distributed per-partition top-k + driver merge of k rows), never a
+    partitionless row_number window — the same scale constraint as the
+    IVF centroid seed."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = dsir_resample(docs, k=50)
+    assert _partitionless_windows(df) == []
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_dsir_deterministic_and_covers_all_at_full_k(spark, sf_dir):
+    """Gumbel keys are md5-derived, so two runs agree exactly; with
+    k >= corpus size the 'sample' is the whole corpus."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    a = {(r.doc_id, r.samp_key) for r in dsir_resample(docs, k=40).collect()}
+    b = {(r.doc_id, r.samp_key) for r in dsir_resample(docs, k=40).collect()}
+    assert a == b and len(a) == 40
+    n = docs.count()
+    full = dsir_resample(docs, k=10 * n).collect()
+    assert len(full) == n
