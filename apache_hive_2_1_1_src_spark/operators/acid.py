@@ -316,6 +316,56 @@ class AcidTable:
             log["committed"] = [e for e in log["committed"] if e["write_id"] > hwm]
             _write_log(self.root, log)
 
+    def show_txns(self) -> DataFrame:
+        """SHOW TRANSACTIONS / SHOW COMPACTIONS introspection
+        (DDLTask.showTxns / TxnHandler.getOpenTxnsInfo &
+        TxnHandler.showCompact): a control-plane view of the txn log —
+        the current base and its write id, every committed delta with
+        its tombstone flag, the count of live open (staged, uncommitted)
+        transactions, and the next write id the log will hand out.
+
+        Driver-side by design, like the DESCRIBE/SHOW family: the log is
+        metadata (bytes, not data) regardless of table size.
+
+        Rows: (kind, write_id, has_tombstones, n) with NULLs where a
+        field does not apply.
+        """
+        from pyspark.sql.types import (
+            BooleanType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        log = _read_log(self.root)
+        n_open = sum(
+            1
+            for name in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, name))
+            and os.path.exists(os.path.join(self.root, name, "_OPEN"))
+        )
+        rows = [("base", log["base_write_id"], False, None)]
+        rows += [
+            ("committed_delta", e["write_id"], e["has_tombstones"], None)
+            for e in log["committed"]
+        ]
+        rows.append(("open_txns", None, None, n_open))
+        rows.append(("next_write_id", log["next_write_id"], None, None))
+        schema = StructType(
+            [
+                StructField("kind", StringType()),
+                StructField("write_id", LongType()),
+                StructField("has_tombstones", BooleanType()),
+                StructField("n", LongType()),
+            ]
+        )
+        return self.spark.createDataFrame(
+            [(k, None if w is None else int(w), h, None if n is None else int(n))
+             for k, w, h, n in rows],
+            schema,
+        )
+
     def clean(self, live_snapshots: list[Snapshot] | None = None) -> list[str]:
         """Remove directories no longer referenced by the current log
         NOR by any live pinned snapshot — folded deltas, superseded

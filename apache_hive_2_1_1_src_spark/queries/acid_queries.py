@@ -187,12 +187,93 @@ def q179_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q180_show_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TRANSACTIONS / SHOW COMPACTIONS surface over the MVCC table
+    (DDLTask.showTxns, TxnHandler.getOpenTxnsInfo/showCompact): a
+    scripted scenario — committed UPDATE (wid 1), committed insert-only
+    append (wid 2), an ABORTED delete (must never appear), one txn left
+    open (visible only as the open count), then minor compaction folding
+    both deltas to one entry at the high watermark — and the resulting
+    txn-log view plus a live_rows row tying the log state to the data.
+    Every field is deterministic given the scenario, so the oracle is
+    the expected log state in SQL; the aborted txn's absence and the
+    fold write_id are what it checks."""
+    root = os.path.join(tempfile.gettempdir(), f"hive_spark_acid_show_{os.getpid()}")
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    tbl = AcidTable.create(spark, root, base, key_col="o_orderkey")
+
+    tx1 = tbl.begin()
+    tx1.update(
+        F.col("o_orderkey") % 3 == 0,
+        {"o_totalprice": F.col("o_totalprice") + 1.0},
+    )
+    tx1.commit()
+
+    mk = base.agg(F.max("o_orderkey").alias("mk"))
+    tx2 = tbl.begin()
+    tx2.insert(
+        base.filter(F.col("o_orderkey") % 101 == 0)
+        .crossJoin(F.broadcast(mk))
+        .select(
+            (F.col("o_orderkey") + F.col("mk") + 1).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(50.0).alias("o_totalprice"),
+        )
+    )
+    tx2.commit()
+
+    tx3 = tbl.begin()  # aborted: must never appear in the log view
+    tx3.delete(F.col("o_orderkey") % 5 == 0)
+    tx3.abort()
+
+    tx4 = tbl.begin()  # left open: visible only as open_txns = 1
+
+    tbl.compact_minor()  # folds wid 1+2 into ONE delta at hwm=2
+
+    live_rows = tbl.read().count()
+    view = tbl.show_txns().unionByName(
+        spark.createDataFrame(
+            [("live_rows", None, None, int(live_rows))],
+            tbl.show_txns().schema,
+        )
+    )
+    rows = view.orderBy("kind").collect()
+    tx4.abort()
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, view.schema)
+
+
 QUERIES = {
     "q170_acid_snapshot_isolation": q170_acid_snapshot_isolation,
     "q179_acid_merge": q179_acid_merge,
+    "q180_show_transactions": q180_show_transactions,
 }
 
 ORACLES = {
+    "q180_show_transactions": """
+        WITH base AS (
+          SELECT o_orderkey FROM orders WHERE o_orderkey <= 1000
+        )
+        SELECT 'base' AS kind, CAST(0 AS BIGINT) AS write_id,
+               FALSE AS has_tombstones, CAST(NULL AS BIGINT) AS n
+        UNION ALL
+        SELECT 'committed_delta', 2, TRUE, NULL
+        UNION ALL
+        SELECT 'live_rows', NULL, NULL,
+               (SELECT COUNT(*) FROM base)
+                 + (SELECT COUNT(*) FROM base WHERE o_orderkey % 101 = 0)
+        UNION ALL
+        SELECT 'next_write_id', 3, NULL, NULL
+        UNION ALL
+        SELECT 'open_txns', NULL, NULL, 1
+        ORDER BY kind
+    """,
     "q179_acid_merge": """
         WITH base AS (
           SELECT o_orderkey, o_orderstatus, o_totalprice
