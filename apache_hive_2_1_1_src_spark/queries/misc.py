@@ -235,6 +235,16 @@ def q137_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_stream_join(spark, sf_dir)
 
 
+def q181_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark eviction: unmatched
+    views emit null-extended only after the watermark passes their join
+    window; a far-future sentinel batch forces full eviction so the
+    emitted set equals the batch left join (the oracle)."""
+    from apache_hive_2_1_1_src_spark.streaming.jobs import streaming_left_outer_join
+
+    return streaming_left_outer_join(spark, sf_dir)
+
+
 def q142_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward, inclusive): each purchase matched to the
     user's latest preceding view — single-shuffle union+window plan, not
@@ -583,6 +593,7 @@ QUERIES = {
     "q143_range_join": q143_range_join,
     "q144_time_rollup": q144_time_rollup,
     "q137_stream_stream_join": q137_stream_stream_join,
+    "q181_stream_left_outer_join": q181_stream_left_outer_join,
     "q94_transform_script": q94_transform_script,
     "q115_stateful_user_summary": q115_stateful_user_summary,
     "q104_percentile_array": q104_percentile_array,
@@ -800,6 +811,15 @@ ORACLES = {
            AND v.ts <= b.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
         ) v
         GROUP BY v.b_user ORDER BY v.b_user
+    """,
+    "q181_stream_left_outer_join": """
+        SELECT v.user_id AS v_user, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(b.event_id) AS BIGINT) AS n_matched
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+          ON v.user_id = b.user_id
+         AND v.ts <= b.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+        GROUP BY v.user_id ORDER BY v.user_id
     """,
     "q136_streaming_dedup": """
         SELECT DISTINCT user_id, event_type FROM events

@@ -723,3 +723,107 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
         .orderBy("win_start", "event_type")
     )
+
+
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven null emission —
+    the outer-join semantics the inner q137 doesn't pin: a view with no
+    qualifying purchase must eventually emit null-extended, but only
+    once the watermark has passed its join-state eviction time (Spark
+    holds the left row back while a future match is still possible).
+
+    Construction (the q178 staged-batch technique):
+
+    * batch 1: all real events — matches emit inner-join style, every
+      unmatched view sits in state;
+    * batch 2: one far-future sentinel per side (user -1 view, user -2
+      purchase; both sides need one because the query watermark is the
+      min across inputs) pushes the watermark past every real row's
+      eviction time, and the trailing no-data micro-batch then flushes
+      every unmatched view as a null-extended row.
+
+    With full eviction forced, the emitted set is EXACTLY the batch
+    left join under the same time-range condition — the DuckDB oracle.
+    """
+    import datetime as _dt
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"hive_spark_lojoin_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    land, sink, ckpt = (os.path.join(base, d) for d in ("land", "sink", "ckpt"))
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    ev = _events_with_ts(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+    if not os.path.isdir(base):
+        os.makedirs(land)
+        max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+        far = max_ts + _dt.timedelta(days=365)
+        sentinels = spark.createDataFrame(
+            [(-1, -1, "view", far), (-2, -2, "purchase", far)], schema
+        )
+        now = _time.time()
+        for i, (name, df) in enumerate([("f1", ev), ("f2", sentinels)]):
+            d = os.path.join(base, name + ".dir")
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            f = os.path.join(land, name)
+            shutil.move(_glob.glob(os.path.join(d, "part-*.parquet"))[0], f)
+            shutil.rmtree(d)
+            age = now - (2 - i) * 120
+            os.utime(f, (age, age))
+
+    views = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    buys = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("v_ts") <= F.col("b_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("v_user", "view_id", "buy_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("v_user") >= 0)
+        .groupBy("v_user")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("buy_id").alias("n_matched"),
+        )
+        .orderBy("v_user")
+    )
