@@ -67,5 +67,53 @@ def main(out_dir: str, sf_dir: str) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def main_udaf(out_dir: str, sf_dir: str) -> None:
+    """UDAF + UDTF leg of the jar path: Hive's exact-percentile UDAF
+    (org.apache.hadoop.hive.ql.udf.UDAFPercentile — the old-style UDAF
+    bridge) and GenericUDTFExplode registered via CREATE TEMPORARY
+    FUNCTION, certified against Spark's independent percentile builtin
+    per group and against plain-SQL arithmetic for the exploded sums."""
+    base = out_dir + ".session"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    spark = _hive_session(base)
+    for name, cls in [
+        ("hive_percentile", "org.apache.hadoop.hive.ql.udf.UDAFPercentile"),
+        ("hive_explode", "org.apache.hadoop.hive.ql.udf.generic.GenericUDTFExplode"),
+    ]:
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+        spark.sql(f"CREATE TEMPORARY FUNCTION {name} AS '{cls}'")
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+        F.col("o_orderkey") <= 3000
+    )
+    orders.createOrReplaceTempView("ord_v")
+    out = spark.sql(
+        """
+        WITH u AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_exploded,
+                 CAST(SUM(x) AS BIGINT) AS sum_x
+          FROM (SELECT x FROM ord_v
+                LATERAL VIEW hive_explode(array(o_orderkey % 3, o_orderkey % 5)) t AS x) z
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(hive_percentile(o_orderkey, 0.5), 4) AS DOUBLE) AS med,
+               CAST(ABS(hive_percentile(o_orderkey, 0.5)
+                        - percentile(o_orderkey, 0.5)) < 1e-9 AS BOOLEAN) AS pct_agree,
+               u.n_exploded, u.sum_x
+        FROM ord_v CROSS JOIN u
+        GROUP BY o_orderstatus, u.n_exploded, u.sum_x
+        """
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    spark.stop()
+    shutil.rmtree(base, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    if len(sys.argv) > 3 and sys.argv[3] == "udaf":
+        main_udaf(sys.argv[1], sys.argv[2])
+    else:
+        main(sys.argv[1], sys.argv[2])

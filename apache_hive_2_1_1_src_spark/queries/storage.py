@@ -636,8 +636,45 @@ def q177_hive_udf_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(base).orderBy("c_mktsegment")
 
 
+def q182_hive_udaf_udtf_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unmodified Hive UDAF + UDTF classes via CREATE TEMPORARY FUNCTION
+    — the aggregate/table-function legs of the jar path q177 opened
+    (FunctionSemanticAnalyzer.java; UDAF.java old-style bridge;
+    GenericUDTF.java): UDAFPercentile certified per group against
+    Spark's independent percentile builtin, GenericUDTFExplode against
+    plain-SQL arithmetic over the same arrays."""
+    import subprocess
+    import sys
+
+    base = os.path.join(_SCRATCH, f"hive_udaf_{os.getpid()}")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "apache_hive_2_1_1_src_spark.hive_udf_phase",
+            base,
+            sf_dir,
+            "udaf",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=repo_root,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"hive udaf phase failed:\n{proc.stderr[-2000:]}")
+    return spark.read.parquet(base).orderBy("o_orderstatus")
+
+
 QUERIES = {
     "q177_hive_udf_classes": q177_hive_udf_classes,
+    "q182_hive_udaf_udtf_classes": q182_hive_udaf_udtf_classes,
     "q176_show_surface": q176_show_surface,
     "q173_sequencefile_roundtrip": q173_sequencefile_roundtrip,
     "q172_jdbc_thrift_endpoint": q172_jdbc_thrift_endpoint,
@@ -662,6 +699,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q182_hive_udaf_udtf_classes": """
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey <= 3000
+        ), u AS (
+          SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_exploded,
+                 CAST(SUM(o_orderkey % 3 + o_orderkey % 5) AS BIGINT) AS sum_x
+          FROM base
+        )
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(quantile_cont(o_orderkey, 0.5), 4) AS DOUBLE) AS med,
+               TRUE AS pct_agree, u.n_exploded, u.sum_x
+        FROM base, u
+        GROUP BY o_orderstatus, u.n_exploded, u.sum_x
+        ORDER BY o_orderstatus
+    """,
     "q177_hive_udf_classes": """
         SELECT c_mktsegment, COUNT(*) AS n,
                CAST(COUNT(*) AS BIGINT) AS soundex_agree,
