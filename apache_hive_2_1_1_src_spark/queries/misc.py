@@ -245,6 +245,33 @@ def q181_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_left_outer_join(spark, sf_dir)
 
 
+def q183_column_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level lineage (LineageLogger.java's edge set): for each
+    output column of a 4-table join, the leaf table columns it depends
+    on — computed by Catalyst's own column pruning (project to one
+    column, read the pruned physical scans), so the engine cannot
+    disagree with its own optimizer.  Closure semantics: join keys and
+    filter columns count as dependencies.  The oracle is the expected
+    edge list."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    sql = """
+        SELECT o.o_orderkey AS k,
+               ROUND(o.o_totalprice * (1 - l.l_discount), 2) AS net,
+               n.n_name AS nation
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_shipdate IS NOT NULL
+    """
+    edges = eng.column_lineage(sql)
+    return spark.createDataFrame(
+        edges, "out_col string, src_table string, src_col string"
+    ).orderBy("out_col", "src_table", "src_col")
+
+
 def q142_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward, inclusive): each purchase matched to the
     user's latest preceding view — single-shuffle union+window plan, not
@@ -594,6 +621,7 @@ QUERIES = {
     "q144_time_rollup": q144_time_rollup,
     "q137_stream_stream_join": q137_stream_stream_join,
     "q181_stream_left_outer_join": q181_stream_left_outer_join,
+    "q183_column_lineage": q183_column_lineage,
     "q94_transform_script": q94_transform_script,
     "q115_stateful_user_summary": q115_stateful_user_summary,
     "q104_percentile_array": q104_percentile_array,
@@ -811,6 +839,35 @@ ORACLES = {
            AND v.ts <= b.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
         ) v
         GROUP BY v.b_user ORDER BY v.b_user
+    """,
+    "q183_column_lineage": """
+        SELECT * FROM (VALUES
+          ('k', 'customer', 'c_custkey'),
+          ('k', 'customer', 'c_nationkey'),
+          ('k', 'lineitem', 'l_orderkey'),
+          ('k', 'lineitem', 'l_shipdate'),
+          ('k', 'nation', 'n_nationkey'),
+          ('k', 'orders', 'o_custkey'),
+          ('k', 'orders', 'o_orderkey'),
+          ('net', 'customer', 'c_custkey'),
+          ('net', 'customer', 'c_nationkey'),
+          ('net', 'lineitem', 'l_discount'),
+          ('net', 'lineitem', 'l_orderkey'),
+          ('net', 'lineitem', 'l_shipdate'),
+          ('net', 'nation', 'n_nationkey'),
+          ('net', 'orders', 'o_custkey'),
+          ('net', 'orders', 'o_orderkey'),
+          ('net', 'orders', 'o_totalprice'),
+          ('nation', 'customer', 'c_custkey'),
+          ('nation', 'customer', 'c_nationkey'),
+          ('nation', 'lineitem', 'l_orderkey'),
+          ('nation', 'lineitem', 'l_shipdate'),
+          ('nation', 'nation', 'n_name'),
+          ('nation', 'nation', 'n_nationkey'),
+          ('nation', 'orders', 'o_custkey'),
+          ('nation', 'orders', 'o_orderkey')
+        ) AS t(out_col, src_table, src_col)
+        ORDER BY out_col, src_table, src_col
     """,
     "q181_stream_left_outer_join": """
         SELECT v.user_id AS v_user, CAST(COUNT(*) AS BIGINT) AS n_rows,

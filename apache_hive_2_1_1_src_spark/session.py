@@ -279,5 +279,50 @@ class HiveEngine:
                         tables.add(name)
         return sorted(tables)
 
+    def column_lineage(self, text: str) -> list[tuple[str, str, str]]:
+        """Column-level lineage (the LineageLogger.java post-exec hook's
+        edge set, ql/.../hooks/LineageLogger.java): for every output
+        column, the leaf table columns it depends on.
+
+        Computed by Catalyst itself rather than a hand-rolled expression
+        walk: project the plan down to ONE output column, let the
+        optimizer's column pruning run, and read each leaf relation's
+        surviving output — exactly the source columns required to
+        produce that one column.  Dependencies include join keys and
+        filter columns (the transitive closure Hive reports as
+        expression + condition edges combined), since pruning keeps any
+        column the result still depends on through predicates or
+        multiplicity.
+
+        Returns sorted (out_col, src_table, src_col) tuples; src_table
+        is resolved from the registered views' schemas (column names are
+        disambiguated against the tables the query actually reads).
+        """
+        import json as _json
+
+        df = self.sql(text)
+        read_tables = set(self.explain_dependency(text))
+        col_to_table: dict[str, str] = {}
+        for t in self.TABLES:
+            if t not in read_tables:
+                continue
+            for c in self.spark.table(t).columns:
+                col_to_table[c] = "<ambiguous>" if c in col_to_table else t
+        edges: set[tuple[str, str, str]] = set()
+        for out_col in df.columns:
+            # sparkPlan (pre-AQE physical plan): scan nodes carry the
+            # PRUNED output (ReadSchema), i.e. exactly the source columns
+            # this one projected column still needs
+            phys = df.select(out_col)._jdf.queryExecution().sparkPlan()  # noqa: SLF001
+            for node in _json.loads(phys.toJSON()):
+                if "ScanExec" not in node.get("class", ""):
+                    continue
+                for attr in node.get("output", []):
+                    for a in attr if isinstance(attr, list) else [attr]:
+                        name = a.get("name")
+                        if name in col_to_table:
+                            edges.add((out_col, col_to_table[name], name))
+        return sorted(edges)
+
     def table(self, name: str):
         return self.spark.table(name)
