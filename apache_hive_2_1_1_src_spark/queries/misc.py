@@ -272,6 +272,28 @@ def q183_column_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("out_col", "src_table", "src_col")
 
 
+def q184_explain_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN ANALYZE runtime row counts (HIVE-13353 runtime-stats
+    annotation): execute scan→filter→agg over orders and report each
+    operator's actual numOutputRows — scan must equal the table count,
+    filter the predicate count, and the topmost (final) aggregate the
+    group count, all recomputable in SQL.  Partial-aggregate rows are
+    partitioning-dependent and excluded."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    metrics = eng.explain_analyze(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "WHERE o_totalprice > 100000 GROUP BY o_orderstatus"
+    )
+    scan = next(r for name, r in metrics if name.startswith("Scan"))
+    filt = next(r for name, r in metrics if name == "Filter")
+    agg_final = next(r for name, r in metrics if name == "HashAggregate")
+    rows = [("agg_final", agg_final), ("filter", filt), ("scan", scan)]
+    return spark.createDataFrame(rows, "op string, n_rows bigint").orderBy("op")
+
+
 def q142_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward, inclusive): each purchase matched to the
     user's latest preceding view — single-shuffle union+window plan, not
@@ -622,6 +644,7 @@ QUERIES = {
     "q137_stream_stream_join": q137_stream_stream_join,
     "q181_stream_left_outer_join": q181_stream_left_outer_join,
     "q183_column_lineage": q183_column_lineage,
+    "q184_explain_analyze": q184_explain_analyze,
     "q94_transform_script": q94_transform_script,
     "q115_stateful_user_summary": q115_stateful_user_summary,
     "q104_percentile_array": q104_percentile_array,
@@ -839,6 +862,17 @@ ORACLES = {
            AND v.ts <= b.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
         ) v
         GROUP BY v.b_user ORDER BY v.b_user
+    """,
+    "q184_explain_analyze": """
+        SELECT 'agg_final' AS op,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_rows
+        FROM orders WHERE o_totalprice > 100000
+        UNION ALL
+        SELECT 'filter', CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_totalprice > 100000
+        UNION ALL
+        SELECT 'scan', CAST(COUNT(*) AS BIGINT) FROM orders
+        ORDER BY op
     """,
     "q183_column_lineage": """
         SELECT * FROM (VALUES

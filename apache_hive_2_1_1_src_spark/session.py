@@ -324,5 +324,48 @@ class HiveEngine:
                             edges.add((out_col, col_to_table[name], name))
         return sorted(edges)
 
+    def explain_analyze(self, text: str) -> list[tuple[str, int]]:
+        """EXPLAIN ANALYZE — actual runtime row counts per operator
+        (HIVE-13353's runtime-stats annotation, ExplainTask with the
+        ANALYZE option; landed in Hive 2.2 on top of 2.1's EXPLAIN
+        machinery): execute the query, then read each operator's
+        ``numOutputRows`` SQLMetric from the executed physical plan,
+        descending through the AQE / WholeStageCodegen wrappers.
+
+        Returns (node_name, num_output_rows) in pre-order for every
+        operator that reports the metric.
+        """
+        df = self.sql(text)
+        df.collect()  # EXPLAIN ANALYZE runs the query by definition
+        out: list[tuple[str, int]] = []
+
+        def rows_of(node):
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    return kv._2().value()
+            return None
+
+        def walk(node):
+            r = rows_of(node)
+            if r is not None:
+                out.append((node.nodeName(), int(r)))
+            name = node.nodeName()
+            if name == "AdaptiveSparkPlan":
+                walk(node.executedPlan())
+                return
+            if "QueryStage" in name:
+                walk(node.plan())
+                return
+            if name.startswith("WholeStageCodegen") or name == "InputAdapter":
+                walk(node.child())
+                return
+            for i in range(node.children().length()):
+                walk(node.children().apply(i))
+
+        walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+        return out
+
     def table(self, name: str):
         return self.spark.table(name)
