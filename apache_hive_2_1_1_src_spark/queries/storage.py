@@ -607,6 +607,41 @@ def q176_show_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, value string").orderBy("item")
 
 
+def q185_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... DROP PARTITION (DDLSemanticAnalyzer
+    analyzeAlterTableDropParts; DDLTask dropPartitions): after dropping
+    one partition both the catalog list (SHOW PARTITIONS) and the data
+    shrink — reads must exclude the dropped slice without touching the
+    surviving partitions' files.  Certificate column pins the catalog
+    count; the oracle replays the drop as a filter."""
+    tbl = f"droppart_orders_{_PID}"
+    drop_table(spark, tbl)
+    t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").partitionBy("o_orderpriority").format(
+        "parquet"
+    ).saveAsTable(tbl)
+    n_parts_before = spark.sql(f"SHOW PARTITIONS {tbl}").count()
+    spark.sql(f"ALTER TABLE {tbl} DROP PARTITION (o_orderpriority = '1-URGENT')")
+    n_parts_after = spark.sql(f"SHOW PARTITIONS {tbl}").count()
+    out = (
+        spark.table(tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn(
+            "partition_dropped",
+            F.lit(n_parts_after == n_parts_before - 1),
+        )
+        .orderBy("o_orderpriority")
+    )
+    rows = out.collect()
+    drop_table(spark, tbl)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q177_hive_udf_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unmodified Hive GenericUDF classes via CREATE TEMPORARY FUNCTION
     (FunctionSemanticAnalyzer.java; GenericUDF.java) — the user-extension
@@ -675,6 +710,7 @@ def q182_hive_udaf_udtf_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q177_hive_udf_classes": q177_hive_udf_classes,
     "q182_hive_udaf_udtf_classes": q182_hive_udaf_udtf_classes,
+    "q185_drop_partition": q185_drop_partition,
     "q176_show_surface": q176_show_surface,
     "q173_sequencefile_roundtrip": q173_sequencefile_roundtrip,
     "q172_jdbc_thrift_endpoint": q172_jdbc_thrift_endpoint,
@@ -699,6 +735,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q185_drop_partition": """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               TRUE AS partition_dropped
+        FROM orders WHERE o_orderpriority <> '1-URGENT'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "q182_hive_udaf_udtf_classes": """
         WITH base AS (
           SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey <= 3000
