@@ -337,3 +337,41 @@ def classifier_score(
         )
         .withColumn("keep", F.col("score_sum") > 0)
     )
+
+
+def adaptive_quality_filter(
+    docs: DataFrame, text_col: str = "text", stratum_col: str = "source"
+) -> DataFrame:
+    """Per-stratum adaptive quality filtering — the CCNet/RefinedWeb
+    pattern where cutoffs are quantiles of each language/domain's own
+    score distribution rather than global constants (a fixed threshold
+    over-prunes low-resource strata).
+
+    Score here is the document word count; a doc survives if it reaches
+    half its stratum's median.  Plan: one tiny per-stratum aggregate
+    (exact percentile — stratum count many rows) broadcast back onto
+    the corpus, then a stateless filter; at 100 TB the only
+    corpus-sized work is the score projection and one groupBy whose
+    output is |strata| rows.
+
+    Returns per-stratum (source, n_docs, n_kept, median_words).
+    """
+    scored = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.size(_words(F.col(text_col))).alias("n_words"),
+    )
+    med = scored.groupBy("stratum").agg(
+        F.expr("percentile(n_words, 0.5)").alias("med")
+    )
+    return (
+        scored.join(F.broadcast(med), "stratum")
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_words") >= F.col("med") / 2, 1).otherwise(0)
+            ).alias("n_kept"),
+            F.round(F.first("med"), 4).alias("median_words"),
+        )
+        .withColumnRenamed("stratum", "source")
+    )

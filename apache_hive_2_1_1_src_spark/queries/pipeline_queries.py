@@ -696,6 +696,20 @@ def p44_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["p44_dsir_resample"] = p44_dsir_resample
 
 
+def p45_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum adaptive quality filter (text.adaptive_quality_filter):
+    survival cutoff = half the stratum's own median word count — the
+    CCNet/RefinedWeb per-language-quantile pattern; tiny broadcast
+    median table, stateless filter.  Full oracle via quantile_cont."""
+    from apache_hive_2_1_1_src_spark.pipeline.text import adaptive_quality_filter
+
+    docs = t(spark, sf_dir, "documents")
+    return adaptive_quality_filter(docs).orderBy("source")
+
+
+QUERIES["p45_adaptive_quality_filter"] = p45_adaptive_quality_filter
+
+
 def _simhash_oracle() -> str:
     """Generated DuckDB recomputation of the md5-variant 60-bit SimHash
     (pipeline/dedup.py simhash64 use_md5=True): identical tokenizer
@@ -748,6 +762,24 @@ def _simhash_oracle() -> str:
 
 
 ORACLES = {
+    "p45_adaptive_quality_filter": """
+        WITH w AS (
+          SELECT source,
+                 len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x != '')) AS n_words
+          FROM documents
+        ), med AS (
+          SELECT source, quantile_cont(n_words, 0.5) AS med
+          FROM w GROUP BY source
+        )
+        SELECT w.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_words >= med / 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               ROUND(ANY_VALUE(med), 4) AS median_words
+        FROM w JOIN med ON w.source = med.source
+        GROUP BY w.source
+        ORDER BY w.source
+    """,
     "p44_dsir_resample": """
         WITH tok AS (
           SELECT doc_id, source,
