@@ -185,6 +185,32 @@ class AcidTable:
             deltas=deltas,
         )
 
+    def snapshot_at(self, write_id: int) -> Snapshot:
+        """Time-travel snapshot pinned at an EARLIER high watermark — a
+        ValidTxnList whose high-water mark is ``write_id`` (AcidUtils
+        getAcidState with an explicit ValidTxnList): reads see exactly
+        the committed state after that transaction.  Only valid while
+        the base predates the requested write id and no compaction has
+        folded the needed deltas past it (the cleaner contract: pinned
+        snapshots must be declared live to ``clean``)."""
+        log = _read_log(self.root)
+        if log["base_write_id"] > write_id:
+            raise ValueError(
+                f"base is at write_id {log['base_write_id']}, past {write_id} "
+                "(major compaction folded the requested history)"
+            )
+        deltas = tuple(
+            (e["write_id"], e["dir"])
+            for e in log["committed"]
+            if e["write_id"] <= write_id
+        )
+        return Snapshot(
+            high_watermark=write_id,
+            base_dir=log["base"],
+            base_write_id=log["base_write_id"],
+            deltas=deltas,
+        )
+
     def _load_tombstones(self, d: str, wid: int) -> DataFrame:
         """Tombstones of one delta as (key, _twid).  Plain deltas carry
         just the key column (their write_id is the log entry's); FOLDED

@@ -249,13 +249,93 @@ def q180_show_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, view.schema)
 
 
+def q186_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel reads over the MVCC write-id chain
+    (AcidUtils.getAcidState with an explicit ValidTxnList — query the
+    table as of an EARLIER transaction): after UPDATE (wid 1), DELETE
+    (wid 2), and INSERT (wid 3), snapshot_at(w) for w = 0..3 must
+    reproduce each historical state exactly; the oracle replays the
+    four states as plain SQL."""
+    root = os.path.join(tempfile.gettempdir(), f"hive_spark_acid_tt_{os.getpid()}")
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    tbl = AcidTable.create(spark, root, base, key_col="o_orderkey")
+
+    tx1 = tbl.begin()
+    tx1.update(
+        F.col("o_orderkey") % 3 == 0,
+        {"o_totalprice": F.col("o_totalprice") + 100.0},
+    )
+    tx1.commit()
+    tx2 = tbl.begin()
+    tx2.delete(F.col("o_orderkey") % 7 == 0)
+    tx2.commit()
+    mk = base.agg(F.max("o_orderkey").alias("mk"))
+    tx3 = tbl.begin()
+    tx3.insert(
+        base.filter(F.col("o_orderkey") % 101 == 0)
+        .crossJoin(F.broadcast(mk))
+        .select(
+            (F.col("o_orderkey") + F.col("mk") + 1).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(10.0).alias("o_totalprice"),
+        )
+    )
+    tx3.commit()
+
+    rows = []
+    for wid in range(4):
+        snap = tbl.snapshot_at(wid)
+        d = tbl.read(snap).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).first()
+        rows.append((wid, d["n"], float(d["total"])))
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "as_of_write_id int, n bigint, total double"
+    ).orderBy("as_of_write_id")
+
+
 QUERIES = {
     "q170_acid_snapshot_isolation": q170_acid_snapshot_isolation,
+    "q186_time_travel": q186_time_travel,
     "q179_acid_merge": q179_acid_merge,
     "q180_show_transactions": q180_show_transactions,
 }
 
 ORACLES = {
+    "q186_time_travel": """
+        WITH base AS (
+          SELECT o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey <= 2000
+        ), s1 AS (  -- after wid 1 UPDATE
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0
+                      THEN o_totalprice + 100.0 ELSE o_totalprice END AS p
+          FROM base
+        ), s2 AS (  -- after wid 2 DELETE
+          SELECT * FROM s1 WHERE o_orderkey % 7 <> 0
+        ), ins AS (  -- wid 3 INSERT
+          SELECT COUNT(*) AS n_ins, COUNT(*) * 10.0 AS p_ins
+          FROM base WHERE o_orderkey % 101 = 0
+        )
+        SELECT 0 AS as_of_write_id, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total FROM base
+        UNION ALL
+        SELECT 1, CAST(COUNT(*) AS BIGINT), ROUND(SUM(p), 2) FROM s1
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(p), 2) FROM s2
+        UNION ALL
+        SELECT 3, CAST(COUNT(*) + (SELECT n_ins FROM ins) AS BIGINT),
+               ROUND(SUM(p) + (SELECT p_ins FROM ins), 2) FROM s2
+        ORDER BY as_of_write_id
+    """,
     "q180_show_transactions": """
         WITH base AS (
           SELECT o_orderkey FROM orders WHERE o_orderkey <= 1000

@@ -642,6 +642,48 @@ def q185_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q187_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's INSERT OVERWRITE dynamic-partition semantics
+    (FileSinkOperator + MoveTask: only partitions the insert actually
+    writes are replaced; untouched partitions survive — the behavior
+    hive.exec.dynamic.partition writes have always had, vs Spark's
+    default static mode which truncates the whole table).  Enables
+    spark.sql.sources.partitionOverwriteMode=dynamic for the insert,
+    overwrites ONE priority slice with re-priced rows, and digests the
+    merged table: 4 original partitions + 1 replaced."""
+    tbl = f"dynpart_orders_{_PID}"
+    drop_table(spark, tbl)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").format(
+        "parquet"
+    ).saveAsTable(tbl)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .write.mode("overwrite")
+            .insertInto(tbl)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    out = (
+        spark.table(tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    rows = out.collect()
+    drop_table(spark, tbl)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q177_hive_udf_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unmodified Hive GenericUDF classes via CREATE TEMPORARY FUNCTION
     (FunctionSemanticAnalyzer.java; GenericUDF.java) — the user-extension
@@ -711,6 +753,7 @@ QUERIES = {
     "q177_hive_udf_classes": q177_hive_udf_classes,
     "q182_hive_udaf_udtf_classes": q182_hive_udaf_udtf_classes,
     "q185_drop_partition": q185_drop_partition,
+    "q187_dynamic_partition_overwrite": q187_dynamic_partition_overwrite,
     "q176_show_surface": q176_show_surface,
     "q173_sequencefile_roundtrip": q173_sequencefile_roundtrip,
     "q172_jdbc_thrift_endpoint": q172_jdbc_thrift_endpoint,
@@ -735,6 +778,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q187_dynamic_partition_overwrite": """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice * 2 ELSE o_totalprice END), 2)
+                 AS total
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     "q185_drop_partition": """
         SELECT o_orderpriority, COUNT(*) AS n,
                ROUND(SUM(o_totalprice), 2) AS total,
