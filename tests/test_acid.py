@@ -288,3 +288,29 @@ def test_threaded_commits_never_lose_or_collide(spark, tbl):
     assert len(wids) == 6 and len(set(wids)) == 6  # no write_id reuse
     got = {r["k"] for r in tbl.read().filter(F.col("k") >= 1000).collect()}
     assert got == {1000 + i for i in range(6)}  # no lost commit
+
+
+def test_time_travel_reads_each_historical_state(spark, tbl):
+    t1 = tbl.begin()
+    t1.update(F.col("k") == 1, {"v": F.lit(999.0)})
+    t1.commit()
+    t2 = tbl.begin()
+    t2.delete(F.col("k") == 2)
+    t2.commit()
+    at0 = {r["k"]: r["v"] for r in tbl.read(tbl.snapshot_at(0)).collect()}
+    at1 = {r["k"]: r["v"] for r in tbl.read(tbl.snapshot_at(1)).collect()}
+    at2 = {r["k"]: r["v"] for r in tbl.read(tbl.snapshot_at(2)).collect()}
+    assert len(at0) == 20 and at0[1] == 10.0 and 2 in at0
+    assert len(at1) == 20 and at1[1] == 999.0 and 2 in at1
+    assert len(at2) == 19 and at2[1] == 999.0 and 2 not in at2
+
+
+def test_time_travel_refuses_history_folded_by_major_compaction(spark, tbl):
+    t1 = tbl.begin()
+    t1.update(F.col("k") == 1, {"v": F.lit(999.0)})
+    t1.commit()
+    tbl.compact_major()  # base now at write_id 1 — wid-0 history is gone
+    with pytest.raises(ValueError, match="folded"):
+        tbl.snapshot_at(0)
+    # the still-available watermark reads fine
+    assert tbl.read(tbl.snapshot_at(1)).count() == 20
