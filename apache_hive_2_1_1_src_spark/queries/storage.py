@@ -684,6 +684,47 @@ def q187_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.createDataFrame(rows, out.schema)
 
 
+def q188_nested_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type STORAGE round trip (LazySimpleSerDe/parquet nested
+    encodings — serde2's list/map/struct ObjectInspectors, here
+    parquet's repeated/group types): build array + map + struct columns
+    from orders, write to parquet, read back, then reduce through
+    explode/field-access to scalars the oracle recomputes from the flat
+    table.  Proves nested encode/decode fidelity, not just expression
+    evaluation (q60 covers the ctors)."""
+    out = os.path.join(_SCRATCH, f"nested_orders_{_PID}")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    nested = orders.select(
+        "o_orderkey",
+        F.array(F.col("o_orderkey") % 10, F.col("o_orderkey") % 7).alias("arr"),
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("prio"), F.col("o_orderpriority"),
+        ).alias("m"),
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("st"),
+        ).alias("s"),
+    )
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.select(
+            "o_orderkey",
+            F.explode("arr").alias("a"),
+            F.col("m")["status"].alias("status"),
+            F.col("s.price").alias("price"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_exploded"),
+            F.sum("a").alias("arr_sum"),
+            F.round(F.sum("price") / 2, 2).alias("price_sum"),
+        )
+        .orderBy("status")
+    )
+
+
 def q177_hive_udf_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unmodified Hive GenericUDF classes via CREATE TEMPORARY FUNCTION
     (FunctionSemanticAnalyzer.java; GenericUDF.java) — the user-extension
@@ -754,6 +795,7 @@ QUERIES = {
     "q182_hive_udaf_udtf_classes": q182_hive_udaf_udtf_classes,
     "q185_drop_partition": q185_drop_partition,
     "q187_dynamic_partition_overwrite": q187_dynamic_partition_overwrite,
+    "q188_nested_types_roundtrip": q188_nested_types_roundtrip,
     "q176_show_surface": q176_show_surface,
     "q173_sequencefile_roundtrip": q173_sequencefile_roundtrip,
     "q172_jdbc_thrift_endpoint": q172_jdbc_thrift_endpoint,
@@ -778,6 +820,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q188_nested_types_roundtrip": """
+        SELECT o_orderstatus AS status,
+               CAST(2 * COUNT(*) AS BIGINT) AS n_exploded,
+               CAST(SUM(o_orderkey % 10 + o_orderkey % 7) AS BIGINT) AS arr_sum,
+               ROUND(SUM(o_totalprice), 2) AS price_sum
+        FROM orders WHERE o_orderkey <= 1000
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "q187_dynamic_partition_overwrite": """
         SELECT o_orderpriority, COUNT(*) AS n,
                ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
