@@ -294,6 +294,37 @@ def q184_explain_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "op string, n_rows bigint").orderBy("op")
 
 
+def q189_temporary_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TEMPORARY MACRO (HIVE-2655, FunctionSemanticAnalyzer
+    CreateMacroDesc): expression macros with typed parameters, usable
+    anywhere an expression is — including a macro calling another macro.
+    HiveEngine expands call sites textually (semantically identical to
+    Hive's GenericUDFMacro tree since bodies are pure expressions); the
+    oracle inlines the same arithmetic."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    eng.sql("CREATE TEMPORARY MACRO net_price(p DOUBLE, d DOUBLE) p * (1 - d)")
+    eng.sql(
+        "CREATE TEMPORARY MACRO taxed_net(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "net_price(p, d) * (1 + t)"
+    )
+    out = eng.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(net_price(l_extendedprice, l_discount)), 2) AS net,
+               ROUND(SUM(taxed_net(l_extendedprice, l_discount, l_tax)), 2)
+                 AS taxed
+        FROM lineitem WHERE l_orderkey <= 2000
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+    eng.sql("DROP TEMPORARY MACRO net_price")
+    eng.sql("DROP TEMPORARY MACRO taxed_net")
+    return out
+
+
 def q142_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward, inclusive): each purchase matched to the
     user's latest preceding view — single-shuffle union+window plan, not
@@ -645,6 +676,7 @@ QUERIES = {
     "q181_stream_left_outer_join": q181_stream_left_outer_join,
     "q183_column_lineage": q183_column_lineage,
     "q184_explain_analyze": q184_explain_analyze,
+    "q189_temporary_macro": q189_temporary_macro,
     "q94_transform_script": q94_transform_script,
     "q115_stateful_user_summary": q115_stateful_user_summary,
     "q104_percentile_array": q104_percentile_array,
@@ -862,6 +894,14 @@ ORACLES = {
            AND v.ts <= b.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
         ) v
         GROUP BY v.b_user ORDER BY v.b_user
+    """,
+    "q189_temporary_macro": """
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                 AS taxed
+        FROM lineitem WHERE l_orderkey <= 2000
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "q184_explain_analyze": """
         SELECT 'agg_final' AS op,

@@ -193,10 +193,95 @@ class HiveEngine:
 
         return re.sub(r"\$\{(?:(hivevar|hiveconf|var):)?([A-Za-z0-9_.-]+)\}", repl, text)
 
+    _MACRO_DDL = re.compile(
+        r"^\s*CREATE\s+TEMPORARY\s+MACRO\s+(\w+)\s*\(([^)]*)\)\s*(.+?)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _MACRO_DROP = re.compile(
+        r"^\s*DROP\s+TEMPORARY\s+MACRO\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+        re.IGNORECASE,
+    )
+
+    def _expand_macros(self, text: str) -> str:
+        """Expand CREATE TEMPORARY MACRO definitions (HIVE-2655;
+        FunctionSemanticAnalyzer CreateMacroDesc — new in the 2.x line)
+        into their bodies at call sites.  Hive compiles macros to
+        GenericUDFMacro expression trees; textual expansion into the
+        Catalyst-parsed SQL is semantically identical because macro
+        bodies are pure expressions over the declared parameters.
+        Nested/chained macros expand to a fixpoint (depth-capped)."""
+        macros = getattr(self, "_macros", {})
+        if not macros:
+            return text
+        for _ in range(8):  # macros may call earlier macros
+            changed = False
+            for name, (params, body) in macros.items():
+                pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
+                out, pos = [], 0
+                while True:
+                    m = pat.search(text, pos)
+                    if not m:
+                        out.append(text[pos:])
+                        break
+                    out.append(text[pos : m.start()])
+                    # balanced-paren arg scan from m.end()
+                    depth, i, args, buf, quote = 1, m.end(), [], [], None
+                    while i < len(text) and depth:
+                        ch = text[i]
+                        if quote:
+                            if ch == quote:
+                                quote = None
+                            buf.append(ch)
+                        elif ch in ("'", '"'):
+                            quote = ch
+                            buf.append(ch)
+                        elif ch == "(":
+                            depth += 1
+                            buf.append(ch)
+                        elif ch == ")":
+                            depth -= 1
+                            if depth:
+                                buf.append(ch)
+                        elif ch == "," and depth == 1:
+                            args.append("".join(buf))
+                            buf = []
+                        else:
+                            buf.append(ch)
+                        i += 1
+                    args.append("".join(buf))
+                    expansion = body
+                    for p, a in zip(params, args):
+                        expansion = re.sub(
+                            rf"\b{re.escape(p)}\b", f"({a.strip()})", expansion
+                        )
+                    out.append(f"({expansion})")
+                    pos = i
+                    changed = True
+                text = "".join(out)
+            if not changed:
+                return text
+        return text
+
     def sql(self, text: str):
         """Run SQL — the CliDriver.processCmd equivalent (CliDriver.java:111),
-        after variable substitution and Hive-hint translation."""
-        return self.spark.sql(self.translate_hints(self.substitute(text)))
+        after variable substitution, macro handling, and Hive-hint
+        translation."""
+        text = self.substitute(text)
+        m = self._MACRO_DDL.match(text)
+        if m:
+            name, params_raw, body = m.group(1), m.group(2), m.group(3)
+            params = [
+                p.strip().split()[0] for p in params_raw.split(",") if p.strip()
+            ]
+            if not hasattr(self, "_macros"):
+                self._macros = {}
+            self._macros[name] = (params, body.rstrip(";").strip())
+            return self.spark.range(0).select()  # DDL: empty result
+        m = self._MACRO_DROP.match(text)
+        if m:
+            getattr(self, "_macros", {}).pop(m.group(1), None)
+            return self.spark.range(0).select()
+        return self.spark.sql(self.translate_hints(self._expand_macros(text)))
 
     @staticmethod
     def split_statements(script: str) -> list[str]:
