@@ -725,6 +725,103 @@ def q188_nested_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q190_exchange_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... EXCHANGE PARTITION (HIVE-4095; DDLTask
+    exchangeTablePartition): move one partition from a source table to a
+    destination table as a METADATA/directory operation — no data
+    rewrite.  Emulated faithfully over two external partitioned tables:
+    the partition directory is renamed across table locations, then the
+    catalogs update (MSCK on the receiver, DROP PARTITION on the donor).
+    Certificates pin the partition counts moving by exactly one on each
+    side; the digest oracle recomputes both tables' final contents."""
+    import shutil
+
+    src_loc = os.path.join(_SCRATCH, f"xchg_src_{_PID}")
+    dst_loc = os.path.join(_SCRATCH, f"xchg_dst_{_PID}")
+    src_tbl, dst_tbl = f"xchg_src_{_PID}", f"xchg_dst_{_PID}"
+    for tbl in (src_tbl, dst_tbl):
+        drop_table(spark, tbl)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    hi = orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    rest = orders.filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    hi.write.mode("overwrite").partitionBy("o_orderpriority").parquet(src_loc)
+    rest.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dst_loc)
+    for tbl, loc in ((src_tbl, src_loc), (dst_tbl, dst_loc)):
+        spark.sql(
+            f"""
+            CREATE TABLE {tbl} (o_orderkey BIGINT, o_totalprice DOUBLE)
+            USING parquet PARTITIONED BY (o_orderpriority STRING)
+            LOCATION '{loc}'
+            """
+        )
+        spark.sql(f"MSCK REPAIR TABLE {tbl}")
+    n_src_before = spark.sql(f"SHOW PARTITIONS {src_tbl}").count()
+    n_dst_before = spark.sql(f"SHOW PARTITIONS {dst_tbl}").count()
+
+    # the exchange: directory rename + catalog updates, no data rewrite
+    part_dir = "o_orderpriority=1-URGENT"
+    shutil.move(os.path.join(src_loc, part_dir), os.path.join(dst_loc, part_dir))
+    spark.sql(f"ALTER TABLE {src_tbl} DROP PARTITION (o_orderpriority = '1-URGENT')")
+    spark.sql(f"MSCK REPAIR TABLE {dst_tbl}")
+
+    moved_ok = (
+        spark.sql(f"SHOW PARTITIONS {src_tbl}").count() == n_src_before - 1
+        and spark.sql(f"SHOW PARTITIONS {dst_tbl}").count() == n_dst_before + 1
+    )
+    digest = (
+        spark.table(src_tbl)
+        .withColumn("side", F.lit("src"))
+        .unionByName(spark.table(dst_tbl).withColumn("side", F.lit("dst")))
+        .groupBy("side", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("moved_ok", F.lit(moved_ok))
+        .orderBy("side", "o_orderpriority")
+    )
+    rows = digest.collect()
+    for tbl in (src_tbl, dst_tbl):
+        drop_table(spark, tbl)
+    shutil.rmtree(src_loc, ignore_errors=True)
+    shutil.rmtree(dst_loc, ignore_errors=True)
+    return spark.createDataFrame(rows, digest.schema)
+
+
+def q191_default_partition_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL dynamic-partition keys land in __HIVE_DEFAULT_PARTITION__
+    (default_partition_name.q; hive.exec.default.partition.name,
+    FileSinkOperator's null-key path — Spark writes the identical
+    directory name): rows whose partition value is NULL must round-trip
+    through the default partition and read back as NULL, with the
+    directory name certificate pinned."""
+    out = os.path.join(_SCRATCH, f"nullpart_orders_{_PID}")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    staged = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("prio"),
+    )
+    staged.write.mode("overwrite").partitionBy("prio").parquet(out)
+    default_dir_exists = os.path.isdir(
+        os.path.join(out, "prio=__HIVE_DEFAULT_PARTITION__")
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("default_dir", F.lit(default_dir_exists))
+        .orderBy(F.col("prio").asc_nulls_last())
+    )
+
+
 def q177_hive_udf_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unmodified Hive GenericUDF classes via CREATE TEMPORARY FUNCTION
     (FunctionSemanticAnalyzer.java; GenericUDF.java) — the user-extension
@@ -796,6 +893,8 @@ QUERIES = {
     "q185_drop_partition": q185_drop_partition,
     "q187_dynamic_partition_overwrite": q187_dynamic_partition_overwrite,
     "q188_nested_types_roundtrip": q188_nested_types_roundtrip,
+    "q190_exchange_partition": q190_exchange_partition,
+    "q191_default_partition_name": q191_default_partition_name,
     "q176_show_surface": q176_show_surface,
     "q173_sequencefile_roundtrip": q173_sequencefile_roundtrip,
     "q172_jdbc_thrift_endpoint": q172_jdbc_thrift_endpoint,
@@ -820,6 +919,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q191_default_partition_name": """
+        SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderpriority END AS prio,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               TRUE AS default_dir
+        FROM orders WHERE o_orderkey <= 1000
+        GROUP BY 1 ORDER BY prio NULLS LAST
+    """,
+    "q190_exchange_partition": """
+        SELECT CASE WHEN o_orderpriority = '2-HIGH' THEN 'src' ELSE 'dst' END
+                 AS side,
+               o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               TRUE AS moved_ok
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY side, o_orderpriority
+    """,
     "q188_nested_types_roundtrip": """
         SELECT o_orderstatus AS status,
                CAST(2 * COUNT(*) AS BIGINT) AS n_exploded,
