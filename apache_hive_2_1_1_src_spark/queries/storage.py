@@ -822,6 +822,65 @@ def q191_default_partition_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q192_list_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-table list bucketing (CREATE TABLE ... SKEWED BY ... STORED
+    AS DIRECTORIES — metastore SkewedInfo struct, ListBucketingPruner):
+    hot key values get their own subdirectories so a point query on a
+    hot key reads ONE directory instead of the whole table.  Expressed
+    Spark-first as a partitionBy on the derived skew-bucket column
+    (hot value itself, or the shared default bucket) — the identical
+    directory layout; the pruned-read certificate checks that filtering
+    on a hot key scans only its directory's rows while non-hot lookups
+    fall back to the default bucket."""
+    out = os.path.join(_SCRATCH, f"listbucket_orders_{_PID}")
+    hot = ("1-URGENT", "3-MEDIUM")  # the declared skew values
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    skew_dir = F.when(
+        F.col("o_orderpriority").isin(*hot), F.col("o_orderpriority")
+    ).otherwise(F.lit("HIVE_DEFAULT_LIST_BUCKETING_DIR_NAME"))
+    orders.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+        skew_dir.alias("skew_bucket"),
+    ).write.mode("overwrite").partitionBy("skew_bucket").parquet(out)
+    back = spark.read.parquet(out)
+    # pruned hot-key read: only the hot directory participates
+    hot_read = back.filter(F.col("skew_bucket") == "1-URGENT")
+    n_hot_dirs = len(
+        [d for d in os.listdir(out) if d.startswith("skew_bucket=")]
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("hot_read_n", F.lit(hot_read.count()))
+        .withColumn("n_dirs", F.lit(n_hot_dirs))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q193_insert_overwrite_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE DIRECTORY (SemanticAnalyzer's writeToDirectory
+    path — query results to a raw filesystem directory in Hive text
+    framing, ^A delimiters and \\N nulls): write an aggregation out as
+    text, read it back with the same serde conventions, digest must
+    survive the round trip."""
+    from apache_hive_2_1_1_src_spark.io import read_hive_text, write_hive_text
+
+    out = os.path.join(_SCRATCH, f"ins_dir_{_PID}")
+    orders = t(spark, sf_dir, "orders")
+    result = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    write_hive_text(result, out)
+    back = read_hive_text(
+        spark, out, "o_orderstatus string, n bigint, total double"
+    )
+    return back.orderBy("o_orderstatus")
+
+
 def q177_hive_udf_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unmodified Hive GenericUDF classes via CREATE TEMPORARY FUNCTION
     (FunctionSemanticAnalyzer.java; GenericUDF.java) — the user-extension
@@ -895,6 +954,8 @@ QUERIES = {
     "q188_nested_types_roundtrip": q188_nested_types_roundtrip,
     "q190_exchange_partition": q190_exchange_partition,
     "q191_default_partition_name": q191_default_partition_name,
+    "q192_list_bucketing": q192_list_bucketing,
+    "q193_insert_overwrite_directory": q193_insert_overwrite_directory,
     "q176_show_surface": q176_show_surface,
     "q173_sequencefile_roundtrip": q173_sequencefile_roundtrip,
     "q172_jdbc_thrift_endpoint": q172_jdbc_thrift_endpoint,
@@ -919,6 +980,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q192_list_bucketing": """
+        WITH base AS (
+          SELECT o_orderpriority, o_totalprice
+          FROM orders WHERE o_orderkey <= 2000
+        )
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+                WHERE o_orderpriority = '1-URGENT') AS hot_read_n,
+               3 AS n_dirs
+        FROM base
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q193_insert_overwrite_directory": """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "q191_default_partition_name": """
         SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
                     ELSE o_orderpriority END AS prio,
