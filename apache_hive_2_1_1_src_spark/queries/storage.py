@@ -881,6 +881,37 @@ def q193_insert_overwrite_directory(spark: SparkSession, sf_dir: str) -> DataFra
     return back.orderBy("o_orderstatus")
 
 
+def q194_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level schema evolution (parquet_schema_evolution.q /
+    orc_schema_evol family; serde2 reads missing columns as NULL after
+    ALTER ADD COLUMNS): one table directory containing files written
+    BEFORE and AFTER a column was added — readers must merge the
+    schemas, old files yielding NULL for the new column, with no
+    rewrite of the old files."""
+    out = os.path.join(_SCRATCH, f"schevo_orders_{_PID}")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderstatus").alias("status_added")
+    )
+    old.write.mode("append").parquet(out)
+    new.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        back.groupBy(F.coalesce(F.col("status_added"), F.lit("<pre-evolution>")).alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("status")
+    )
+
+
 def q177_hive_udf_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unmodified Hive GenericUDF classes via CREATE TEMPORARY FUNCTION
     (FunctionSemanticAnalyzer.java; GenericUDF.java) — the user-extension
@@ -956,6 +987,7 @@ QUERIES = {
     "q191_default_partition_name": q191_default_partition_name,
     "q192_list_bucketing": q192_list_bucketing,
     "q193_insert_overwrite_directory": q193_insert_overwrite_directory,
+    "q194_schema_evolution": q194_schema_evolution,
     "q176_show_surface": q176_show_surface,
     "q173_sequencefile_roundtrip": q173_sequencefile_roundtrip,
     "q172_jdbc_thrift_endpoint": q172_jdbc_thrift_endpoint,
@@ -980,6 +1012,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q194_schema_evolution": """
+        SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+                    ELSE '<pre-evolution>' END AS status,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders WHERE o_orderkey <= 1000
+        GROUP BY 1 ORDER BY status
+    """,
     "q192_list_bucketing": """
         WITH base AS (
           SELECT o_orderpriority, o_totalprice
