@@ -912,6 +912,80 @@ def q194_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q195_temp_table_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TEMPORARY TABLE semantics (HIVE-7090, in 2.1;
+    temp_table_precedence.q): a session-scoped temp object with the same
+    name SHADOWS the permanent table for the session, and dropping it
+    reveals the permanent one again — Spark temp views resolve before
+    the catalog, giving the identical precedence chain.  The digest
+    staged across the three phases (permanent / shadowed / revealed) is
+    what the oracle replays."""
+    tbl = f"tempprec_orders_{_PID}"
+    drop_table(spark, tbl)
+    spark.sql(f"DROP VIEW IF EXISTS {tbl}")  # stale temp from a prior run
+    orders = t(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    n_perm = spark.table(tbl).count()
+    # temp object with the SAME name shadows the permanent table
+    orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(100).createOrReplaceTempView(tbl)
+    n_shadowed = spark.table(tbl).count()
+    spark.catalog.dropTempView(tbl)
+    n_revealed = spark.table(tbl).count()
+    drop_table(spark, tbl)
+    return spark.createDataFrame(
+        [
+            ("permanent", int(n_perm)),
+            ("shadowed_by_temp", int(n_shadowed)),
+            ("revealed_after_drop", int(n_revealed)),
+        ],
+        "phase string, n bigint",
+    ).orderBy("phase")
+
+
+def q196_rename_table_and_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME TO (alter_rename_table.q; DDLTask renameTable)
+    and CHANGE COLUMN rename (rename_column.q): the table rename is a
+    pure catalog operation — data unread and unmoved for managed v1
+    tables is not guaranteed by Spark, so the certificate checks
+    CONTENT survival, which is the Hive-visible contract; the column
+    rename re-expresses CHANGE COLUMN over a v1 parquet table as a
+    projection rewrite (Spark v1 lacks metadata-only column rename —
+    documented divergence, same visible result)."""
+    old_t, new_t = f"ren_src_{_PID}", f"ren_dst_{_PID}"
+    for tbl in (old_t, new_t):
+        drop_table(spark, tbl)
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(old_t)
+    before = spark.table(old_t).count()
+    spark.sql(f"ALTER TABLE {old_t} RENAME TO {new_t}")
+    renamed_ok = (
+        spark.table(new_t).count() == before
+        and not spark.catalog.tableExists(old_t)
+    )
+    # CHANGE COLUMN o_totalprice -> price (projection rewrite)
+    spark.table(new_t).withColumnRenamed("o_totalprice", "price").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(f"{new_t}_v2")
+    out = (
+        spark.table(f"{new_t}_v2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("total"),
+        )
+        .withColumn("renamed_ok", F.lit(renamed_ok))
+    )
+    rows = out.collect()
+    for tbl in (new_t, f"{new_t}_v2"):
+        drop_table(spark, tbl)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q177_hive_udf_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unmodified Hive GenericUDF classes via CREATE TEMPORARY FUNCTION
     (FunctionSemanticAnalyzer.java; GenericUDF.java) — the user-extension
@@ -988,6 +1062,8 @@ QUERIES = {
     "q192_list_bucketing": q192_list_bucketing,
     "q193_insert_overwrite_directory": q193_insert_overwrite_directory,
     "q194_schema_evolution": q194_schema_evolution,
+    "q195_temp_table_precedence": q195_temp_table_precedence,
+    "q196_rename_table_and_column": q196_rename_table_and_column,
     "q176_show_surface": q176_show_surface,
     "q173_sequencefile_roundtrip": q173_sequencefile_roundtrip,
     "q172_jdbc_thrift_endpoint": q172_jdbc_thrift_endpoint,
@@ -1012,6 +1088,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q195_temp_table_precedence": """
+        SELECT 'permanent' AS phase,
+               CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')
+                 AS BIGINT) AS n
+        UNION ALL
+        SELECT 'revealed_after_drop',
+               CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')
+                 AS BIGINT)
+        UNION ALL
+        SELECT 'shadowed_by_temp',
+               CAST(LEAST((SELECT COUNT(*) FROM orders
+                           WHERE o_orderstatus = 'O'), 100) AS BIGINT)
+        ORDER BY phase
+    """,
+    "q196_rename_table_and_column": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               TRUE AS renamed_ok
+        FROM orders WHERE o_orderkey <= 1000
+    """,
     "q194_schema_evolution": """
         SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
                     ELSE '<pre-evolution>' END AS status,
