@@ -174,3 +174,48 @@ def test_random_window_query_matches_duckdb(sql, spark, sf_dir, oracle):
     orows = rel.fetchall()
     assert sorted(scols) == sorted(ocols), sql
     assert _canon(srows, scols) == _canon(orows, ocols), sql
+
+
+SET_OPS = [
+    "UNION", "UNION ALL", "INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL",
+]
+
+
+@st.composite
+def setop_query(draw):
+    """Random set operation over two random filtered projections of the
+    same table — distinct vs multiset semantics must match exactly
+    (HIVE-12764's INTERSECT/EXCEPT family plus the UNION pair)."""
+    op = draw(st.sampled_from(SET_OPS))
+    col = draw(st.sampled_from(["o_orderstatus", "o_orderpriority", "o_custkey"]))
+    lo1 = draw(st.integers(min_value=0, max_value=1500))
+    lo2 = draw(st.integers(min_value=0, max_value=1500))
+    span = draw(st.integers(min_value=100, max_value=1500))
+    return (
+        f"SELECT {col} AS k FROM orders "
+        f"WHERE o_orderkey BETWEEN {lo1} AND {lo1 + span} "
+        f"{op} "
+        f"SELECT {col} FROM orders "
+        f"WHERE o_orderkey BETWEEN {lo2} AND {lo2 + span}"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=setop_query())
+def test_random_setop_query_matches_duckdb(sql, spark, sf_dir, oracle):
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    sdf = eng.sql(sql)
+    srows = sdf.collect()
+    scols = [c.lower() for c in sdf.columns]
+    rel = oracle.execute(sql)
+    orows = rel.fetchall()
+    ocols = [d[0].lower() for d in rel.description]
+    assert len(srows) == len(orows), sql
+    assert _canon(srows, scols) == _canon(orows, ocols), sql
