@@ -462,3 +462,27 @@ def dsir_resample(
         "samp_key", F.round(F.col("log_w") - F.log(-F.log(u)), 6)
     )
     return keyed.orderBy(F.desc("samp_key"), "doc_id").limit(k)
+
+
+def epoch_shuffle(
+    docs: DataFrame, seed: int = 1, n_shards: int = 32, key_col: str = "doc_id"
+) -> DataFrame:
+    """Seeded per-epoch global permutation as (doc_id, shard, pos): the
+    row-level training-order manifest that ``shuffle_shards`` digests.
+
+    Epoch N passes ``seed=N`` and gets an independent pseudorandom order;
+    the same seed is bit-identical across runs and cluster layouts.  No
+    global sort: the md5 sort key spreads uniformly over ``n_shards``
+    hash shards, and ``row_number`` runs per-shard (at 100 TB, n_shards
+    scales with the corpus so each window partition stays executor-sized
+    — the same composite-stratum discipline as sequence_packing).  The
+    global order is (shard, pos) lexicographic, which a trainer consumes
+    shard-by-shard.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(f"epoch{seed}"), F.col(key_col).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards).cast("int")
+    keyed = docs.select(F.col(key_col), shard.alias("shard"), h.alias("sort_key"))
+    w = Window.partitionBy("shard").orderBy("sort_key", key_col)
+    return keyed.withColumn("pos", F.row_number().over(w)).select(
+        key_col, "shard", "pos"
+    )

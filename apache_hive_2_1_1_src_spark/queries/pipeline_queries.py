@@ -761,6 +761,39 @@ def _simhash_oracle() -> str:
     """
 
 
+def p46_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe (pipeline/bloom.py — the ORC
+    bloom-filter index idea, orc.bloom.filter.columns, re-expressed as a
+    broadcast bit-position table): batch = doc_id % 5 == 0, corpus the
+    rest, key = first 30 chars of text so true members exist.  Full
+    oracle — the k=5 md5-slice hashes reproduce verbatim in DuckDB, so
+    both the maybe-verdict (false positives included) and the exact
+    ground truth are recomputed bit-for-bit."""
+    from apache_hive_2_1_1_src_spark.pipeline.bloom import bloom_membership_probe
+
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return bloom_membership_probe(new, corpus).orderBy("doc_id")
+
+
+QUERIES["p46_bloom_probe"] = p46_bloom_probe
+
+
+def p47_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded epoch-2 training-order permutation (curation.epoch_shuffle):
+    md5 sort key over 32 hash shards, per-shard row_number positions —
+    reproducible global order with no global sort.  Full oracle: the
+    hash, shard and window arithmetic replay verbatim in DuckDB."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import epoch_shuffle
+
+    docs = t(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, seed=2, n_shards=32).orderBy("shard", "pos")
+
+
+QUERIES["p47_epoch_shuffle"] = p47_epoch_shuffle
+
+
 ORACLES = {
     "p45_adaptive_quality_filter": """
         WITH w AS (
@@ -1579,3 +1612,47 @@ ORACLES = {
         SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id
     """,
 }
+
+ORACLES["p46_bloom_probe"] = """
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 30) AS k FROM documents
+    ), batch AS (
+      SELECT * FROM d WHERE doc_id % 5 = 0
+    ), corpus AS (
+      SELECT * FROM d WHERE doc_id % 5 != 0
+    ), corpus_pos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(k), 1 + 4 * i.i, 4))::BIGINT % 65536 AS pos
+      FROM corpus, (SELECT unnest(range(5)) AS i) i
+    ), probe AS (
+      SELECT doc_id, k,
+             ('0x' || substr(md5(k), 1 + 4 * i.i, 4))::BIGINT % 65536 AS pos
+      FROM batch, (SELECT unnest(range(5)) AS i) i
+    ), verdict AS (
+      SELECT p.doc_id, p.k,
+             MIN(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) = 1 AS bloom_maybe
+      FROM probe p LEFT JOIN corpus_pos c ON p.pos = c.pos
+      GROUP BY p.doc_id, p.k
+    )
+    SELECT v.doc_id, v.bloom_maybe,
+           EXISTS (SELECT 1 FROM corpus c WHERE c.k = v.k) AS exact_dup
+    FROM verdict v
+    ORDER BY v.doc_id
+"""
+
+ORACLES["p47_epoch_shuffle"] = """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(concat_ws('|', 'epoch2', CAST(doc_id AS VARCHAR))) AS sort_key
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, sort_key,
+             CAST(('0x' || substr(sort_key, 1, 4))::BIGINT % 32 AS INT) AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY sort_key, doc_id) AS INT) AS pos
+    FROM sharded
+    ORDER BY shard, pos
+"""

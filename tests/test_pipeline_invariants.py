@@ -386,3 +386,45 @@ def test_documents_corpus_is_ascii(spark, sf_dir):
         f"{n_multibyte} documents contain multi-byte chars; "
         "p36/p29 byte-offset oracles are no longer valid"
     )
+
+
+def test_bloom_probe_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    """Bloom membership (pipeline/bloom.py): every exact member must get
+    bloom_maybe=True (no false negatives — the structural guarantee), and
+    at the shipped sizing (m=65536, k=5, corpus ~400 keys) the false-
+    positive count must stay a small fraction of the batch."""
+    from apache_hive_2_1_1_src_spark.pipeline.bloom import bloom_membership_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    rows = bloom_membership_probe(new, corpus).collect()
+    assert rows, "probe emitted nothing"
+    missed = [r for r in rows if r.exact_dup and not r.bloom_maybe]
+    assert not missed, f"false negatives: {missed[:5]}"
+    n_nonmember = sum(1 for r in rows if not r.exact_dup)
+    n_fp = sum(1 for r in rows if r.bloom_maybe and not r.exact_dup)
+    # fill ~3% at sf0.001 / sf0.01 => fp rate ~1e-7; allow generous slack
+    assert n_fp <= max(2, 0.05 * n_nonmember), (n_fp, n_nonmember)
+
+
+def test_epoch_shuffle_is_a_seeded_permutation(spark, sf_dir):
+    """epoch_shuffle: (shard,pos) is a dense per-shard numbering covering
+    every doc exactly once; the same seed reproduces bit-identically and
+    a different seed produces a genuinely different order."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    e1 = epoch_shuffle(docs, seed=1).collect()
+    assert len(e1) == n and len({r.doc_id for r in e1}) == n
+    by_shard = {}
+    for r in e1:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    e1b = epoch_shuffle(docs, seed=1).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e1b))
+    e2 = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(docs, seed=2).collect()}
+    moved = sum(1 for r in e1 if e2[r.doc_id] != (r.shard, r.pos))
+    assert moved > n // 2, f"seed change barely moved the order ({moved}/{n})"

@@ -474,3 +474,25 @@ def test_dsir_deterministic_and_covers_all_at_full_k(spark, sf_dir):
     n = docs.count()
     full = dsir_resample(docs, k=10 * n).collect()
     assert len(full) == n
+
+
+def test_bloom_probe_broadcasts_bit_table_no_bnlj(spark, sf_dir):
+    """p46: the Bloom bit-position table must reach the probe as a
+    broadcast (the batch never shuffles) and nothing in the plan may
+    degenerate to a nested-loop join."""
+    from apache_hive_2_1_1_src_spark.queries.pipeline_queries import p46_bloom_probe
+
+    plan = _plan(p46_bloom_probe(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_epoch_shuffle_has_no_partitionless_window(spark, sf_dir):
+    """p47: the per-epoch row numbering must window on the hash shard —
+    a partitionless Window would serialize the corpus through one task."""
+    from apache_hive_2_1_1_src_spark.queries.pipeline_queries import p47_epoch_shuffle
+
+    df = p47_epoch_shuffle(spark, sf_dir)
+    assert "Window" in _plan(df)
+    assert _partitionless_windows(df) == []
