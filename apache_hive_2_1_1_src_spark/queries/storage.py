@@ -1051,7 +1051,92 @@ def q182_hive_udaf_udtf_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(base).orderBy("o_orderstatus")
 
 
+def q197_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL table semantics (metastore Thrift Table.tableType
+    EXTERNAL_TABLE, metastore/if/hive_metastore.thrift:294; DDLTask.java
+    dropTable deletes data only for managed tables): CREATE TABLE over a
+    pre-existing LOCATION, DROP must leave the files on disk and a
+    re-register must see the identical rows; the managed counterpart's
+    DROP must delete its warehouse directory.  Digested to (item, value)
+    rows against a VALUES oracle."""
+    import glob as _glob
+    import shutil
+
+    loc = os.path.join(_SCRATCH, f"ext_nation_loc_{_PID}")
+    ext, managed = f"ext_nation_{_PID}", f"managed_nation_{_PID}"
+    for tb in (ext, managed):
+        drop_table(spark, tb)
+    shutil.rmtree(loc, ignore_errors=True)
+    t(spark, sf_dir, "nation").write.mode("overwrite").parquet(loc)
+
+    spark.sql(
+        f"CREATE TABLE {ext} (n_nationkey BIGINT, n_name STRING, "
+        f"n_regionkey BIGINT) USING parquet LOCATION '{loc}'"
+    )
+    desc = {
+        r.col_name: (r.data_type or "")
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {ext}").collect()
+    }
+    is_external = "EXTERNAL" in desc.get("Type", "")
+    rows_before = spark.table(ext).count()
+    spark.sql(f"DROP TABLE {ext}")
+    files_survive = bool(_glob.glob(os.path.join(loc, "*.parquet")))
+    spark.sql(f"CREATE TABLE {ext} USING parquet LOCATION '{loc}'")
+    rows_after = spark.table(ext).count()
+    spark.sql(f"DROP TABLE {ext}")
+
+    t(spark, sf_dir, "nation").write.saveAsTable(managed)
+    mloc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {managed}")
+        .filter("col_name = 'Location'")
+        .collect()[0]
+        .data_type.replace("file:", "")
+    )
+    spark.sql(f"DROP TABLE {managed}")
+    managed_files_gone = not os.path.exists(mloc)
+
+    rows = [
+        ("1_type_external", str(is_external).lower()),
+        ("2_drop_keeps_files", str(files_survive).lower()),
+        ("3_reread_rows_equal", str(rows_before == rows_after == 25).lower()),
+        ("4_managed_drop_deletes", str(managed_files_gone).lower()),
+    ]
+    return spark.createDataFrame(rows, "item string, value string").orderBy("item")
+
+
+def q198_tblproperties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-property lifecycle (Thrift Table.parameters map,
+    hive_metastore.thrift:294; DDLTask.java alterTable SET/UNSET
+    TBLPROPERTIES + showTblProperties): properties declared at CREATE,
+    overwritten and extended by SET, removed by UNSET, read back via
+    SHOW TBLPROPERTIES — digested to the user-visible property map."""
+    tb = f"props_demo_{_PID}"
+    drop_table(spark, tb)
+    spark.sql(
+        f"CREATE TABLE {tb} (k INT) USING parquet "
+        "TBLPROPERTIES ('owner.team'='data-eng', 'quality'='bronze')"
+    )
+    spark.sql(
+        f"ALTER TABLE {tb} SET TBLPROPERTIES ('quality'='silver', 'pii'='false')"
+    )
+    spark.sql(f"ALTER TABLE {tb} UNSET TBLPROPERTIES ('pii')")
+    props = {
+        r.key: r.value
+        for r in spark.sql(f"SHOW TBLPROPERTIES {tb}").collect()
+        if not r.key.startswith(("option.", "transient_", "numFiles", "spark."))
+    }
+    spark.sql(f"DROP TABLE {tb}")
+    rows = [
+        ("owner.team", props.get("owner.team", "<missing>")),
+        ("pii_removed", str("pii" not in props).lower()),
+        ("quality", props.get("quality", "<missing>")),
+    ]
+    return spark.createDataFrame(rows, "item string, value string").orderBy("item")
+
+
 QUERIES = {
+    "q197_external_table": q197_external_table,
+    "q198_tblproperties": q198_tblproperties,
     "q177_hive_udf_classes": q177_hive_udf_classes,
     "q182_hive_udaf_udtf_classes": q182_hive_udaf_udtf_classes,
     "q185_drop_partition": q185_drop_partition,
@@ -1198,6 +1283,21 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS ascii_agree
         FROM customer WHERE c_custkey <= 500
         GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "q197_external_table": """
+        SELECT * FROM (VALUES
+          ('1_type_external', 'true'),
+          ('2_drop_keeps_files', 'true'),
+          ('3_reread_rows_equal', 'true'),
+          ('4_managed_drop_deletes', 'true')
+        ) AS t(item, value) ORDER BY item
+    """,
+    "q198_tblproperties": """
+        SELECT * FROM (VALUES
+          ('owner.team', 'data-eng'),
+          ('pii_removed', 'true'),
+          ('quality', 'silver')
+        ) AS t(item, value) ORDER BY item
     """,
     "q176_show_surface": """
         SELECT * FROM (VALUES
