@@ -248,3 +248,158 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cos_exact", 4).alias("cos"))
     )
+
+
+def ivfadc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    codes_per_sub: int = 16,
+    dim: int = 64,
+    rerank: int = 50,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFADC shape, and the 100 TB plan
+    SCALE_DESIGN.md documents): coarse centroids restrict each query to
+    its ``nprobe`` nearest lists, PQ codes make every scanned candidate
+    8 bytes wide, ADC reconstructs approximate cosine by table lookup,
+    and exact re-rank touches only the top ``rerank`` candidates.
+
+    Every data-sized join is keyed (cid for the list restriction;
+    query_id/sub/code for the lookup); with ``nprobe == num_centroids``
+    and ``rerank >= |corpus|`` the result equals exact brute force
+    (pytest pins it).  Returns (query_id, neighbor_id, cos).
+
+    The build half (``ivfadc_build``) produces the deployment artifacts
+    — (centroids, books, index) — paid once and materialized in a real
+    deployment; ``ivfadc_probe`` is the per-batch half.
+    """
+    centroids, books, index = ivfadc_build(
+        emb, num_centroids=num_centroids, m=m, codes_per_sub=codes_per_sub,
+        dim=dim, iterations=iterations, vec_col=vec_col, id_col=id_col,
+    )
+    return ivfadc_probe(
+        emb, centroids, books, index, queries, k=k, nprobe=nprobe, m=m,
+        dim=dim, rerank=rerank, vec_col=vec_col, id_col=id_col,
+    )
+
+
+def ivfadc_build(
+    emb: DataFrame,
+    num_centroids: int = 8,
+    m: int = 8,
+    codes_per_sub: int = 16,
+    dim: int = 64,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One-time index build: (centroids, books, index) where index is
+    the (id, sub, code, cid) table — written bucketed by cid in a real
+    deployment, so probes read only their nprobe list buckets."""
+    from apache_hive_2_1_1_src_spark.pipeline.ivf import (
+        assign_lists,
+        train_centroids,
+    )
+
+    centroids = train_centroids(
+        emb, num_centroids=num_centroids, iterations=iterations,
+        vec_col=vec_col, id_col=id_col,
+    )
+    lists = assign_lists(emb, centroids, vec_col=vec_col, id_col=id_col).select(
+        "id", "cid"
+    )
+    books = train_pq_codebooks(
+        emb, m=m, codes_per_sub=codes_per_sub, dim=dim, iterations=iterations,
+        vec_col=vec_col, id_col=id_col,
+    )
+    codes = pq_encode(emb, books, m=m, dim=dim, vec_col=vec_col, id_col=id_col)
+    return centroids, books, codes.join(lists, "id")
+
+
+def ivfadc_probe(
+    emb: DataFrame,
+    centroids: DataFrame,
+    books: DataFrame,
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    m: int = 8,
+    dim: int = 64,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-batch IVFADC probe against prebuilt artifacts; ``emb`` is
+    consulted only for the exact re-rank of top candidates."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("cos_c", cosine(F.col("qv"), F.col("centroid")))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "cid")
+    )
+    lut = (
+        q.select(
+            "query_id",
+            F.sqrt(_norm2(F.col("qv"))).alias("qnorm"),
+            F.posexplode(_subvectors(F.col("qv"), m, dim)).alias("sub", "qsub"),
+        )
+        .join(F.broadcast(books), "sub")
+        .select(
+            "query_id",
+            "qnorm",
+            "sub",
+            F.col("cid").alias("code"),
+            _dot(F.col("qsub"), F.col("centroid")).alias("dqc"),
+            _norm2(F.col("centroid")).alias("cnorm2"),
+        )
+    )
+
+    adc = (
+        index.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "id")
+        .agg(
+            F.sum("dqc").alias("adot"),
+            F.sum("cnorm2").alias("anorm2"),
+            F.first("qnorm").alias("qnorm"),
+        )
+        .withColumn(
+            "adc_cos", F.col("adot") / (F.col("qnorm") * F.sqrt(F.col("anorm2")))
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("id"))
+    cands = (
+        adc.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= rerank)
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    vecs = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    exact = (
+        cands.join(vecs, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("nv")).alias("cos_exact"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_exact"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_exact", 4).alias("cos"))
+    )

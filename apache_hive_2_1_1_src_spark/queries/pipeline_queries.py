@@ -817,6 +817,31 @@ def p48_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["p48_ann_pq"] = p48_ann_pq
 
 
+def p49_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed ANN (pipeline/pq.ivfadc_topk — the FAISS IVFADC
+    shape and the exact 100 TB plan SCALE_DESIGN.md documents for
+    similarity search): coarse lists restrict the scan to nprobe/8 of
+    the corpus, PQ codes make each scanned candidate 8 bytes, ADC
+    lookup-sums approximate cosine, exact re-rank on top-50.  Full
+    oracle via the shared in-plan recall certificate (measured ~0.8 at
+    both gate scales, certified >= 0.5); full-probe + full-rerank ==
+    brute force is pytest-pinned."""
+    from apache_hive_2_1_1_src_spark.pipeline.pq import ivfadc_topk
+    from apache_hive_2_1_1_src_spark.pipeline.similarity import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ex = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    ap = ivfadc_topk(
+        emb, queries, k=5, num_centroids=8, nprobe=4, m=8, codes_per_sub=16,
+        rerank=50,
+    ).select("query_id", "neighbor_id")
+    return _recall_certificate(ap, ex, 0.5, "recall_ge_050", k=5)
+
+
+QUERIES["p49_ann_ivfadc"] = p49_ann_ivfadc
+
+
 ORACLES = {
     "p45_adaptive_quality_filter": """
         WITH w AS (
@@ -1681,6 +1706,13 @@ ORACLES["p47_epoch_shuffle"] = """
 """
 
 ORACLES["p48_ann_pq"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS recall_ge_050,
+           TRUE AS bounded_topk
+    FROM embeddings WHERE vec_id < 10
+"""
+
+ORACLES["p49_ann_ivfadc"] = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
            TRUE AS recall_ge_050,
            TRUE AS bounded_topk

@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from apache_hive_2_1_1_src_spark.pipeline.pq import (  # noqa: E402
+    ivfadc_build,
+    ivfadc_probe,
     pq_encode,
     pq_topk,
     train_pq_codebooks,
@@ -85,9 +87,35 @@ def main() -> None:
     bf.count()
     t_bf = time.perf_counter() - t0
 
+    # IVFADC: one-time build materialized (cid-bucketed codes table +
+    # cached broadcast-sized centroids/books), then the per-batch probe
+    IVFADC_IDX = os.path.join(REPO, ".bench_scratch", "emb100x_ivfadc")
+    t0 = time.perf_counter()
+    centroids, books, index = ivfadc_build(
+        emb, num_centroids=64, m=M, codes_per_sub=CPS
+    )
+    centroids.cache().count()
+    books.cache().count()
+    index.write.mode("overwrite").partitionBy("cid").parquet(IVFADC_IDX)
+    t_ivfadc_build = time.perf_counter() - t0
+    index_m = spark.read.parquet(IVFADC_IDX)
+
+    def composed_probe():
+        return ivfadc_probe(
+            emb, centroids, books, index_m, queries, k=K, nprobe=4, m=M,
+            rerank=RERANK,
+        ).select("query_id", "neighbor_id")
+
+    t0 = time.perf_counter()
+    composed_probe().count()
+    t_ivfadc = time.perf_counter() - t0
+    composed = composed_probe()
+
     exact = {(r.query_id, r.neighbor_id) for r in bf.collect()}
     approx = {(r.query_id, r.neighbor_id) for r in ap.collect()}
+    comp = {(r.query_id, r.neighbor_id) for r in composed.collect()}
     recall = len(exact & approx) / max(len(exact), 1)
+    recall_c = len(exact & comp) / max(len(exact), 1)
     # On-disk ratio understates the win here: the synthetic 100x corpus
     # duplicates vectors so parquet compresses the float side unusually
     # well.  The scan-width ratio is the in-memory working-set story:
@@ -98,7 +126,9 @@ def main() -> None:
         f"build_once={t_build:.2f}s pq_probe={t_pq:.2f}s brute={t_bf:.2f}s "
         f"raw_bytes={raw_b} code_bytes={code_b} "
         f"disk_compression={raw_b / max(code_b, 1):.1f}x "
-        f"scan_width_ratio={width_ratio:.0f}x recall@{K}={recall:.3f}"
+        f"scan_width_ratio={width_ratio:.0f}x recall@{K}={recall:.3f} "
+        f"ivfadc_build_once={t_ivfadc_build:.2f}s "
+        f"ivfadc_probe={t_ivfadc:.2f}s ivfadc_recall@{K}={recall_c:.3f}"
     )
 
 

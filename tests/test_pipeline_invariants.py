@@ -465,3 +465,23 @@ def test_pq_codes_are_bounded_and_deterministic(spark, sf_dir):
     assert all(0 <= r.code < 8 for r in codes)
     again = pq_encode(emb, books, m=4).collect()
     assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
+
+
+def test_ivfadc_full_probe_full_rerank_equals_brute_force(spark, sf_dir):
+    """IVFADC with nprobe == num_centroids and rerank >= |corpus| must
+    equal exact brute-force top-k — the composition inherits both the
+    IVF full-probe pin and the PQ full-rerank pin."""
+    from apache_hive_2_1_1_src_spark.pipeline.pq import ivfadc_topk
+    from apache_hive_2_1_1_src_spark.pipeline.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    ex = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qs, k=5).collect()}
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfadc_topk(
+            emb, qs, k=5, num_centroids=8, nprobe=8, rerank=n
+        ).collect()
+    }
+    assert full == ex

@@ -514,3 +514,27 @@ def test_pq_ann_plan_is_bucketed_no_partitionless_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert _partitionless_windows(df) == []
+
+
+def test_ivfadc_plan_is_keyed_joins_only(spark, sf_dir):
+    """p49: the IVFADC data-sized joins must be keyed hash joins (cid
+    restriction, per-query LUT) and every window query-partitioned.
+    Keyless broadcast-codebook joins (corpus x tiny centroid table — the
+    standard replicate-the-codebook shape, also in p23) are the ONLY
+    nested-loop joins allowed: each must build on a broadcast side."""
+    from apache_hive_2_1_1_src_spark.pipeline.pq import ivfadc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    df = ivfadc_topk(emb, qs, k=5, num_centroids=8, nprobe=4, rerank=50)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the cid restriction and the (query_id, sub, code) LUT joins must
+    # plan as broadcast HASH joins — the corpus-sized sides never shuffle
+    assert plan.count("BroadcastHashJoin") >= 2, plan.count("BroadcastHashJoin")
+    # any nested-loop join must be a broadcast build (codebook replication)
+    import re as _re
+
+    for m_ in _re.finditer(r"BroadcastNestedLoopJoin (\w+) Build(\w+)", plan):
+        assert m_.group(1) in ("Inner", "Cross"), m_.group(0)
+    assert _partitionless_windows(df) == []
