@@ -94,6 +94,32 @@ def q134_input_file_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q199_file_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's physical virtual columns beyond INPUT__FILE__NAME —
+    BLOCK__OFFSET__INSIDE__FILE / ROW__OFFSET__INSIDE__BLOCK
+    (ql/.../metadata/VirtualColumn.java) — re-expressed through Spark's
+    _metadata struct (file_name, file_size, file_block_start,
+    file_modification_time): per-file row counts with certificates that
+    the block offsets and sizes are coherent (block starts at 0 for a
+    single-row-group file, size positive, name matches the scan)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("_metadata.file_name").alias("file"),
+            F.col("_metadata.file_size").alias("fsize"),
+            F.col("_metadata.file_block_start").alias("bstart"),
+        )
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.min("fsize") > 0).alias("size_positive"),
+            (F.min("bstart") >= 0).alias("offset_nonneg"),
+            (F.countDistinct("fsize") == 1).alias("size_consistent"),
+        )
+        .orderBy("file")
+    )
+
+
 def q148_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT — Hive users spell this as CASE-conditional aggregates
     (there's no PIVOT keyword in 2.1); Spark's relational pivot compiles
@@ -135,9 +161,16 @@ QUERIES = {
     "q132_grouping_id": q132_grouping_id,
     "q133_percent_sample": q133_percent_sample,
     "q134_input_file_name": q134_input_file_name,
+    "q199_file_metadata_columns": q199_file_metadata_columns,
 }
 
 ORACLES = {
+    "q199_file_metadata_columns": """
+        SELECT 'lineitem.parquet' AS file, COUNT(*) AS n_rows,
+               TRUE AS size_positive, TRUE AS offset_nonneg,
+               TRUE AS size_consistent
+        FROM lineitem
+    """,
     "q148_pivot": """
         SELECT o_orderstatus,
                ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent_total,
