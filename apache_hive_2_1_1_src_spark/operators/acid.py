@@ -585,3 +585,131 @@ class Txn:
         with its _OPEN marker for an age-based reaper)."""
         shutil.rmtree(os.path.join(self.table.root, self._staged.dir), ignore_errors=True)
         self._done = True
+
+
+class LockConflictError(RuntimeError):
+    """Raised when a lock request stays blocked past its timeout (the
+    fail-fast form of DbLockManager's WAITING state)."""
+
+
+#: Hive 2.1 DbTxnManager compatibility matrix (TxnHandler.jumpTable /
+#: LockType SHARED_READ < SHARED_WRITE < EXCLUSIVE): shared-read
+#: coexists with everything but EXCLUSIVE; shared-write coexists with
+#: shared locks (write-write conflicts resolve at COMMIT via the
+#: write-set check, not at lock time); EXCLUSIVE coexists with nothing.
+_COMPATIBLE = {
+    ("shared_read", "shared_read"): True,
+    ("shared_read", "shared_write"): True,
+    ("shared_read", "exclusive"): False,
+    ("shared_write", "shared_read"): True,
+    ("shared_write", "shared_write"): True,
+    ("shared_write", "exclusive"): False,
+    ("exclusive", "shared_read"): False,
+    ("exclusive", "shared_write"): False,
+    ("exclusive", "exclusive"): False,
+}
+
+_LOCKS = "_locks.json"
+
+
+class LockManager:
+    """Table-level lock surface of the DbTxnManager
+    (metastore/.../txn/TxnHandler.java lock/checkLock/unlock + the
+    HIVE_LOCKS table; DDLTask.showLocks): SHARED_READ for readers,
+    SHARED_WRITE for ACID writers, EXCLUSIVE for DDL/compaction.
+
+    State lives in ``_locks.json`` beside the txn log, mutated under the
+    same lockfile mutex (the role the metastore DB plays in Hive); lock
+    requests that stay incompatible past ``timeout_s`` raise
+    :class:`LockConflictError` (Hive parks them in WAITING and retries —
+    same contract, bounded).  The lock table is metadata: KB-sized at
+    any data scale, read driver-side like SHOW TRANSACTIONS.
+    """
+
+    def __init__(self, table: AcidTable):
+        self.table = table
+        self.root = table.root
+        path = os.path.join(self.root, _LOCKS)
+        if not os.path.exists(path):
+            with _log_mutation(self.root):
+                if not os.path.exists(path):
+                    tmp = path + f".tmp.{uuid.uuid4().hex}"
+                    with open(tmp, "w") as f:
+                        json.dump({"next_lock_id": 1, "locks": []}, f)
+                    os.replace(tmp, path)
+
+    def _read(self) -> dict:
+        with open(os.path.join(self.root, _LOCKS)) as f:
+            return json.load(f)
+
+    def _write(self, state: dict) -> None:
+        path = os.path.join(self.root, _LOCKS)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+
+    def acquire(
+        self, kind: str, owner: str, timeout_s: float = 0.5
+    ) -> int:
+        """Acquire a table lock; returns the lock id.  Retries until
+        ``timeout_s`` then raises LockConflictError, mirroring
+        DbLockManager's WAITING → retry loop with a deadline."""
+        import time
+
+        if kind not in ("shared_read", "shared_write", "exclusive"):
+            raise ValueError(f"unknown lock kind: {kind}")
+        deadline = time.monotonic() + timeout_s
+        while True:
+            with _log_mutation(self.root):
+                state = self._read()
+                held = state["locks"]
+                if all(_COMPATIBLE[(h["kind"], kind)] for h in held):
+                    lock_id = state["next_lock_id"]
+                    state["next_lock_id"] = lock_id + 1
+                    held.append(
+                        {"lock_id": lock_id, "kind": kind, "owner": owner}
+                    )
+                    self._write(state)
+                    return lock_id
+            if time.monotonic() > deadline:
+                holders = ",".join(
+                    f"{h['owner']}:{h['kind']}" for h in self._read()["locks"]
+                )
+                raise LockConflictError(
+                    f"{kind} lock for {owner} blocked by [{holders}]"
+                )
+            time.sleep(0.05)
+
+    def release(self, lock_id: int) -> None:
+        with _log_mutation(self.root):
+            state = self._read()
+            state["locks"] = [
+                h for h in state["locks"] if h["lock_id"] != lock_id
+            ]
+            self._write(state)
+
+    def show_locks(self) -> DataFrame:
+        """SHOW LOCKS (DDLTask.showLocks over TxnHandler's HIVE_LOCKS):
+        (lock_id, kind, owner, state) — held locks are ACQUIRED; the
+        fail-fast acquire never parks WAITING rows."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("lock_id", LongType()),
+                StructField("kind", StringType()),
+                StructField("owner", StringType()),
+                StructField("state", StringType()),
+            ]
+        )
+        rows = [
+            (int(h["lock_id"]), h["kind"], h["owner"], "ACQUIRED")
+            for h in self._read()["locks"]
+        ]
+        return self.table.spark.createDataFrame(rows, schema)

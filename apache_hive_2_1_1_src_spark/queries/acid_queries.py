@@ -302,7 +302,73 @@ def q186_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("as_of_write_id")
 
 
+def q200_show_locks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCK TABLE / SHOW LOCKS surface (DbTxnManager:
+    metastore/.../txn/TxnHandler.java lock/checkLock/unlock over the
+    HIVE_LOCKS table; DDLTask.showLocks; compatibility jump table —
+    SHARED_READ coexists with SHARED_WRITE, EXCLUSIVE with nothing).
+    Scripted scenario digested to (item, value) rows: a reader and an
+    ACID writer hold locks together; an EXCLUSIVE request times out
+    against them (DbLockManager WAITING, fail-fast bounded); after both
+    release, EXCLUSIVE acquires and blocks a new reader; SHOW LOCKS is
+    checked at each stage."""
+    import shutil
+
+    from apache_hive_2_1_1_src_spark.operators.acid import (
+        LockConflictError,
+        LockManager,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"hive_spark_acid_locks_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 100)
+        .select("o_orderkey", "o_totalprice")
+    )
+    tbl = AcidTable.create(spark, root, base, key_col="o_orderkey")
+    lm = LockManager(tbl)
+
+    reader = lm.acquire("shared_read", "reader_1")
+    writer = lm.acquire("shared_write", "writer_1")
+    held = sorted(
+        (r.kind, r.owner) for r in lm.show_locks().collect()
+    )
+    shared_coexist = held == [
+        ("shared_read", "reader_1"), ("shared_write", "writer_1")
+    ]
+
+    try:
+        lm.acquire("exclusive", "ddl_1", timeout_s=0.3)
+        excl_blocked = False
+    except LockConflictError:
+        excl_blocked = True
+
+    lm.release(reader)
+    lm.release(writer)
+    excl = lm.acquire("exclusive", "ddl_1", timeout_s=0.3)
+    try:
+        lm.acquire("shared_read", "reader_2", timeout_s=0.3)
+        reader_blocked_by_excl = False
+    except LockConflictError:
+        reader_blocked_by_excl = True
+    n_held_final = lm.show_locks().count()
+    lm.release(excl)
+    empty_after_release = lm.show_locks().count() == 0
+    shutil.rmtree(root, ignore_errors=True)
+
+    rows = [
+        ("1_shared_coexist", str(shared_coexist).lower()),
+        ("2_exclusive_blocked", str(excl_blocked).lower()),
+        ("3_reader_blocked_by_exclusive", str(reader_blocked_by_excl).lower()),
+        ("4_one_lock_while_exclusive", str(n_held_final == 1).lower()),
+        ("5_empty_after_release", str(empty_after_release).lower()),
+    ]
+    return spark.createDataFrame(rows, "item string, value string").orderBy("item")
+
+
 QUERIES = {
+    "q200_show_locks": q200_show_locks,
     "q170_acid_snapshot_isolation": q170_acid_snapshot_isolation,
     "q186_time_travel": q186_time_travel,
     "q179_acid_merge": q179_acid_merge,
@@ -310,6 +376,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q200_show_locks": """
+        SELECT * FROM (VALUES
+          ('1_shared_coexist', 'true'),
+          ('2_exclusive_blocked', 'true'),
+          ('3_reader_blocked_by_exclusive', 'true'),
+          ('4_one_lock_while_exclusive', 'true'),
+          ('5_empty_after_release', 'true')
+        ) AS t(item, value) ORDER BY item
+    """,
     "q186_time_travel": """
         WITH base AS (
           SELECT o_orderkey, o_totalprice

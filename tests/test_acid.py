@@ -314,3 +314,75 @@ def test_time_travel_refuses_history_folded_by_major_compaction(spark, tbl):
         tbl.snapshot_at(0)
     # the still-available watermark reads fine
     assert tbl.read(tbl.snapshot_at(1)).count() == 20
+
+
+def test_lock_compatibility_matrix(spark, tbl):
+    """DbTxnManager's jump table: SR~SR, SR~SW, SW~SW coexist; every
+    pairing with EXCLUSIVE conflicts (TxnHandler.checkLock)."""
+    from apache_hive_2_1_1_src_spark.operators.acid import (
+        LockConflictError,
+        LockManager,
+    )
+
+    lm = LockManager(tbl)
+    cases = [
+        ("shared_read", "shared_read", True),
+        ("shared_read", "shared_write", True),
+        ("shared_write", "shared_read", True),
+        ("shared_write", "shared_write", True),
+        ("shared_read", "exclusive", False),
+        ("shared_write", "exclusive", False),
+        ("exclusive", "shared_read", False),
+        ("exclusive", "shared_write", False),
+        ("exclusive", "exclusive", False),
+    ]
+    for held_kind, req_kind, ok in cases:
+        held = lm.acquire(held_kind, "a", timeout_s=0.2)
+        if ok:
+            got = lm.acquire(req_kind, "b", timeout_s=0.2)
+            lm.release(got)
+        else:
+            with pytest.raises(LockConflictError):
+                lm.acquire(req_kind, "b", timeout_s=0.2)
+        lm.release(held)
+    assert lm.show_locks().count() == 0
+
+
+def test_exclusive_lock_serializes_threads(spark, tbl):
+    """Racing threads each take the EXCLUSIVE lock in turn: at most one
+    holder at any instant, every thread eventually succeeds (the
+    lockfile mutex serializes the read-modify-write, as the metastore
+    DB does for TxnHandler)."""
+    import threading
+
+    from apache_hive_2_1_1_src_spark.operators.acid import LockManager
+
+    lm = LockManager(tbl)
+    holders: list[int] = []
+    max_holders = [0]
+    guard = threading.Lock()
+    errors: list[Exception] = []
+
+    def worker(i: int) -> None:
+        try:
+            lid = lm.acquire("exclusive", f"t{i}", timeout_s=20.0)
+            with guard:
+                holders.append(i)
+                max_holders[0] = max(max_holders[0], len(holders))
+            import time
+
+            time.sleep(0.02)
+            with guard:
+                holders.remove(i)
+            lm.release(lid)
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert max_holders[0] == 1
+    assert lm.show_locks().count() == 0
