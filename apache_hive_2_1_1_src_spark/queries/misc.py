@@ -544,6 +544,33 @@ def q175_explain_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q201_explain_authorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN AUTHORIZATION surface (Driver.doAuthorization;
+    ExplainTask formatAuthorizationInfo — the INPUTS/OUTPUTS/
+    CURRENT_USER/OPERATION block): digested to (item, value) rows for a
+    join-plus-subquery query; the user is non-empty but host-dependent,
+    so it certifies as a boolean."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    auth = eng.explain_authorization(
+        """
+        SELECT c_mktsegment, COUNT(*)
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation)
+        GROUP BY c_mktsegment
+        """
+    )
+    rows = [
+        ("inputs", ",".join(auth["inputs"])),
+        ("n_outputs", str(len(auth["outputs"]))),
+        ("operation", auth["operation"]),
+        ("user_nonempty", str(bool(auth["current_user"])).lower()),
+    ]
+    return spark.createDataFrame(rows, "item string, value string").orderBy("item")
+
+
 def q178_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP (append mode): two deterministic
     micro-batches; batch-2 rows whose 1-hour window closed below the
@@ -663,6 +690,7 @@ QUERIES = {
     "q174_checkpoint_recovery": q174_checkpoint_recovery,
     "q178_watermark_late_drop": q178_watermark_late_drop,
     "q175_explain_dependency": q175_explain_dependency,
+    "q201_explain_authorization": q201_explain_authorization,
     "q164_column_stats": q164_column_stats,
     "q136_streaming_dedup": q136_streaming_dedup,
     "q142_asof_join": q142_asof_join,
@@ -721,6 +749,14 @@ ORACLES = {
                TRUE
         FROM orders
         ORDER BY col_name
+    """,
+    "q201_explain_authorization": """
+        SELECT * FROM (VALUES
+          ('inputs', 'customer,nation,orders'),
+          ('n_outputs', '0'),
+          ('operation', 'QUERY'),
+          ('user_nonempty', 'true')
+        ) AS t(item, value) ORDER BY item
     """,
     "q175_explain_dependency": """
         SELECT * FROM (VALUES ('customer'), ('nation'), ('orders'), ('region'))

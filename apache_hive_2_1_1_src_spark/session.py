@@ -364,6 +364,22 @@ class HiveEngine:
                         tables.add(name)
         return sorted(tables)
 
+    def explain_authorization(self, text: str) -> dict:
+        """EXPLAIN AUTHORIZATION equivalent (Driver.doAuthorization +
+        ExplainTask's formatAuthorizationInfo: the INPUTS / OUTPUTS /
+        CURRENT_USER / OPERATION block Hive prints before running the
+        authorization hooks): inputs are the dependency walk's table
+        set; a pure query has no outputs (writes surface through the
+        storage API, which names its target table explicitly);
+        the user comes from the Spark context, as HiveServer2 takes it
+        from the session."""
+        return {
+            "inputs": self.explain_dependency(text),
+            "outputs": [],
+            "current_user": self.spark.sparkContext.sparkUser(),
+            "operation": "QUERY",
+        }
+
     def column_lineage(self, text: str) -> list[tuple[str, str, str]]:
         """Column-level lineage (the LineageLogger.java post-exec hook's
         edge set, ql/.../hooks/LineageLogger.java): for every output
