@@ -44,3 +44,29 @@ def test_two_runs_partition_the_input_exactly(spark, sf_dir):
         for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_transform_with_state_matches_batch_or_skips(spark, sf_dir, oracle):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): final
+    per-user state must equal the batch GROUP BY.  Skips with the
+    documented reason where google.protobuf (the state-server protocol
+    dependency) is unavailable — never a silent fallback."""
+    import pytest
+
+    from apache_hive_2_1_1_src_spark.streaming.jobs import (
+        transform_with_state_summary,
+    )
+
+    try:
+        df = transform_with_state_summary(spark, sf_dir)
+    except ImportError as ex:
+        pytest.skip(f"environment gate: {ex}")
+    rows = {(r.user_id, r.n_events, r.sum_value) for r in df.collect()}
+    expected = {
+        (u, n, s)
+        for u, n, s in oracle.execute(
+            "SELECT user_id, COUNT(*), ROUND(SUM(value), 2) "
+            "FROM events GROUP BY user_id"
+        ).fetchall()
+    }
+    assert rows == expected
