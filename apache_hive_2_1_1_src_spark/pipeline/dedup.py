@@ -810,3 +810,38 @@ def duplicated_span_fraction(
             "dup_frac", F.round(F.col("n_dup") / F.col("n_windows"), 6)
         )
     )
+
+
+def canonical_by_quality(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quality-aware canonical selection per duplicate cluster: given the
+    near-dup pair graph, keep the HIGHEST-quality member of each
+    connected component (ties → lowest id) instead of the min-id member
+    — what a real curation pipeline wants when duplicates differ in
+    quality score.
+
+    Composition: connected_components supplies (id, component); nodes
+    absent from every pair are their own singleton component; one
+    component-partitioned window picks the argmax.  At 100 TB the window
+    partitions are dup clusters (bounded by near-dup cluster size, not
+    corpus size), so no single task sees more than one cluster.
+
+    Returns (id, component, quality, is_canonical) for every node.
+    """
+    from pyspark.sql import Window
+
+    labels = connected_components(pairs)
+    all_nodes = nodes.select(
+        F.col(id_col).alias("id"), F.col(quality_col).alias("quality")
+    )
+    comp = all_nodes.join(labels, "id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("id"))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("id"))
+    return comp.withColumn(
+        "is_canonical", F.row_number().over(w) == 1
+    ).select("id", "component", "quality", "is_canonical")

@@ -842,6 +842,27 @@ def p49_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["p49_ann_ivfadc"] = p49_ann_ivfadc
 
 
+def p50_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (dedup.canonical_by_quality):
+    per near-dup component, keep the max-label member (ties -> lowest
+    id) instead of the min id — the curation-grade composition of the
+    bucketed pair generator, convergent connected components, and one
+    cluster-partitioned argmax window.  Full oracle: recursive-CTE
+    reachability + the same argmax, integer quality so the comparison
+    is exact."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import (
+        canonical_by_quality,
+        embedding_near_dups,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.40, sign_bits=4)
+    return canonical_by_quality(emb, pairs).orderBy("id")
+
+
+QUERIES["p50_canonical_by_quality"] = p50_canonical_by_quality
+
+
 ORACLES = {
     "p45_adaptive_quality_filter": """
         WITH w AS (
@@ -1717,4 +1738,44 @@ ORACLES["p49_ann_ivfadc"] = """
            TRUE AS recall_ge_050,
            TRUE AS bounded_topk
     FROM embeddings WHERE vec_id < 10
+"""
+
+ORACLES["p50_canonical_by_quality"] = """
+    WITH RECURSIVE v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.40
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (
+      SELECT v.vec_id AS id,
+             COALESCE(c.component, v.vec_id) AS component,
+             v.label AS quality
+      FROM v LEFT JOIN (SELECT id, MIN(r) AS component
+                        FROM reach GROUP BY id) c
+        ON v.vec_id = c.id
+    )
+    SELECT id, component, quality,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY quality DESC, id) = 1 AS is_canonical
+    FROM comp
+    ORDER BY id
 """

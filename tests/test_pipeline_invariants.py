@@ -485,3 +485,26 @@ def test_ivfadc_full_probe_full_rerank_equals_brute_force(spark, sf_dir):
         ).collect()
     }
     assert full == ex
+
+
+def test_canonical_by_quality_invariants(spark, sf_dir):
+    """Exactly one canonical per component; the canonical has the
+    component's max quality; every node appears exactly once (singletons
+    included as their own component)."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import (
+        canonical_by_quality,
+        embedding_near_dups,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.40, sign_bits=4)
+    rows = canonical_by_quality(emb, pairs).collect()
+    assert len(rows) == emb.count()
+    assert len({r.id for r in rows}) == len(rows)
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        canon = [r for r in members if r.is_canonical]
+        assert len(canon) == 1, comp
+        assert canon[0].quality == max(r.quality for r in members), comp
