@@ -1,0 +1,142 @@
+"""SQL-standard-based authorization: roles, grants, privilege checks.
+
+Reference surface being re-expressed (not translated):
+
+* ``ql/src/java/org/apache/hadoop/hive/ql/security/authorization/plugin/
+  sqlstd/SQLStdHiveAuthorizationValidator.java`` — privilege checks per
+  operation against the required-privilege table.
+* ``SQLStdHiveAccessController.java`` (same package) — CREATE/DROP ROLE,
+  GRANT/REVOKE ROLE (incl. role-to-role membership), GRANT/REVOKE
+  privileges, SHOW GRANT / SHOW ROLES / SHOW CURRENT ROLES.
+* ``metastore/.../ObjectStore.java`` role/grant tables — here an
+  in-memory metadata store (the state is KB-sized control-plane data;
+  a deployment persists it in the metastore DB exactly like the txn
+  log and lock table siblings in operators/acid.py).
+
+Model (SQL-standard semantics, as Hive 2.1 implements them):
+
+* principals are USERs or ROLEs; roles may be granted to users AND to
+  other roles (membership is transitive; grant cycles are rejected).
+* privileges (SELECT/INSERT/UPDATE/DELETE) attach to (object,
+  principal); a user holds a privilege iff it is granted to the user
+  directly or to any role reachable from the user's role closure —
+  computed with a BFS over the role graph (driver-side: the role graph
+  is metadata, never data-sized).
+* the special ``admin`` role (SQLStdHiveAccessController.ADMIN_ROLE)
+  bypasses object checks, like Hive's admin-role members.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+PRIVILEGES = ("SELECT", "INSERT", "UPDATE", "DELETE")
+ADMIN_ROLE = "admin"
+
+
+class AuthorizationError(RuntimeError):
+    """Raised when a privilege check fails (HiveAccessControlException)."""
+
+
+@dataclass
+class Authorizer:
+    """In-memory SQL-std authorization state + checks."""
+
+    roles: set[str] = field(default_factory=lambda: {ADMIN_ROLE, "public"})
+    #: principal -> set of roles granted directly (principal may be a
+    #: user name or another role name)
+    role_grants: dict[str, set[str]] = field(default_factory=dict)
+    #: (object, principal) -> set of privileges
+    grants: dict[tuple[str, str], set[str]] = field(default_factory=dict)
+
+    # -- role DDL ---------------------------------------------------------
+    def create_role(self, role: str) -> None:
+        if role in self.roles:
+            raise ValueError(f"role already exists: {role}")
+        self.roles.add(role)
+
+    def drop_role(self, role: str) -> None:
+        if role in (ADMIN_ROLE, "public"):
+            raise ValueError(f"cannot drop reserved role: {role}")
+        self.roles.discard(role)
+        self.role_grants = {
+            p: {r for r in rs if r != role}
+            for p, rs in self.role_grants.items()
+            if p != role
+        }
+        self.grants = {
+            (o, p): ps for (o, p), ps in self.grants.items() if p != role
+        }
+
+    def grant_role(self, role: str, principal: str) -> None:
+        """GRANT ROLE role TO USER/ROLE principal.  Rejects unknown roles
+        and membership cycles (SQLStdHiveAccessController checks both)."""
+        if role not in self.roles:
+            raise ValueError(f"no such role: {role}")
+        # the new edge makes `principal` inherit `role`; if `role` already
+        # (transitively) inherits `principal`, membership would cycle
+        if principal in self.roles and (
+            principal == role or principal in self._closure(role)
+        ):
+            raise ValueError(f"role cycle: {role} <-> {principal}")
+        self.role_grants.setdefault(principal, set()).add(role)
+
+    def revoke_role(self, role: str, principal: str) -> None:
+        self.role_grants.get(principal, set()).discard(role)
+
+    def _closure(self, principal: str) -> set[str]:
+        """All roles reachable from a principal (BFS, cycle-safe)."""
+        seen: set[str] = set()
+        frontier = list(self.role_grants.get(principal, ()))
+        while frontier:
+            r = frontier.pop()
+            if r in seen:
+                continue
+            seen.add(r)
+            frontier.extend(self.role_grants.get(r, ()))
+        return seen
+
+    # -- object privileges ------------------------------------------------
+    def grant(self, privilege: str, obj: str, principal: str) -> None:
+        if privilege not in PRIVILEGES:
+            raise ValueError(f"unknown privilege: {privilege}")
+        self.grants.setdefault((obj, principal), set()).add(privilege)
+
+    def revoke(self, privilege: str, obj: str, principal: str) -> None:
+        self.grants.get((obj, principal), set()).discard(privilege)
+
+    def has_privilege(self, user: str, obj: str, privilege: str) -> bool:
+        closure = self._closure(user)
+        if ADMIN_ROLE in closure:
+            return True
+        for principal in {user, "public", *closure}:
+            if privilege in self.grants.get((obj, principal), ()):
+                return True
+        return False
+
+    def check(self, user: str, obj: str, privilege: str) -> None:
+        """Raise AuthorizationError unless the user holds the privilege —
+        the validator's contract (SQLStdHiveAuthorizationValidator
+        checkPrivileges)."""
+        if not self.has_privilege(user, obj, privilege):
+            raise AuthorizationError(
+                f"Permission denied: user [{user}] does not have "
+                f"[{privilege}] privilege on [{obj}]"
+            )
+
+    # -- SHOW surface -----------------------------------------------------
+    def show_roles(self) -> list[str]:
+        return sorted(self.roles)
+
+    def show_current_roles(self, user: str) -> list[str]:
+        return sorted(self._closure(user))
+
+    def show_grant(self, principal: str | None = None) -> list[tuple]:
+        """SHOW GRANT [principal]: (object, principal, privilege) rows."""
+        rows = [
+            (obj, p, priv)
+            for (obj, p), privs in sorted(self.grants.items())
+            for priv in sorted(privs)
+            if principal is None or p == principal
+        ]
+        return rows

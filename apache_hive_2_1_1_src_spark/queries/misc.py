@@ -571,6 +571,60 @@ def q201_explain_authorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, value string").orderBy("item")
 
 
+def q202_sql_std_authorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard authorization surface (SQLStdHiveAccessController /
+    SQLStdHiveAuthorizationValidator, ql/.../authorization/plugin/sqlstd/;
+    role+grant tables in metastore ObjectStore): CREATE ROLE, role-to-
+    role membership with transitive closure and cycle rejection,
+    GRANT/REVOKE object privileges to users and roles, SHOW GRANT /
+    SHOW CURRENT ROLES, and the validator check — scripted into
+    oracle-checked (item, value) certificates."""
+    from apache_hive_2_1_1_src_spark.operators.authz import (
+        AuthorizationError,
+        Authorizer,
+    )
+
+    az = Authorizer()
+    az.create_role("analyst")
+    az.create_role("data_eng")
+    az.grant_role("data_eng", "analyst")       # role -> role
+    az.grant_role("analyst", "alice")          # user alice -> analyst
+    az.grant("SELECT", "orders", "data_eng")   # via transitive role
+    az.grant("INSERT", "orders", "bob")        # direct user grant
+
+    alice_select = az.has_privilege("alice", "orders", "SELECT")
+    alice_insert = az.has_privilege("alice", "orders", "INSERT")
+    bob_insert = az.has_privilege("bob", "orders", "INSERT")
+    bob_select = az.has_privilege("bob", "orders", "SELECT")
+    try:
+        az.check("bob", "orders", "SELECT")
+        check_raises = False
+    except AuthorizationError:
+        check_raises = True
+    try:
+        az.grant_role("analyst", "data_eng")   # would close a cycle
+        cycle_rejected = False
+    except ValueError:
+        cycle_rejected = True
+    current = ",".join(az.show_current_roles("alice"))
+    grants = ";".join("|".join(g) for g in az.show_grant())
+    az.revoke_role("analyst", "alice")
+    alice_after_revoke = az.has_privilege("alice", "orders", "SELECT")
+
+    rows = [
+        ("1_alice_select_via_role_chain", str(alice_select).lower()),
+        ("2_alice_insert_denied", str(not alice_insert).lower()),
+        ("3_bob_insert_direct", str(bob_insert).lower()),
+        ("4_bob_select_denied", str(not bob_select).lower()),
+        ("5_check_raises", str(check_raises).lower()),
+        ("6_cycle_rejected", str(cycle_rejected).lower()),
+        ("7_current_roles_alice", current),
+        ("8_show_grant", grants),
+        ("9_revoke_strips_privilege", str(not alice_after_revoke).lower()),
+    ]
+    return spark.createDataFrame(rows, "item string, value string").orderBy("item")
+
+
 def q178_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP (append mode): two deterministic
     micro-batches; batch-2 rows whose 1-hour window closed below the
@@ -690,6 +744,7 @@ QUERIES = {
     "q174_checkpoint_recovery": q174_checkpoint_recovery,
     "q178_watermark_late_drop": q178_watermark_late_drop,
     "q175_explain_dependency": q175_explain_dependency,
+    "q202_sql_std_authorization": q202_sql_std_authorization,
     "q201_explain_authorization": q201_explain_authorization,
     "q164_column_stats": q164_column_stats,
     "q136_streaming_dedup": q136_streaming_dedup,
@@ -749,6 +804,19 @@ ORACLES = {
                TRUE
         FROM orders
         ORDER BY col_name
+    """,
+    "q202_sql_std_authorization": """
+        SELECT * FROM (VALUES
+          ('1_alice_select_via_role_chain', 'true'),
+          ('2_alice_insert_denied', 'true'),
+          ('3_bob_insert_direct', 'true'),
+          ('4_bob_select_denied', 'true'),
+          ('5_check_raises', 'true'),
+          ('6_cycle_rejected', 'true'),
+          ('7_current_roles_alice', 'analyst,data_eng'),
+          ('8_show_grant', 'orders|bob|INSERT;orders|data_eng|SELECT'),
+          ('9_revoke_strips_privilege', 'true')
+        ) AS t(item, value) ORDER BY item
     """,
     "q201_explain_authorization": """
         SELECT * FROM (VALUES
