@@ -392,6 +392,53 @@ class AcidTable:
             schema,
         )
 
+    def read_changes(self, from_wid: int, to_wid: int) -> DataFrame:
+        """Change-data-feed read over the committed write-id range
+        [from_wid, to_wid]: one row per change event — ``insert`` rows
+        carry the full record, ``delete`` rows the tombstoned key — with
+        the write id that produced them.  An UPDATE surfaces as its
+        delete+insert event pair, exactly the OrcRecordUpdater event
+        stream (ql/.../io/orc/OrcRecordUpdater.java INSERT/DELETE
+        operation codes) that Hive's ACID deltas record; the delta
+        directories ARE the change log (AcidUtils.getAcidState deltas),
+        so the feed is a plain distributed union of parquet reads — no
+        table diff, no extra state.
+
+        Returns (write_id, change, <key_col>) — the key-level feed a
+        downstream incremental consumer keys on.
+        """
+        log = _read_log(self.root)
+        frames = []
+        for e in log["committed"]:
+            if not from_wid <= e["write_id"] <= to_wid:
+                continue
+            rows_dir = os.path.join(self.root, e["dir"], "rows")
+            ts_dir = os.path.join(self.root, e["dir"], "tombstones")
+            if os.path.isdir(rows_dir):
+                frames.append(
+                    self.spark.read.parquet(rows_dir).select(
+                        F.lit(int(e["write_id"])).alias("write_id"),
+                        F.lit("insert").alias("change"),
+                        F.col(self.key_col),
+                    )
+                )
+            if os.path.isdir(ts_dir):
+                frames.append(
+                    self.spark.read.parquet(ts_dir).select(
+                        F.lit(int(e["write_id"])).alias("write_id"),
+                        F.lit("delete").alias("change"),
+                        F.col(self.key_col),
+                    )
+                )
+        if not frames:
+            return self.spark.createDataFrame(
+                [], f"write_id int, change string, {self.key_col} long"
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
     def clean(self, live_snapshots: list[Snapshot] | None = None) -> list[str]:
         """Remove directories no longer referenced by the current log
         NOR by any live pinned snapshot — folded deltas, superseded

@@ -367,7 +367,64 @@ def q200_show_locks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, value string").orderBy("item")
 
 
+def q203_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the ACID delta chain
+    (AcidUtils.getAcidState deltas as the change log; OrcRecordUpdater
+    INSERT/DELETE event codes): after UPDATE (wid 1), DELETE (wid 2)
+    and INSERT (wid 3), read_changes(1, 3) must show the update as its
+    delete+insert pair and each txn's exact event counts — all
+    recomputable from the base table, so the oracle is full SQL."""
+    import shutil
+
+    root = os.path.join(tempfile.gettempdir(), f"hive_spark_acid_cdf_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    tbl = AcidTable.create(spark, root, base, key_col="o_orderkey")
+    tx1 = tbl.begin()
+    tx1.update(
+        F.col("o_orderkey") % 3 == 0,
+        {"o_totalprice": F.col("o_totalprice") + 100.0},
+    )
+    tx1.commit()
+    tx2 = tbl.begin()
+    tx2.delete(F.col("o_orderkey") % 7 == 0)
+    tx2.commit()
+    mk = base.agg(F.max("o_orderkey").alias("mk"))
+    tx3 = tbl.begin()
+    tx3.insert(
+        base.filter(F.col("o_orderkey") % 101 == 0)
+        .crossJoin(F.broadcast(mk))
+        .select(
+            (F.col("o_orderkey") + F.col("mk") + 1).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(10.0).alias("o_totalprice"),
+        )
+    )
+    tx3.commit()
+
+    feed = tbl.read_changes(1, 3)
+    out = (
+        feed.groupBy("write_id", "change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("write_id", "change")
+    )
+    rows = out.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "write_id int, change string, n bigint, min_key long, max_key long"
+    ).orderBy("write_id", "change")
+
+
 QUERIES = {
+    "q203_change_data_feed": q203_change_data_feed,
     "q200_show_locks": q200_show_locks,
     "q170_acid_snapshot_isolation": q170_acid_snapshot_isolation,
     "q186_time_travel": q186_time_travel,
@@ -376,6 +433,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q203_change_data_feed": """
+        WITH base AS (
+          SELECT o_orderkey FROM orders WHERE o_orderkey <= 2000
+        ), upd AS (
+          SELECT o_orderkey FROM base WHERE o_orderkey % 3 = 0
+        ), del AS (
+          SELECT o_orderkey FROM base WHERE o_orderkey % 7 = 0
+        ), ins AS (
+          SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM base) + 1
+                   AS o_orderkey
+          FROM base WHERE o_orderkey % 101 = 0
+        )
+        SELECT 1 AS write_id, 'delete' AS change,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM upd
+        UNION ALL
+        SELECT 1, 'insert', CAST(COUNT(*) AS BIGINT),
+               MIN(o_orderkey), MAX(o_orderkey) FROM upd
+        UNION ALL
+        SELECT 2, 'delete', CAST(COUNT(*) AS BIGINT),
+               MIN(o_orderkey), MAX(o_orderkey) FROM del
+        UNION ALL
+        SELECT 3, 'insert', CAST(COUNT(*) AS BIGINT),
+               MIN(o_orderkey), MAX(o_orderkey) FROM ins
+        ORDER BY write_id, change
+    """,
     "q200_show_locks": """
         SELECT * FROM (VALUES
           ('1_shared_coexist', 'true'),

@@ -386,3 +386,28 @@ def test_exclusive_lock_serializes_threads(spark, tbl):
     assert not errors, errors
     assert max_holders[0] == 1
     assert lm.show_locks().count() == 0
+
+
+def test_read_changes_window_and_event_pairs(spark, tbl):
+    """CDF slicing: an UPDATE shows as its delete+insert event pair at
+    its own write id; a [2,2] window sees only txn 2's events; an empty
+    window yields an empty typed frame."""
+    tx1 = tbl.begin()
+    tx1.update(F.col("k") <= 3, {"v": F.col("v") + 1.0})
+    tx1.commit()
+    tx2 = tbl.begin()
+    tx2.delete(F.col("k") == 10)
+    tx2.commit()
+
+    full = tbl.read_changes(1, 2).collect()
+    by = {}
+    for r in full:
+        by.setdefault((r.write_id, r.change), set()).add(r.k)
+    assert by[(1, "delete")] == {1, 2, 3}
+    assert by[(1, "insert")] == {1, 2, 3}
+    assert by[(2, "delete")] == {10}
+    assert (2, "insert") not in by
+
+    only2 = tbl.read_changes(2, 2).collect()
+    assert {(r.write_id, r.change, r.k) for r in only2} == {(2, "delete", 10)}
+    assert tbl.read_changes(5, 9).count() == 0
