@@ -69,6 +69,51 @@ CASES = [
         "SELECT z.o_orderkey FROM orders o",
         "z",
     ),
+    (
+        "aggregate_in_where",  # clientnegative/agg_in_where.q — aggregates
+        # cannot appear in WHERE (HAVING is the legal spelling)
+        "SELECT o_custkey FROM orders WHERE COUNT(*) > 3",
+        "",
+    ),
+    (
+        "window_in_where",  # clientnegative/windowing_in_where.q family
+        "SELECT o_orderkey FROM orders "
+        "WHERE ROW_NUMBER() OVER (ORDER BY o_orderkey) = 1",
+        "",
+    ),
+    (
+        "nested_aggregate",  # clientnegative/nested_aggregate.q —
+        # an aggregate of an aggregate has no meaning in one scope
+        "SELECT SUM(COUNT(o_orderkey)) FROM orders",
+        "",
+    ),
+    (
+        "orderby_position_out_of_range",  # clientnegative/orderby_position
+        "SELECT o_orderstatus FROM orders ORDER BY 5",
+        "",
+    ),
+    (
+        "groupby_position_out_of_range",  # clientnegative/groupby_position
+        "SELECT o_orderstatus, COUNT(*) FROM orders GROUP BY 7",
+        "",
+    ),
+    (
+        "star_with_groupby",  # clientnegative/select_star_groupby.q —
+        # SELECT * cannot combine with GROUP BY over fewer columns
+        "SELECT * FROM orders GROUP BY o_orderstatus",
+        "",
+    ),
+    (
+        "duplicate_cte_name",  # clientnegative/ambiguous_cte.q
+        "WITH x AS (SELECT 1 AS a), x AS (SELECT 2 AS a) SELECT * FROM x",
+        "x",
+    ),
+    (
+        "lateral_view_bad_source",  # clientnegative/lateral_view_explode.q —
+        # explode over a non-collection column must fail typecheck
+        "SELECT e.x FROM orders LATERAL VIEW explode(o_orderkey) e AS x",
+        "",
+    ),
 ]
 
 
