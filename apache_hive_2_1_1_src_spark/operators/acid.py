@@ -392,7 +392,9 @@ class AcidTable:
             schema,
         )
 
-    def read_changes(self, from_wid: int, to_wid: int) -> DataFrame:
+    def read_changes(
+        self, from_wid: int, to_wid: int, include_rows: bool = False
+    ) -> DataFrame:
         """Change-data-feed read over the committed write-id range
         [from_wid, to_wid]: one row per change event — ``insert`` rows
         carry the full record, ``delete`` rows the tombstoned key — with
@@ -405,9 +407,19 @@ class AcidTable:
         table diff, no extra state.
 
         Returns (write_id, change, <key_col>) — the key-level feed a
-        downstream incremental consumer keys on.
+        downstream incremental consumer keys on.  With
+        ``include_rows=True`` insert events carry every table column
+        (delete events null-fill them), which is what replica
+        maintenance (q204) consumes.
         """
         log = _read_log(self.root)
+        # uniform feed schema comes from the base files: delete events
+        # null-fill every non-key column so a delete-only window still
+        # exposes the full row shape to a replica consumer
+        base_schema = self.spark.read.parquet(
+            os.path.join(self.root, log["base"])
+        ).schema
+        data_fields = [f for f in base_schema.fields if f.name != "_wid"]
         frames = []
         for e in log["committed"]:
             if not from_wid <= e["write_id"] <= to_wid:
@@ -415,19 +427,35 @@ class AcidTable:
             rows_dir = os.path.join(self.root, e["dir"], "rows")
             ts_dir = os.path.join(self.root, e["dir"], "tombstones")
             if os.path.isdir(rows_dir):
+                r = self.spark.read.parquet(rows_dir)
+                cols = (
+                    [F.col(f.name) for f in data_fields]
+                    if include_rows
+                    else [F.col(self.key_col)]
+                )
                 frames.append(
-                    self.spark.read.parquet(rows_dir).select(
+                    r.select(
                         F.lit(int(e["write_id"])).alias("write_id"),
                         F.lit("insert").alias("change"),
-                        F.col(self.key_col),
+                        *cols,
                     )
                 )
             if os.path.isdir(ts_dir):
+                cols = (
+                    [
+                        F.col(f.name)
+                        if f.name == self.key_col
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in data_fields
+                    ]
+                    if include_rows
+                    else [F.col(self.key_col)]
+                )
                 frames.append(
                     self.spark.read.parquet(ts_dir).select(
                         F.lit(int(e["write_id"])).alias("write_id"),
                         F.lit("delete").alias("change"),
-                        F.col(self.key_col),
+                        *cols,
                     )
                 )
         if not frames:

@@ -423,7 +423,72 @@ def q203_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("write_id", "change")
 
 
+def q204_cdf_replica_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental replica maintenance off the change feed — the
+    downstream-consumer half of q203 (the pattern Hive users build with
+    delta-directory reads; same contract as streaming MERGE q162 but
+    driven by the ACID change log): starting from the wid-0 snapshot, a
+    plain-parquet replica applies each write id's feed window
+    (anti-join deletes, union inserts) and must equal the MVCC
+    snapshot_at(wid) after every step.  The per-step row counts are
+    recomputable from the base table, so the oracle is full SQL with
+    equality certificates."""
+    import shutil
+
+    root = os.path.join(tempfile.gettempdir(), f"hive_spark_acid_rep_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    tbl = AcidTable.create(spark, root, base, key_col="o_orderkey")
+    tx1 = tbl.begin()
+    tx1.update(
+        F.col("o_orderkey") % 3 == 0,
+        {"o_totalprice": F.col("o_totalprice") + 100.0},
+    )
+    tx1.commit()
+    tx2 = tbl.begin()
+    tx2.delete(F.col("o_orderkey") % 7 == 0)
+    tx2.commit()
+    mk = base.agg(F.max("o_orderkey").alias("mk"))
+    tx3 = tbl.begin()
+    tx3.insert(
+        base.filter(F.col("o_orderkey") % 101 == 0)
+        .crossJoin(F.broadcast(mk))
+        .select(
+            (F.col("o_orderkey") + F.col("mk") + 1).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(10.0).alias("o_totalprice"),
+        )
+    )
+    tx3.commit()
+
+    data_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    replica = tbl.read(tbl.snapshot_at(0)).select(*data_cols)
+    results = []
+    for wid in (1, 2, 3):
+        feed = tbl.read_changes(wid, wid, include_rows=True)
+        dels = feed.filter(F.col("change") == "delete").select("o_orderkey")
+        ins = feed.filter(F.col("change") == "insert").select(*data_cols)
+        replica = replica.join(dels, "o_orderkey", "left_anti").unionByName(ins)
+        snap = tbl.read(tbl.snapshot_at(wid)).select(*data_cols)
+        n_replica = replica.count()
+        # set equality both directions via exceptAll
+        diff = (
+            replica.exceptAll(snap).count() + snap.exceptAll(replica).count()
+        )
+        results.append((wid, n_replica, diff == 0))
+        replica = spark.createDataFrame(replica.collect(), replica.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        results, "write_id int, n_rows bigint, matches_snapshot boolean"
+    ).orderBy("write_id")
+
+
 QUERIES = {
+    "q204_cdf_replica_maintenance": q204_cdf_replica_maintenance,
     "q203_change_data_feed": q203_change_data_feed,
     "q200_show_locks": q200_show_locks,
     "q170_acid_snapshot_isolation": q170_acid_snapshot_isolation,
@@ -433,6 +498,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q204_cdf_replica_maintenance": """
+        WITH base AS (
+          SELECT o_orderkey FROM orders WHERE o_orderkey <= 2000
+        )
+        SELECT 1 AS write_id,
+               CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows,
+               TRUE AS matches_snapshot
+        UNION ALL
+        SELECT 2,
+               CAST((SELECT COUNT(*) FROM base WHERE o_orderkey % 7 <> 0)
+                    AS BIGINT),
+               TRUE
+        UNION ALL
+        SELECT 3,
+               CAST((SELECT COUNT(*) FROM base WHERE o_orderkey % 7 <> 0)
+                    + (SELECT COUNT(*) FROM base WHERE o_orderkey % 101 = 0)
+                    AS BIGINT),
+               TRUE
+        ORDER BY write_id
+    """,
     "q203_change_data_feed": """
         WITH base AS (
           SELECT o_orderkey FROM orders WHERE o_orderkey <= 2000
