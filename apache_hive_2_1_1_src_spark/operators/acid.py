@@ -322,6 +322,47 @@ class AcidTable:
             ] + [e for e in log["committed"] if e["write_id"] > hwm]
             _write_log(self.root, log)
 
+    def maybe_compact(
+        self,
+        delta_num_threshold: int = 10,
+        delta_pct_threshold: float = 0.1,
+    ) -> str | None:
+        """The Initiator's trigger policy (ql/.../txn/compactor/
+        Initiator.java checkForCompaction: hive.compactor.delta.num.
+        threshold default 10, hive.compactor.delta.pct.threshold default
+        0.1): request MINOR when the number of committed deltas reaches
+        ``delta_num_threshold``, MAJOR when the tombstone volume reaches
+        ``delta_pct_threshold`` of the base rows (the size-ratio proxy —
+        tombstoned rows are exactly the dead weight a major fold
+        removes).  Returns the compaction kind run, or None.
+
+        Like Hive's Initiator, the decision reads only metadata (the txn
+        log) plus two cheap counts; the actual work is Worker.java's,
+        i.e. compact_minor/compact_major."""
+        log = _read_log(self.root)
+        n_deltas = len(log["committed"])
+        if n_deltas == 0:
+            return None
+        n_tomb_deltas = sum(1 for e in log["committed"] if e["has_tombstones"])
+        if n_tomb_deltas:
+            base_rows = self.spark.read.parquet(
+                os.path.join(self.root, log["base"])
+            ).count()
+            tomb_rows = 0
+            for e in log["committed"]:
+                if not e["has_tombstones"]:
+                    continue
+                tdir = os.path.join(self.root, e["dir"], "tombstones")
+                if os.path.isdir(tdir):
+                    tomb_rows += self.spark.read.parquet(tdir).count()
+            if base_rows and tomb_rows / base_rows >= delta_pct_threshold:
+                self.compact_major()
+                return "major"
+        if n_deltas >= delta_num_threshold:
+            self.compact_minor()
+            return "minor"
+        return None
+
     def compact_major(self) -> None:
         """Fold base+deltas into a new ``base_H`` (Worker.java major
         compaction): materialize the latest snapshot, write it as the

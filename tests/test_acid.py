@@ -411,3 +411,31 @@ def test_read_changes_window_and_event_pairs(spark, tbl):
     only2 = tbl.read_changes(2, 2).collect()
     assert {(r.write_id, r.change, r.k) for r in only2} == {(2, "delete", 10)}
     assert tbl.read_changes(5, 9).count() == 0
+
+
+def test_initiator_policy_triggers_minor_then_major(spark, tbl):
+    """Initiator.java trigger policy: below both thresholds -> no
+    compaction; delta count at threshold -> minor; tombstone volume
+    over the pct threshold -> major (which folds everything into a new
+    base and empties the delta list)."""
+    assert tbl.maybe_compact(delta_num_threshold=3) is None
+
+    for i in (1, 2, 3):
+        tx = tbl.begin()
+        tx.insert(
+            spark.createDataFrame(
+                [(100 + i, "x", 1.0)], "k int, grp string, v double"
+            )
+        )
+        tx.commit()
+    assert tbl.maybe_compact(delta_num_threshold=3) == "minor"
+    assert len(__import__("json").load(
+        open(f"{tbl.root}/_txn_log.json")
+    )["committed"]) == 1  # folded to one delta
+
+    tx = tbl.begin()
+    tx.delete(F.col("k") <= 10)  # 10 of 23 rows -> 43% > 10%
+    tx.commit()
+    assert tbl.maybe_compact(delta_num_threshold=99) == "major"
+    assert tbl.read().count() == 13
+    assert tbl.maybe_compact() is None
