@@ -538,3 +538,48 @@ def test_ivfadc_plan_is_keyed_joins_only(spark, sf_dir):
     for m_ in _re.finditer(r"BroadcastNestedLoopJoin (\w+) Build(\w+)", plan):
         assert m_.group(1) in ("Inner", "Cross"), m_.group(0)
     assert _partitionless_windows(df) == []
+
+
+def test_cbo_join_reorder_puts_selective_dims_first(spark, sf_dir):
+    """Cost-based join reordering (Hive's Calcite LoptOptimizeJoinRule —
+    SURVEY §4's CBO row — subsumed by Spark's CostBasedJoinReorder):
+    a star query written fact-first must, once every table carries
+    ANALYZE statistics and CBO is on, reorder so the two small
+    dimensions join before the fact table touches anything."""
+    import os
+    import re
+
+    from apache_hive_2_1_1_src_spark.queries.storage import drop_table
+
+    tables = {"cbo_big": "orders", "cbo_mid": "customer", "cbo_tiny": "nation"}
+    for name, src in tables.items():
+        drop_table(spark, name)
+        load_table(spark, sf_dir, src).write.saveAsTable(name)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    sql = """
+        SELECT n_name, COUNT(*) AS n
+        FROM cbo_big b
+        JOIN cbo_mid m ON b.o_custkey = m.c_custkey
+        JOIN cbo_tiny t ON m.c_nationkey = t.n_nationkey
+        WHERE t.n_regionkey = 0
+        GROUP BY n_name
+    """
+
+    def leaf_order(enabled: bool) -> list[str]:
+        spark.conf.set("spark.sql.cbo.enabled", str(enabled).lower())
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", str(enabled).lower())
+        try:
+            plan = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        return re.findall(r"cbo_(big|mid|tiny)", plan)
+
+    try:
+        assert leaf_order(False) == ["big", "mid", "tiny"]  # syntactic order
+        reordered = leaf_order(True)
+        assert reordered.index("big") == 2, reordered  # fact joins LAST
+    finally:
+        for name in tables:
+            drop_table(spark, name)
