@@ -1134,7 +1134,39 @@ def q198_tblproperties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, value string").orderBy("item")
 
 
+def q205_partition_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level statistics (ColumnStatsTask / StatsTask per
+    partition; metastore PartitionsStatsRequest,
+    hive_metastore.thrift:543): ANALYZE TABLE ... PARTITION (key)
+    computes per-partition row counts persisted in the catalog, read
+    back via DESCRIBE EXTENDED ... PARTITION — the digest is the exact
+    per-partition row count, recomputed by the oracle as GROUP BY."""
+    import re
+
+    tb = f"pstats_demo_{_PID}"
+    drop_table(spark, tb)
+    t(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").saveAsTable(tb)
+    spark.sql(f"ANALYZE TABLE {tb} PARTITION (o_orderstatus) COMPUTE STATISTICS")
+    parts = [r[0].split("=", 1)[1] for r in spark.sql(f"SHOW PARTITIONS {tb}").collect()]
+    rows = []
+    for pv in sorted(parts):
+        desc = spark.sql(
+            f"DESCRIBE EXTENDED {tb} PARTITION (o_orderstatus='{pv}')"
+        ).collect()
+        stat = next(
+            (r.data_type for r in desc if str(r.col_name) == "Partition Statistics"),
+            "",
+        )
+        m = re.search(r"(\d+) rows", stat)
+        rows.append((pv, int(m.group(1)) if m else -1))
+    drop_table(spark, tb)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_rows bigint"
+    ).orderBy("o_orderstatus")
+
+
 QUERIES = {
+    "q205_partition_statistics": q205_partition_statistics,
     "q197_external_table": q197_external_table,
     "q198_tblproperties": q198_tblproperties,
     "q177_hive_udf_classes": q177_hive_udf_classes,
@@ -1283,6 +1315,10 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS ascii_agree
         FROM customer WHERE c_custkey <= 500
         GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "q205_partition_statistics": """
+        SELECT o_orderstatus, COUNT(*) AS n_rows
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "q197_external_table": """
         SELECT * FROM (VALUES
