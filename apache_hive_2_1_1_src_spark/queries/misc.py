@@ -625,6 +625,20 @@ def q202_sql_std_authorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, value string").orderBy("item")
 
 
+def q206_streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark streaming dedup (the
+    bounded-state successor to q136's dropDuplicates): per-key state is
+    evicted once the watermark passes, bounding state by the delay
+    window; single availableNow batch == batch DISTINCT (the oracle)."""
+    from apache_hive_2_1_1_src_spark.streaming.jobs import (
+        streaming_dedup_within_watermark,
+    )
+
+    return streaming_dedup_within_watermark(spark, sf_dir)
+
+
 def q178_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP (append mode): two deterministic
     micro-batches; batch-2 rows whose 1-hour window closed below the
@@ -744,6 +758,7 @@ QUERIES = {
     "q174_checkpoint_recovery": q174_checkpoint_recovery,
     "q178_watermark_late_drop": q178_watermark_late_drop,
     "q175_explain_dependency": q175_explain_dependency,
+    "q206_streaming_dedup_within_watermark": q206_streaming_dedup_within_watermark,
     "q202_sql_std_authorization": q202_sql_std_authorization,
     "q201_explain_authorization": q201_explain_authorization,
     "q164_column_stats": q164_column_stats,
@@ -804,6 +819,10 @@ ORACLES = {
                TRUE
         FROM orders
         ORDER BY col_name
+    """,
+    "q206_streaming_dedup_within_watermark": """
+        SELECT DISTINCT user_id, event_type
+        FROM events ORDER BY user_id, event_type
     """,
     "q202_sql_std_authorization": """
         SELECT * FROM (VALUES

@@ -942,3 +942,47 @@ def transform_with_state_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark (Spark 3.5+): unlike q136's
+    dropDuplicates — whose state holds every key forever within the
+    watermark column's range — this variant guarantees dedup only for
+    duplicates arriving within the watermark DELAY of each other and
+    evicts each key's state as soon as the watermark passes its first
+    sighting, so state size is bounded by the delay window alone (the
+    operational contract that keeps infinite streams viable).
+
+    With one availableNow batch over a static landing dir every
+    duplicate is co-batched, so the result is exactly the batch
+    SELECT DISTINCT — the oracle; the semantic DIFFERENCE from q136 is
+    in the state lifecycle, which the state-eviction guarantee makes
+    untestable in a single batch and is therefore documented, not
+    oracle-claimed.
+    """
+    src_dir = _stage_once(
+        "dedup_src",
+        sf_dir,
+        lambda p: _events_with_ts(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
+        .parquet(src_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    query_name = f"stream_dedup_ww_{os.getpid()}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).orderBy("user_id", "event_type")
