@@ -486,3 +486,52 @@ def epoch_shuffle(
     return keyed.withColumn("pos", F.row_number().over(w)).select(
         key_col, "shard", "pos"
     )
+
+
+def length_bucketed_batching(
+    docs: DataFrame,
+    min_bucket: int = 16,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Length-bucketed batching report for inference/training serving:
+    docs grouped into power-of-two token-length buckets (the
+    bucketed-batching trick that replaces pad-to-global-max), with the
+    padding waste each bucket actually pays vs what naive global
+    padding would cost.
+
+    Everything is closed-form JVM arithmetic (log2/ceil/pow over the
+    whitespace token count), one groupBy — at 100 TB this is a single
+    map-side-combined aggregation, and the bucket id doubles as the
+    shuffle/write key for the downstream batch writer.
+
+    Returns per-bucket (bucket_size, n_docs, total_tokens,
+    padded_tokens, waste_pct) ordered by bucket.
+    """
+    n_tok = F.size(_words(F.col("text")))
+    clamped = F.greatest(
+        F.lit(min_bucket),
+        F.least(
+            F.lit(max_bucket),
+            F.pow(F.lit(2.0), F.ceil(F.log2(n_tok.cast("double")))).cast("long"),
+        ),
+    )
+    per = (
+        docs.select(clamped.alias("bucket_size"), n_tok.alias("n_tok"))
+        .groupBy("bucket_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "padded_tokens", (F.col("bucket_size") * F.col("n_docs")).cast("long")
+        )
+        .withColumn(
+            "waste_pct",
+            F.round(
+                (F.col("padded_tokens") - F.col("total_tokens"))
+                / F.col("padded_tokens"),
+                4,
+            ),
+        )
+    )
+    return per.orderBy("bucket_size")

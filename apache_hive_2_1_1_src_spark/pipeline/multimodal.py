@@ -336,3 +336,46 @@ def audio_frame_energy(
             )
 
     return blobs.mapInPandas(energy, schema=AUDIO_FRAME_SCHEMA)
+
+
+def decode_blobs_arrow(blobs: DataFrame) -> DataFrame:
+    """Zero-copy Arrow-native decode over ``mapInArrow`` — the
+    lower-level sibling of :func:`decode_blobs` (mapInPandas): batches
+    arrive as ``pyarrow.RecordBatch`` with the binary column as an
+    Arrow buffer, skipping the pandas conversion entirely — the right
+    shape when the decoder consumes raw buffers (image/audio codecs)
+    and per-batch pandas materialization is pure overhead.
+
+    Emits the same deterministic fake features as decode_blobs, so both
+    decode paths share one oracle and must agree bit-for-bit
+    (pytest-pinned): same schema, same values, different transport.
+    """
+    import pyarrow as pa
+
+    def decode_batches(batches):
+        for batch in batches:
+            doc_ids = batch.column("doc_id")
+            blobs_col = batch.column("blob")
+            n_bytes, checksum = [], []
+            for buf in blobs_col:
+                b = buf.as_py()
+                n_bytes.append(len(b))
+                checksum.append(sum(b) % (1 << 31))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids.cast(pa.int64()),
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array([c % 640 + 1 for c in checksum], pa.int32()),
+                    pa.array([c % 480 + 1 for c in checksum], pa.int32()),
+                    pa.array(checksum, pa.int64()),
+                ],
+                names=[
+                    "doc_id",
+                    "n_bytes",
+                    "fake_width",
+                    "fake_height",
+                    "byte_checksum",
+                ],
+            )
+
+    return blobs.mapInArrow(decode_batches, schema=DECODED_SCHEMA)

@@ -863,6 +863,39 @@ def p50_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["p50_canonical_by_quality"] = p50_canonical_by_quality
 
 
+def p51_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report (curation.length_bucketed_batching):
+    power-of-two token buckets with per-bucket padding-waste accounting
+    — the serving-side batching trick; one map-side-combined aggregate,
+    closed-form arithmetic, full oracle."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import (
+        length_bucketed_batching,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return length_bucketed_batching(docs)
+
+
+QUERIES["p51_length_bucketed_batching"] = p51_length_bucketed_batching
+
+
+def p52_multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow zero-copy decode (multimodal.decode_blobs_arrow): the
+    Arrow-RecordBatch transport for binary-column kernels — same
+    deterministic features as the mapInPandas path p13, so the two
+    transports share one full oracle and are pinned equal."""
+    from apache_hive_2_1_1_src_spark.pipeline.multimodal import (
+        decode_blobs_arrow,
+        with_blob_column,
+    )
+
+    blobs = with_blob_column(t(spark, sf_dir, "documents"))
+    return decode_blobs_arrow(blobs).orderBy("doc_id")
+
+
+QUERIES["p52_multimodal_decode_arrow"] = p52_multimodal_decode_arrow
+
+
 ORACLES = {
     "p45_adaptive_quality_filter": """
         WITH w AS (
@@ -1779,3 +1812,41 @@ ORACLES["p50_canonical_by_quality"] = """
     FROM comp
     ORDER BY id
 """
+
+ORACLES["p51_length_bucketed_batching"] = """
+    WITH tok AS (
+      SELECT len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '')) AS n_tok
+      FROM documents
+    ), b AS (
+      SELECT n_tok,
+             GREATEST(16, LEAST(1024,
+               CAST(POW(2.0, CEIL(LOG2(CAST(n_tok AS DOUBLE)))) AS BIGINT)))
+               AS bucket_size
+      FROM tok
+    )
+    SELECT bucket_size,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(bucket_size * COUNT(*) AS BIGINT) AS padded_tokens,
+           ROUND((bucket_size * COUNT(*) - SUM(n_tok))
+                 / (bucket_size * COUNT(*)), 4) AS waste_pct
+    FROM b
+    GROUP BY bucket_size
+    ORDER BY bucket_size
+"""
+
+ORACLES["p52_multimodal_decode_arrow"] = """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(cs % 640 + 1 AS INT) AS fake_width,
+               CAST(cs % 480 + 1 AS INT) AS fake_height,
+               cs AS byte_checksum
+        FROM (
+          SELECT doc_id, text,
+                 list_aggregate(list_transform(string_split(text, ''),
+                                c -> CAST(ascii(c) AS BIGINT)), 'sum')
+                   % 2147483648 AS cs
+          FROM documents
+        ) ORDER BY doc_id
+    """

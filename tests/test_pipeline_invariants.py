@@ -508,3 +508,20 @@ def test_canonical_by_quality_invariants(spark, sf_dir):
         canon = [r for r in members if r.is_canonical]
         assert len(canon) == 1, comp
         assert canon[0].quality == max(r.quality for r in members), comp
+
+
+def test_arrow_and_pandas_decode_paths_agree(spark, sf_dir):
+    """p13 (mapInPandas) and p52 (mapInArrow) are two transports for the
+    same kernel: identical schema, identical rows."""
+    from apache_hive_2_1_1_src_spark.pipeline.multimodal import (
+        decode_blobs,
+        decode_blobs_arrow,
+        with_blob_column,
+    )
+
+    blobs = with_blob_column(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
+    a = sorted(map(tuple, decode_blobs(blobs).collect()))
+    b = sorted(map(tuple, decode_blobs_arrow(blobs).collect()))
+    assert a == b
