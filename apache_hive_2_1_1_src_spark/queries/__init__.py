@@ -35,10 +35,66 @@ from apache_hive_2_1_1_src_spark.queries import (
     windows,
 )
 
-# Merge order = driver sampling order (the correctness gate samples the
-# first 50 entries): relational fundamentals, then the ACID/storage
-# surface (formats, metastore, JDBC, bucket layout, SHOW, Hive-UDF jars)
-# so the gate's sample spans the engine's breadth, then the rest.
+# Merge order backs the driver sampling order (the correctness gate
+# samples the FIRST 50 entries).  ``_FEATURED`` pins that window to a
+# curated cross-section of the whole engine — relational fundamentals,
+# the ACID/metastore/storage surface, the LLM-pipeline tier (dedup,
+# ANN incl. the composed IVFADC, curation), streaming, and windows —
+# so CORRECTNESS_r{N} certifies breadth, not whichever module merges
+# first; everything else follows in module order.
+_FEATURED = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_shipping_priority",
+    "q04_join_inner",
+    "q05_join_left",
+    "q07_join_full",
+    "q08_join_semi",
+    "q09_join_anti",
+    "q10_broadcast_region_revenue",
+    "q12_union_distinct",
+    "q14_order_limit",
+    "q145_intersect",
+    "q146_except",
+    "q29_grouping_sets",
+    "q24_count_distinct",
+    "q27_percentile_approx",
+    "q33_histogram_numeric",
+    "q40_row_number_topk",
+    "q43_running_sum_rows",
+    "q138_range_interval_frame",
+    "q156_ignore_nulls_windows",
+    "q75_in_subquery",
+    "q160_merge_cow",
+    "q170_acid_snapshot_isolation",
+    "q186_time_travel",
+    "q179_acid_merge",
+    "q203_change_data_feed",
+    "q204_cdf_replica_maintenance",
+    "q200_show_locks",
+    "q202_sql_std_authorization",
+    "q169_persistent_metastore",
+    "q205_partition_statistics",
+    "q197_external_table",
+    "q85_write_partitioned",
+    "q87_write_bucketed",
+    "q90_orc_roundtrip",
+    "q96_streaming_window_counts",
+    "q142_asof_join",
+    "q144_time_rollup",
+    "p01_dedup_exact",
+    "p02_dedup_minhash_lsh",
+    "p04_dedup_simhash",
+    "p23_ann_ivf",
+    "p49_ann_ivfadc",
+    "p35_connected_components",
+    "p50_canonical_by_quality",
+    "p31_corpus_pipeline",
+    "p44_dsir_resample",
+    "p46_bloom_probe",
+    "p47_epoch_shuffle",
+]
+
 _MODULES = [
     relational,
     acid_queries,
@@ -56,12 +112,17 @@ _MODULES = [
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
-        overlap = out.keys() & m.QUERIES.keys()
+        overlap = merged.keys() & m.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        out.update(m.QUERIES)
+        merged.update(m.QUERIES)
+    missing = [n for n in _FEATURED if n not in merged]
+    if missing:
+        raise ValueError(f"featured queries not in registry: {missing}")
+    out = {n: merged[n] for n in _FEATURED}
+    out.update({n: fn for n, fn in merged.items() if n not in out})
     return out
 
 
