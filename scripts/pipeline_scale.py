@@ -23,7 +23,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from apache_hive_2_1_1_src_spark.pipeline.curation import corpus_pipeline  # noqa: E402
+from apache_hive_2_1_1_src_spark.pipeline.bloom import (  # noqa: E402
+    bloom_membership_probe,
+)
+from apache_hive_2_1_1_src_spark.pipeline.curation import (  # noqa: E402
+    corpus_pipeline,
+    epoch_shuffle,
+    length_bucketed_batching,
+)
 from apache_hive_2_1_1_src_spark.pipeline.dedup import (  # noqa: E402
     duplicated_span_fraction,
 )
@@ -37,10 +44,36 @@ DATASETS = [
     ("1x", "/root/testdata/sf0.1/documents.parquet"),
     ("100x", os.path.join(REPO, ".bench_scratch/dsir100x/documents.parquet")),
 ]
+from pyspark.sql import functions as _F  # noqa: E402
+
+
+def _bloom(d):
+    # 100x corpus needs a bigger filter: scale m with the corpus so the
+    # fill (1-exp(-nk/m)) stays comparable — the config-only resize the
+    # table form allows (SCALE_DESIGN.md)
+    n = d.count()
+    m = 1 << 16 if n <= 10_000 else 1 << 23
+    return bloom_membership_probe(
+        d.filter(_F.col("doc_id") % 5 == 0),
+        d.filter(_F.col("doc_id") % 5 != 0),
+        num_bits=m,
+    )
+
+
 OPS = [
     ("p31_funnel", lambda d: corpus_pipeline(d)),
     ("p42_passages", lambda d: duplicated_span_fraction(d)),
     ("p45_adaptive_filter", lambda d: adaptive_quality_filter(d)),
+    ("p46_bloom_probe", _bloom),
+    # checksum-aggregate the positions so Catalyst cannot prune the
+    # window out of a bare count()
+    (
+        "p47_epoch_shuffle",
+        lambda d: epoch_shuffle(d, seed=2, n_shards=256)
+        .groupBy("shard")
+        .agg(_F.sum("pos").alias("pos_sum")),
+    ),
+    ("p51_length_buckets", lambda d: length_bucketed_batching(d)),
 ]
 
 
