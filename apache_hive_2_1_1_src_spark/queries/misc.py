@@ -639,6 +639,33 @@ def q206_streaming_dedup_within_watermark(
     return streaming_dedup_within_watermark(spark, sf_dir)
 
 
+def q207_describe_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE FUNCTION [EXTENDED] (DDLTask.describeFunction;
+    FunctionRegistry.getFunctionInfo usage/example text — Hive prints
+    name + usage, EXTENDED adds examples): digested per function to
+    booleans a fixed oracle checks — the name line matches, usage text
+    is present, EXTENDED carries an example block — across a builtin,
+    a math fn and an aggregate."""
+    rows = []
+    for fn in ("substr", "abs", "percentile_approx"):
+        desc = "\n".join(
+            r.function_desc
+            for r in spark.sql(f"DESCRIBE FUNCTION EXTENDED {fn}").collect()
+        )
+        rows.append(
+            (
+                fn,
+                f"Function: {fn}" in desc,
+                "Usage:" in desc and len(desc) > 40,
+                "Examples:" in desc,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "fn string, name_line boolean, has_usage boolean, has_examples boolean",
+    ).orderBy("fn")
+
+
 def q178_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP (append mode): two deterministic
     micro-batches; batch-2 rows whose 1-hour window closed below the
@@ -758,6 +785,7 @@ QUERIES = {
     "q174_checkpoint_recovery": q174_checkpoint_recovery,
     "q178_watermark_late_drop": q178_watermark_late_drop,
     "q175_explain_dependency": q175_explain_dependency,
+    "q207_describe_function": q207_describe_function,
     "q206_streaming_dedup_within_watermark": q206_streaming_dedup_within_watermark,
     "q202_sql_std_authorization": q202_sql_std_authorization,
     "q201_explain_authorization": q201_explain_authorization,
@@ -823,6 +851,13 @@ ORACLES = {
     "q206_streaming_dedup_within_watermark": """
         SELECT DISTINCT user_id, event_type
         FROM events ORDER BY user_id, event_type
+    """,
+    "q207_describe_function": """
+        SELECT * FROM (VALUES
+          ('abs', TRUE, TRUE, TRUE),
+          ('percentile_approx', TRUE, TRUE, TRUE),
+          ('substr', TRUE, TRUE, TRUE)
+        ) AS t(fn, name_line, has_usage, has_examples) ORDER BY fn
     """,
     "q202_sql_std_authorization": """
         SELECT * FROM (VALUES
