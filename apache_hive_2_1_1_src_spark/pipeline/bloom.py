@@ -23,6 +23,10 @@ Design (100 TB story):
   false negatives are not — ``tests/test_pipeline_invariants.py`` pins the
   no-false-negative guarantee and the oracle recomputes both flags
   bit-for-bit.
+* Verify: ground-truth ``exact_dup`` is computed ONLY for keys the
+  filter flagged (``bloom_maybe``) — the corpus is semi-joined against
+  the broadcast *candidate* key set, so no corpus-sized structure is
+  ever broadcast (plan-pinned in tests/test_plans.py).
 * Sizing: ``m`` must scale with corpus keys (fill ≈ 1-exp(-n*k/m)); at
   100 TB you'd size m per shard-of-corpus or use repeated filters per
   partition epoch — the table form keeps that a pure config change.
@@ -89,7 +93,17 @@ def bloom_membership_probe(
         .agg((F.min(F.coalesce(F.col("hit"), F.lit(0))) == 1).alias("bloom_maybe"))
     )
 
-    exact = corpus_keys.distinct().withColumn("exact_hit", F.lit(True))
+    # Verify stage — ONLY where bloom_maybe is true, never against the
+    # whole corpus: the candidate key set (true dups + false positives,
+    # ~fill^k of the batch) is the broadcast side; the corpus is probed
+    # with a semi-join and never materialized on one node.  The Bloom
+    # guarantee (no false negatives) makes skipping non-candidates safe.
+    cand_keys = maybe.filter(F.col("bloom_maybe")).select("k").distinct()
+    exact = (
+        corpus_keys.join(F.broadcast(cand_keys), "k", "leftsemi")
+        .distinct()
+        .withColumn("exact_hit", F.lit(True))
+    )
     return (
         maybe.join(F.broadcast(exact), "k", "left")
         .select(

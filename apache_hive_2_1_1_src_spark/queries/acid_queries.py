@@ -480,7 +480,11 @@ def q204_cdf_replica_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             replica.exceptAll(snap).count() + snap.exceptAll(replica).count()
         )
         results.append((wid, n_replica, diff == 0))
-        replica = spark.createDataFrame(replica.collect(), replica.schema)
+        # Truncate the iterative plan chain WITHOUT materializing the
+        # table on the driver: localCheckpoint keeps the replica's rows
+        # on the executors (at 100 TB a collect() here would OOM the
+        # driver; a per-write-id-window parquet stage works equally).
+        replica = replica.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         results, "write_id int, n_rows bigint, matches_snapshot boolean"

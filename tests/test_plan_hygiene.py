@@ -61,3 +61,20 @@ def test_plan_has_no_cartesian_or_leaked_cache(name, fn, spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop join — check join keys"
         )
+
+
+def test_no_table_sized_driver_roundtrip_in_source():
+    """No module may materialize a table on the driver just to rebuild a
+    DataFrame from it (`createDataFrame(df.collect(), ...)`) — the
+    iterative-plan-truncation job belongs to localCheckpoint / a staged
+    write.  Regression pin for the q204 fix (acid_queries.py)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "apache_hive_2_1_1_src_spark"
+    bad = []
+    for p in pkg.rglob("*.py"):
+        src = p.read_text()
+        if re.search(r"createDataFrame\(\s*\w+\.collect\(\)", src):
+            bad.append(str(p))
+    assert bad == [], f"driver-side table round-trip in: {bad}"

@@ -486,6 +486,11 @@ def test_bloom_probe_broadcasts_bit_table_no_bnlj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    # The exact-verify stage must restrict the corpus to Bloom CANDIDATES
+    # via a semi-join (broadcasting the tiny candidate key set) — never
+    # broadcast the full distinct corpus key set (a 100 TB corpus would
+    # OOM the executors).  Pin the semi-join's presence.
+    assert "LeftSemi" in plan, plan[:2000]
 
 
 def test_epoch_shuffle_has_no_partitionless_window(spark, sf_dir):
