@@ -199,6 +199,18 @@ class AcidTable:
                 f"base is at write_id {log['base_write_id']}, past {write_id} "
                 "(major compaction folded the requested history)"
             )
+        for e in log["committed"]:
+            # A minor-compaction fold collapses deltas [lo, hi] into one
+            # entry at hi: a snapshot pinned strictly inside the range
+            # cannot be reconstructed — without this guard it would
+            # silently drop the whole fold and return bare-base state.
+            lo, hi = e.get("folded_range", (e["write_id"], e["write_id"]))
+            if lo <= write_id < hi:
+                raise ValueError(
+                    f"write_id {write_id} falls inside minor-compaction "
+                    f"fold [{lo}, {hi}] — that history is collapsed "
+                    "(pin snapshots as live to clean() to prevent this)"
+                )
         deltas = tuple(
             (e["write_id"], e["dir"])
             for e in log["committed"]
@@ -278,6 +290,14 @@ class AcidTable:
         snap = self.snapshot()
         k = self.key_col
         hwm = snap.high_watermark
+        # The fold's covered write-id range: snapshots/CDF windows that
+        # land INSIDE it can no longer be served (the per-event history
+        # is collapsed) — record it so readers fail loudly instead of
+        # silently returning the bare-base state.  A prior fold's range
+        # is inherited so repeated minor compactions keep the full span.
+        fold_lo = min(
+            int(e.get("folded_range", [e["write_id"]])[0]) for e in log["committed"]
+        )
         rows: DataFrame | None = None
         tombs: DataFrame | None = None
         for wid, d in snap.deltas:
@@ -318,7 +338,12 @@ class AcidTable:
             # folding must never erase acknowledged transactions
             log = _read_log(self.root)
             log["committed"] = [
-                {"write_id": hwm, "dir": folded, "has_tombstones": wrote_tombs}
+                {
+                    "write_id": hwm,
+                    "dir": folded,
+                    "has_tombstones": wrote_tombs,
+                    "folded_range": [fold_lo, hwm],
+                }
             ] + [e for e in log["committed"] if e["write_id"] > hwm]
             _write_log(self.root, log)
 
@@ -461,6 +486,21 @@ class AcidTable:
             os.path.join(self.root, log["base"])
         ).schema
         data_fields = [f for f in base_schema.fields if f.name != "_wid"]
+        for e in log["committed"]:
+            # A minor-compaction fold re-attributes every event inside
+            # [lo, hi] to hi and collapses update delete+insert pairs —
+            # any window that touches the range would return a feed that
+            # never happened.  Fail loudly (Hive keeps per-row original
+            # txn ids in delta_min_max dirs precisely so its CDF readers
+            # do not hit this; our fold is lossy by design).
+            lo, hi = e.get("folded_range", (e["write_id"], e["write_id"]))
+            if lo < hi and from_wid <= hi and to_wid >= lo:
+                raise ValueError(
+                    f"change window [{from_wid}, {to_wid}] intersects "
+                    f"minor-compaction fold [{lo}, {hi}] — per-event "
+                    "history there is collapsed; consume the feed before "
+                    "compacting or start the window after the fold"
+                )
         frames = []
         for e in log["committed"]:
             if not from_wid <= e["write_id"] <= to_wid:
@@ -500,9 +540,22 @@ class AcidTable:
                     )
                 )
         if not frames:
-            return self.spark.createDataFrame(
-                [], f"write_id int, change string, {self.key_col} long"
-            )
+            # Empty-window fallback must match the non-empty schema
+            # exactly (real key type from the base files; full data
+            # columns when include_rows=True) or downstream unionByName
+            # consumers break on the first quiet window.
+            from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+            fields = [
+                StructField("write_id", IntegerType(), False),
+                StructField("change", StringType(), False),
+            ]
+            if include_rows:
+                fields += [StructField(f.name, f.dataType) for f in data_fields]
+            else:
+                kf = next(f for f in data_fields if f.name == self.key_col)
+                fields.append(StructField(kf.name, kf.dataType))
+            return self.spark.createDataFrame([], StructType(fields))
         out = frames[0]
         for fr in frames[1:]:
             out = out.unionByName(fr)

@@ -283,10 +283,19 @@ def q184_explain_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = HiveEngine(spark, sf_dir)
     eng.register_tables(sf_dir)
-    metrics = eng.explain_analyze(
-        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
-        "WHERE o_totalprice > 100000 GROUP BY o_orderstatus"
-    )
+    # Parquet predicate pushdown may legitimately prune whole row groups
+    # on the price filter, making the scan metric < table count on any
+    # multi-row-group layout; pin it off so "scan == table count" is a
+    # deterministic oracle rather than a writer-settings-dependent one.
+    prev = spark.conf.get("spark.sql.parquet.filterPushdown")
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    try:
+        metrics = eng.explain_analyze(
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+            "WHERE o_totalprice > 100000 GROUP BY o_orderstatus"
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.filterPushdown", prev)
     scan = next(r for name, r in metrics if name.startswith("Scan"))
     filt = next(r for name, r in metrics if name == "Filter")
     agg_final = next(r for name, r in metrics if name == "HashAggregate")

@@ -213,16 +213,25 @@ class HiveEngine:
         macros = getattr(self, "_macros", {})
         if not macros:
             return text
+        quoted_lit = re.compile(r"'[^']*'|\"[^\"]*\"")
         for _ in range(8):  # macros may call earlier macros
             changed = False
             for name, (params, body) in macros.items():
                 pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
+                # call-site search must not fire inside string literals
+                spans = [
+                    (q.start(), q.end()) for q in quoted_lit.finditer(text)
+                ]
                 out, pos = [], 0
                 while True:
                     m = pat.search(text, pos)
                     if not m:
                         out.append(text[pos:])
                         break
+                    if any(s <= m.start() < e for s, e in spans):
+                        out.append(text[pos : m.end()])
+                        pos = m.end()
+                        continue
                     out.append(text[pos : m.start()])
                     # balanced-paren arg scan from m.end()
                     depth, i, args, buf, quote = 1, m.end(), [], [], None
@@ -249,11 +258,30 @@ class HiveEngine:
                             buf.append(ch)
                         i += 1
                     args.append("".join(buf))
-                    expansion = body
-                    for p, a in zip(params, args):
-                        expansion = re.sub(
-                            rf"\b{re.escape(p)}\b", f"({a.strip()})", expansion
+                    # ALL parameters substitute in ONE pass (an argument
+                    # that textually contains a later parameter name must
+                    # not be rewritten again — classic macro capture), and
+                    # only outside the body's string literals; Hive's
+                    # GenericUDFMacro expression tree has neither hazard.
+                    arg_map = {
+                        p.lower(): f"({a.strip()})" for p, a in zip(params, args)
+                    }
+                    if arg_map:
+                        alt = re.compile(
+                            r"\b(" + "|".join(re.escape(p) for p in params) + r")\b",
+                            re.IGNORECASE,
                         )
+                        parts = quoted_lit.split(body)
+                        lits = quoted_lit.findall(body)
+                        subbed = [
+                            alt.sub(lambda mm: arg_map[mm.group(1).lower()], p)
+                            for p in parts
+                        ]
+                        expansion = subbed[0]
+                        for lit, seg in zip(lits, subbed[1:]):
+                            expansion += lit + seg
+                    else:
+                        expansion = body
                     out.append(f"({expansion})")
                     pos = i
                     changed = True

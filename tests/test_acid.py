@@ -439,3 +439,60 @@ def test_initiator_policy_triggers_minor_then_major(spark, tbl):
     assert tbl.maybe_compact(delta_num_threshold=99) == "major"
     assert tbl.read().count() == 13
     assert tbl.maybe_compact() is None
+
+
+def test_snapshot_at_rejects_write_id_inside_minor_fold(spark, tbl):
+    """After compact_minor folds deltas [1..3] to one entry at 3,
+    snapshot_at(w) for w in {1, 2} must raise — the folded history is
+    collapsed and returning bare-base state would be silent corruption.
+    snapshot_at(0) (before the fold) and snapshot_at(3) (the fold's
+    watermark) still serve correct state."""
+    for val in (100.0, 200.0, 300.0):
+        tx = tbl.begin()
+        tx.update(F.col("k") == 7, {"v": F.lit(val)})
+        tx.commit()
+    tbl.compact_minor()
+    assert tbl.read(tbl.snapshot_at(0)).count() == 20
+    got3 = {r["k"]: r["v"] for r in tbl.read(tbl.snapshot_at(3)).collect()}
+    assert got3[7] == 300.0
+    for w in (1, 2):
+        with pytest.raises(ValueError, match="fold"):
+            tbl.snapshot_at(w)
+
+
+def test_read_changes_rejects_window_intersecting_fold(spark, tbl):
+    """CDF windows that touch a minor-compaction fold must raise (events
+    inside the fold are re-attributed / collapsed); windows entirely
+    before or after the fold still work."""
+    for val in (100.0, 200.0):
+        tx = tbl.begin()
+        tx.update(F.col("k") == 7, {"v": F.lit(val)})
+        tx.commit()
+    tbl.compact_minor()
+    tx = tbl.begin()
+    tx.delete(F.col("k") == 9)
+    tx.commit()  # write_id 3, after the fold
+    assert {(r.write_id, r.change) for r in tbl.read_changes(3, 3).collect()} == {
+        (3, "delete")
+    }
+    for lo, hi in ((1, 1), (2, 3), (1, 3)):
+        with pytest.raises(ValueError, match="fold"):
+            tbl.read_changes(lo, hi)
+
+
+def test_read_changes_empty_window_schema_matches_nonempty(spark, tbl):
+    """The empty-window fallback must expose the same schema as a
+    non-empty feed — real key type and, with include_rows=True, every
+    data column — so unionByName over quiet windows never breaks."""
+    tx = tbl.begin()
+    tx.delete(F.col("k") == 1)
+    tx.commit()
+    for include_rows in (False, True):
+        nonempty = tbl.read_changes(1, 1, include_rows=include_rows)
+        empty = tbl.read_changes(5, 9, include_rows=include_rows)
+        assert empty.count() == 0
+        assert [
+            (f.name, f.dataType.simpleString()) for f in empty.schema.fields
+        ] == [(f.name, f.dataType.simpleString()) for f in nonempty.schema.fields]
+        # the contract the schema exists for: union works
+        assert nonempty.unionByName(empty).count() == nonempty.count()

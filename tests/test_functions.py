@@ -134,3 +134,32 @@ def test_in_file_matches_hive_contract(spark, sf_dir, tmp_path):
     empty = tmp_path / "empty.txt"
     empty.write_text("")
     assert orders.filter(in_file(F.col("o_orderpriority"), str(empty))).count() == 0
+
+
+def test_macro_expansion_no_parameter_capture(spark, sf_dir):
+    """GenericUDFMacro compat (session.py _expand_macros): an argument
+    that textually contains a LATER parameter name must not be rewritten
+    again — f(a,b)=a+b called as f(b, 2) is (b)+(2), not ((2))+(2)."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.sql("CREATE TEMPORARY MACRO addm(a INT, b INT) a + b")
+    got = eng.sql("SELECT addm(b, 2) AS r FROM (SELECT 10 AS b)").first()
+    assert got.r == 12
+    # swapped order: argument containing the EARLIER parameter name
+    got2 = eng.sql("SELECT addm(2, a) AS r FROM (SELECT 7 AS a)").first()
+    assert got2.r == 9
+    eng.sql("DROP TEMPORARY MACRO addm")
+
+
+def test_macro_expansion_skips_string_literals(spark, sf_dir):
+    """Macro NAMES inside quoted query text and parameter names inside
+    the body's quoted literals must be left alone."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.sql("CREATE TEMPORARY MACRO tagit(x STRING) concat('x=', x)")
+    got = eng.sql("SELECT tagit('v') AS a, 'call tagit(here)' AS b").first()
+    assert got.a == "x=v"          # body literal 'x=' untouched by param x
+    assert got.b == "call tagit(here)"  # quoted call site not expanded
+    eng.sql("DROP TEMPORARY MACRO tagit")
