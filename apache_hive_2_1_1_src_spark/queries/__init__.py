@@ -55,7 +55,7 @@ _FEATURED = [
     "q12_union_distinct",
     "q14_order_limit",
     "q145_intersect",
-    "q146_except",
+    "q208_multi_insert_sql",
     "q29_grouping_sets",
     "q24_count_distinct",
     "q27_percentile_approx",

@@ -1165,7 +1165,50 @@ def q205_partition_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+def q208_multi_insert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-TEXT multi-insert statement — the Hive grammar form
+    ``FROM src INSERT OVERWRITE TABLE a ... INSERT OVERWRITE TABLE b ...``
+    (parse/HiveParser.g:2294 fromStatement → multi-destination;
+    parse/SemanticAnalyzer.java genPlan builds ONE scan fanned out to N
+    FileSinks; exercised by clientpositive/multi_insert.q).  The q80
+    entry proves the DataFrame-level cached fan-out; this one proves the
+    engine's SQL entry point compiles the *statement form* a migrating
+    user's scripts contain — Catalyst's multiInsertQuery grammar plans
+    the same shape (one shared source relation, a Union of insert
+    sinks).  The oracle recomputes BOTH destination tables and checks
+    them via a dest-tagged union."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    ta, tb = f"mi_status_{_PID}", f"mi_prio_{_PID}"
+    drop_table(spark, ta)
+    drop_table(spark, tb)
+    spark.sql(f"CREATE TABLE {ta} (key STRING, n BIGINT, total DOUBLE) USING parquet")
+    spark.sql(f"CREATE TABLE {tb} (key STRING, n BIGINT, total DOUBLE) USING parquet")
+    eng.sql(
+        f"""
+        FROM orders
+        INSERT OVERWRITE TABLE {ta}
+          SELECT o_orderstatus, COUNT(*), ROUND(SUM(o_totalprice), 2)
+          GROUP BY o_orderstatus
+        INSERT OVERWRITE TABLE {tb}
+          SELECT o_orderpriority, COUNT(*), ROUND(SUM(o_totalprice), 2)
+          WHERE o_totalprice > 50000
+          GROUP BY o_orderpriority
+        """
+    )
+    return (
+        spark.table(ta)
+        .withColumn("dest", F.lit("by_status"))
+        .unionByName(spark.table(tb).withColumn("dest", F.lit("by_priority")))
+        .select("dest", "key", "n", "total")
+        .orderBy("dest", "key")
+    )
+
+
 QUERIES = {
+    "q208_multi_insert_sql": q208_multi_insert_sql,
     "q205_partition_statistics": q205_partition_statistics,
     "q197_external_table": q197_external_table,
     "q198_tblproperties": q198_tblproperties,
@@ -1205,6 +1248,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q208_multi_insert_sql": """
+        SELECT 'by_priority' AS dest, o_orderpriority AS key,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders WHERE o_totalprice > 50000
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'by_status', o_orderstatus,
+               CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+        FROM orders GROUP BY o_orderstatus
+        ORDER BY dest, key
+    """,
     "q195_temp_table_precedence": """
         SELECT 'permanent' AS phase,
                CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')

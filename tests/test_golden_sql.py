@@ -47,3 +47,43 @@ def test_golden_sql(path, spark, sf_dir, oracle):
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows)
     assert _canon(srows, scols) == _canon(orows, ocols)
+
+
+def test_golden_multi_insert_statement(spark, sf_dir, oracle):
+    """Ported from ql/src/test/queries/clientpositive/multi_insert.q
+    (first scenario): CREATE two tables LIKE the source shape, run the
+    single-scan statement form
+
+        FROM src
+        INSERT OVERWRITE TABLE src_multi1 SELECT * WHERE key < 10
+        INSERT OVERWRITE TABLE src_multi2 SELECT * WHERE key > 10 AND key < 20
+
+    then SELECT both destinations (SORT_QUERY_RESULTS normalization =
+    order-insensitive compare).  src here is the (o_orderkey,
+    o_orderstatus) projection of orders; DuckDB recomputes each
+    destination from the same predicate since it cannot run the Hive
+    statement form itself."""
+    pid = os.getpid()
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    m1, m2 = f"src_multi1_{pid}", f"src_multi2_{pid}"
+    for tname in (m1, m2):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        spark.sql(f"CREATE TABLE {tname} (key BIGINT, value STRING) USING parquet")
+    eng.sql(
+        f"""
+        FROM (SELECT o_orderkey AS key, o_orderstatus AS value FROM orders) src
+        INSERT OVERWRITE TABLE {m1} SELECT * WHERE key < 10
+        INSERT OVERWRITE TABLE {m2} SELECT * WHERE key > 10 AND key < 20
+        """
+    )
+    for tname, pred in ((m1, "key < 10"), (m2, "key > 10 AND key < 20")):
+        got = sorted((r.key, r.value) for r in spark.table(tname).collect())
+        want = sorted(
+            oracle.execute(
+                "SELECT o_orderkey AS key, o_orderstatus AS value "
+                f"FROM orders WHERE {pred.replace('key', 'o_orderkey')}"
+            ).fetchall()
+        )
+        assert got == want and len(got) > 0, tname
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")

@@ -129,3 +129,41 @@ def test_negative_sql(case_id, sql, needle, spark, sf_dir):
             f"{case_id}: error should name '{needle}', got: "
             f"{str(excinfo.value)[:300]}"
         )
+
+
+def test_negative_multi_insert_column_mismatch(spark, sf_dir):
+    """clientnegative-style multi-insert arity case: a branch whose
+    select list does not match the destination table's column count must
+    fail analysis naming the destination (SemanticAnalyzer would raise
+    'Cannot insert into target table because column number/types are
+    different')."""
+    import os
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    dest = f"mi_neg_dest_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {dest}")
+    spark.sql(f"CREATE TABLE {dest} (k BIGINT, v STRING) USING parquet")
+    try:
+        with pytest.raises(Exception) as excinfo:
+            eng.sql(
+                f"FROM orders INSERT OVERWRITE TABLE {dest} SELECT o_orderkey"
+            )
+        assert dest.lower() in str(excinfo.value).lower() or "column" in str(
+            excinfo.value
+        ).lower()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {dest}")
+
+
+def test_negative_multi_insert_into_view(spark, sf_dir):
+    """Multi-insert destinations must be writable tables — inserting into
+    a (temp) view fails analysis, as Hive's SemanticAnalyzer rejects
+    INSERT into a view."""
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    with pytest.raises(Exception):
+        eng.sql(
+            "FROM orders INSERT OVERWRITE TABLE nation "
+            "SELECT o_orderkey, 'x', 'y', 'z'"
+        )
