@@ -761,6 +761,57 @@ def q164_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+def q209_stats_only_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatsOptimizer metadata-only answers (ql/.../optimizer/
+    StatsOptimizer.java:97, gated by hive.compute.query.using.stats):
+    after ANALYZE [FOR COLUMNS], ``SELECT count(*), min, max, count(col)
+    FROM t`` is served straight from catalog statistics — the "instant
+    count(*)" Hive behavior.  Two in-result certificates: the stats path
+    equals the scan path value-for-value (flag toggled off for the
+    recompute), and the stats plan contains NO scan relation at all
+    (checked on the executed plan, q184-style)."""
+    from apache_hive_2_1_1_src_spark.queries.storage import drop_table
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    tbl = f"statsopt_orders_{os.getpid()}"
+    drop_table(spark, tbl)
+    t(spark, sf_dir, "orders").write.saveAsTable(tbl)
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+    spark.sql(
+        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_totalprice, o_custkey"
+    )
+    q = (
+        "SELECT COUNT(*) AS n, MIN(o_totalprice) AS min_price, "
+        "MAX(o_totalprice) AS max_price, COUNT(o_custkey) AS n_cust "
+        f"FROM {tbl}"
+    )
+    eng.set_var("hive.compute.query.using.stats", "true")
+    fast = eng.sql(q)
+    plan = fast._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    no_scan = "FileScan" not in plan and "Scan parquet" not in plan
+    eng.set_var("hive.compute.query.using.stats", "false")
+    f_row, s_row = fast.first(), eng.sql(q).first()
+    matches = all(
+        abs(float(f_row[i]) - float(s_row[i])) <= 1e-9 for i in range(4)
+    )
+    drop_table(spark, tbl)
+    return spark.createDataFrame(
+        [
+            (
+                int(f_row.n),
+                round(float(f_row.min_price), 2),
+                round(float(f_row.max_price), 2),
+                int(f_row.n_cust),
+                bool(matches),
+                bool(no_scan),
+            )
+        ],
+        "n bigint, min_price double, max_price double, n_cust bigint, "
+        "stats_equals_scan boolean, plan_has_no_scan boolean",
+    )
+
+
 def q165_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULLS FIRST / NULLS LAST ordering (HiveParser.g:2149-2150 —
     HIVE-12994, new in 2.1; Hive's default NULLS FIRST for ASC matches
@@ -811,6 +862,7 @@ QUERIES = {
     "q181_stream_left_outer_join": q181_stream_left_outer_join,
     "q183_column_lineage": q183_column_lineage,
     "q184_explain_analyze": q184_explain_analyze,
+    "q209_stats_only_answers": q209_stats_only_answers,
     "q189_temporary_macro": q189_temporary_macro,
     "q94_transform_script": q94_transform_script,
     "q115_stateful_user_summary": q115_stateful_user_summary,
@@ -1069,6 +1121,15 @@ ORACLES = {
                  AS taxed
         FROM lineitem WHERE l_orderkey <= 2000
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q209_stats_only_answers": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price,
+               CAST(COUNT(o_custkey) AS BIGINT) AS n_cust,
+               TRUE AS stats_equals_scan,
+               TRUE AS plan_has_no_scan
+        FROM orders
     """,
     "q184_explain_analyze": """
         SELECT 'agg_final' AS op,

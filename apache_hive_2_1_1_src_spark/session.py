@@ -309,7 +309,23 @@ class HiveEngine:
         if m:
             getattr(self, "_macros", {}).pop(m.group(1), None)
             return self.spark.range(0).select()
-        return self.spark.sql(self.translate_hints(self._expand_macros(text)))
+        text = self.translate_hints(self._expand_macros(text))
+        # StatsOptimizer (ql/.../optimizer/StatsOptimizer.java:97): with
+        # hive.compute.query.using.stats=true, pure-aggregate queries
+        # over a bare table answer from catalog ANALYZE stats — a
+        # literal projection, no scan.  Off by default (Hive's default);
+        # falls through whenever any needed statistic is missing.
+        if getattr(self, "_vars", {}).get(
+            "hive.compute.query.using.stats", "false"
+        ).lower() == "true":
+            from apache_hive_2_1_1_src_spark.operators.stats_optimizer import (
+                try_stats_only_answer,
+            )
+
+            hit = try_stats_only_answer(self.spark, text)
+            if hit is not None:
+                return hit
+        return self.spark.sql(text)
 
     @staticmethod
     def split_statements(script: str) -> list[str]:
