@@ -34,6 +34,14 @@ TABLESAMPLE(BUCKET x OUT OF N) and bucket map-join get.  String hashing
 uses the per-char aggregate (whole-stage codegen, no Python); non-ASCII
 strings are rejected loudly rather than silently mis-bucketed (Text
 hashes UTF-8 bytes; the char aggregate only equals it for ASCII).
+
+Type coverage: int-family / bigint / boolean / string (ASCII) are pure
+codegen; date (DateWritable.hashCode == daysSinceEpoch) is codegen via
+datediff; double / float (IEEE-754 bit hashes — no Spark builtin
+exposes the bits) and decimal (HiveDecimalWritable → normalized
+BigDecimal.hashCode) go through Arrow-vectorized pandas UDFs, pinned
+against literal values produced by an actual Java run of the same
+arithmetic (tests/test_bucketing.py).  Anything else fails loudly.
 """
 
 from __future__ import annotations
@@ -47,11 +55,104 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _INT_MAX = 2147483647
+_JAVA_DOUBLE_NAN_BITS = 0x7FF8000000000000  # doubleToLongBits canonical NaN
+_JAVA_FLOAT_NAN_BITS = 0x7FC00000  # floatToIntBits canonical NaN
 
 
 def _wrap32(c: Column) -> Column:
     """Java int overflow semantics for a long-valued expression."""
     return c.cast("int")
+
+
+def _to_signed32(h: int) -> int:
+    h &= 0xFFFFFFFF
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def _java_bigint_hash(n: int) -> int:
+    """java.math.BigInteger.hashCode: fold the big-endian 32-bit
+    magnitude words with the 31 polynomial, then multiply by signum."""
+    if n == 0:
+        return 0
+    sign = 1 if n > 0 else -1
+    mag, words = abs(n), []
+    while mag:
+        words.append(mag & 0xFFFFFFFF)
+        mag >>= 32
+    h = 0
+    for w in reversed(words):
+        h = (31 * h + w) & 0xFFFFFFFF
+    return _to_signed32(h * sign)
+
+
+def _hive_decimal_parts(d) -> tuple[int, int]:
+    """HiveDecimal normalization (storage-api/.../HiveDecimal.java:245
+    trim): strip trailing zeros, no negative scale (5E+2 → scale 0),
+    exact zero → (0, 0).  Returns (unscaledValue, scale)."""
+    import decimal
+
+    d = decimal.Decimal(d)
+    if d == 0:
+        return 0, 0
+    t = d.normalize()
+    sign, digits, exp = t.as_tuple()
+    if exp > 0:  # stripTrailingZeros left a negative scale -> setScale(0)
+        return int(t), 0
+    unscaled = (-1 if sign else 1) * int("".join(map(str, digits)))
+    return unscaled, -exp
+
+
+def _java_bigdecimal_hash(unscaled: int, scale: int) -> int:
+    """java.math.BigDecimal.hashCode = 31 * unscaled.hashCode() + scale
+    (int wraparound) — what HiveDecimalWritable.hashCode bottoms out in."""
+    return _to_signed32(31 * _java_bigint_hash(unscaled) + scale)
+
+
+def _double_hash_udf():
+    """Arrow-vectorized Double.hashCode ((int)((bits>>>32)^bits)) — no
+    Spark builtin exposes IEEE-754 bits, so this is the one honest
+    Python hop; numpy bit-views keep it batch-vectorized."""
+    import numpy as np
+    import pandas as pd
+
+    def h(s):
+        v = s.to_numpy(dtype=np.float64)
+        bits = v.view(np.uint64).copy()
+        bits[np.isnan(v)] = np.uint64(_JAVA_DOUBLE_NAN_BITS)
+        out = ((bits >> np.uint64(32)) ^ bits).astype(np.uint32).view(np.int32)
+        return pd.Series(out)
+
+    return F.pandas_udf(h, "int")
+
+
+def _float_hash_udf():
+    """Arrow-vectorized Float.floatToIntBits."""
+    import numpy as np
+    import pandas as pd
+
+    def h(s):
+        v = s.to_numpy(dtype=np.float32)
+        bits = v.view(np.uint32).copy()
+        bits[np.isnan(v)] = np.uint32(_JAVA_FLOAT_NAN_BITS)
+        return pd.Series(bits.view(np.int32))
+
+    return F.pandas_udf(h, "int")
+
+
+def _decimal_hash_udf():
+    """HiveDecimalWritable.hashCode over a decimal column (Arrow batch
+    transfer; per-value Python BigDecimal-hash arithmetic — decimal
+    bucket keys are a cold write-path case)."""
+    import pandas as pd
+
+    def h(s):
+        return s.map(
+            lambda d: 0
+            if d is None
+            else _java_bigdecimal_hash(*_hive_decimal_parts(d))
+        ).astype("int32")
+
+    return F.pandas_udf(h, "int")
 
 
 def hive_hash_col(df: DataFrame, col: str) -> Column:
@@ -72,6 +173,16 @@ def hive_hash_col(df: DataFrame, col: str) -> Column:
             F.lit(0),
             lambda acc, ch: _wrap32(acc * F.lit(31) + F.ascii(ch)),
         )
+    elif isinstance(dt, T.DateType):
+        # DateWritable.hashCode == daysSinceEpoch (serde2/io/DateWritable
+        # .java:222) — pure codegen, no Python
+        h = F.datediff(c, F.to_date(F.lit("1970-01-01")))
+    elif isinstance(dt, T.DoubleType):
+        h = _double_hash_udf()(c)
+    elif isinstance(dt, T.FloatType):
+        h = _float_hash_udf()(c)
+    elif isinstance(dt, T.DecimalType):
+        h = _decimal_hash_udf()(c)
     else:
         raise TypeError(f"unsupported bucket key type for {col}: {dt}")
     return F.when(c.isNull(), F.lit(0)).otherwise(h)
@@ -113,16 +224,53 @@ def _hash_literal(v, typ: str) -> int:
         return hv - 0x100000000 if hv >= 0x80000000 else hv
     if typ == "string":
         return java_string_hashcode(v)
+    if typ == "date":
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        return (v - _dt.date(1970, 1, 1)).days
+    if typ == "double":
+        import math
+        import struct
+
+        bits = (
+            _JAVA_DOUBLE_NAN_BITS
+            if math.isnan(v)
+            else struct.unpack(">Q", struct.pack(">d", float(v)))[0]
+        )
+        return _to_signed32((bits >> 32) ^ bits)
+    if typ == "float":
+        import math
+        import struct
+
+        bits = (
+            _JAVA_FLOAT_NAN_BITS
+            if math.isnan(v)
+            else struct.unpack(">I", struct.pack(">f", float(v)))[0]
+        )
+        return _to_signed32(bits)
+    if typ == "decimal":
+        return _java_bigdecimal_hash(*_hive_decimal_parts(v))
     raise TypeError(f"unsupported bucket key type: {typ}")
 
 
 def _default_type(v) -> str:
+    import datetime as _dt
+    import decimal as _decimal
+
     if isinstance(v, bool):
         return "boolean"
     if isinstance(v, int):
         return "bigint"  # parquet integer keys are usually int64
     if isinstance(v, str):
         return "string"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return "date"
+    if isinstance(v, _decimal.Decimal):
+        return "decimal"
     raise TypeError(f"unsupported bucket key literal: {type(v)}")
 
 
@@ -217,6 +365,10 @@ def bucket_pruned_read(
         T.LongType: "bigint",
         T.BooleanType: "boolean",
         T.StringType: "string",
+        T.DateType: "date",
+        T.DoubleType: "double",
+        T.FloatType: "float",
+        T.DecimalType: "decimal",
     }
     types = [_SPARK_TO_HIVE[type(schema[c].dataType)] for c in key_cols]
     b = hive_bucket_of(key_values, num_buckets, types)

@@ -111,3 +111,109 @@ def test_string_keyed_buckets(spark, tmp_path):
         probe = bucket_pruned_read(spark, path, ["seg"], 4, [seg])
         assert len(probe.inputFiles()) == 1
         assert probe.count() == 10
+
+
+# ---- date / double / float / decimal branches --------------------------
+# Expected values below were produced by compiling and running the actual
+# Java arithmetic (Double.doubleToLongBits fold, Float.floatToIntBits,
+# BigDecimal trim + hashCode) on this machine's JDK 17 — they pin our
+# Python/Spark re-derivations to the reference's
+# ObjectInspectorUtils.hashCode branches bit-for-bit.
+
+def test_double_hash_literals_match_java():
+    from apache_hive_2_1_1_src_spark.operators.bucketing import _hash_literal
+
+    assert _hash_literal(1.5, "double") == 1073217536
+    assert _hash_literal(-0.0, "double") == -2147483648
+    assert _hash_literal(0.0, "double") == 0
+    assert _hash_literal(3.141592653589793, "double") == 340593891
+    assert _hash_literal(-123.456, "double") == -624860328
+    assert _hash_literal(float("nan"), "double") == 2146959360
+
+
+def test_float_hash_literals_match_java():
+    from apache_hive_2_1_1_src_spark.operators.bucketing import _hash_literal
+
+    assert _hash_literal(1.5, "float") == 1069547520
+    assert _hash_literal(-2.75, "float") == -1070596096
+
+
+def test_decimal_hash_literals_match_java():
+    import decimal
+
+    from apache_hive_2_1_1_src_spark.operators.bucketing import _hash_literal
+
+    D = decimal.Decimal
+    assert _hash_literal(D("123.45"), "decimal") == 382697
+    assert _hash_literal(D("-0.001"), "decimal") == -28
+    assert _hash_literal(D("5.00"), "decimal") == 155  # trailing zeros stripped
+    assert _hash_literal(D("500"), "decimal") == 15500  # no negative scale
+    assert _hash_literal(D("0.000"), "decimal") == 0  # exact-zero special case
+    assert _hash_literal(D("98765432109876543210.123"), "decimal") == 905931821
+    assert _hash_literal(D("-98765432109876543210.123"), "decimal") == -905931815
+
+
+def test_date_hash_is_days_since_epoch():
+    import datetime
+
+    from apache_hive_2_1_1_src_spark.operators.bucketing import _hash_literal
+
+    assert _hash_literal(datetime.date(1970, 1, 1), "date") == 0
+    assert _hash_literal(datetime.date(1970, 1, 11), "date") == 10
+    assert _hash_literal(datetime.date(1969, 12, 31), "date") == -1
+    assert _hash_literal(datetime.date(2024, 2, 29), "date") == 19782
+
+
+def test_new_type_expressions_match_driver_side(spark):
+    """The Spark column expressions (codegen datediff for date, Arrow
+    UDFs for double/float/decimal) must agree with the driver-side
+    literal hash for every value — the same writer/prober consistency
+    the int/string tests pin."""
+    import datetime
+    import decimal
+
+    from apache_hive_2_1_1_src_spark.operators.bucketing import (
+        _hash_literal,
+        hive_hash_col,
+    )
+
+    rows = [
+        (datetime.date(1970, 1, 1), 1.5, 1.5, decimal.Decimal("123.45")),
+        (datetime.date(1969, 12, 31), -0.0, -2.75, decimal.Decimal("5.00")),
+        (datetime.date(2024, 2, 29), -123.456, 0.0, decimal.Decimal("-0.001")),
+        (None, None, None, None),
+        (datetime.date(2000, 7, 4), float("nan"), float("nan"), decimal.Decimal("500")),
+    ]
+    df = spark.createDataFrame(
+        rows, "d date, x double, f float, dec decimal(25,3)"
+    )
+    got = df.select(
+        *[hive_hash_col(df, c).alias(c) for c in ("d", "x", "f", "dec")]
+    ).collect()
+    for r, (d, x, f_, dec) in zip(got, rows):
+        assert r.d == (0 if d is None else _hash_literal(d, "date"))
+        assert r.x == (0 if x is None else _hash_literal(x, "double"))
+        assert r.f == (0 if f_ is None else _hash_literal(f_, "float"))
+        assert r.dec == (0 if dec is None else _hash_literal(dec, "decimal"))
+
+
+def test_date_keyed_bucket_roundtrip(spark, tmp_path):
+    """End-to-end on a date key: Hive-layout write, then a pruned point
+    read opens exactly one file and finds the row."""
+    import datetime
+
+    from apache_hive_2_1_1_src_spark.operators.bucketing import (
+        bucket_pruned_read,
+        hive_bucketed_write,
+    )
+
+    base = datetime.date(2020, 1, 1)
+    df = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), i) for i in range(200)],
+        "event_date date, v int",
+    )
+    path = str(tmp_path / "date_bucketed")
+    hive_bucketed_write(df, path, ["event_date"], num_buckets=8)
+    probe = datetime.date(2020, 4, 15)
+    got = bucket_pruned_read(spark, path, ["event_date"], 8, [probe]).collect()
+    assert len(got) == 1 and got[0].v == (probe - base).days
