@@ -100,9 +100,9 @@ def main() -> None:
     t_ivfadc_build = time.perf_counter() - t0
     index_m = spark.read.parquet(IVFADC_IDX)
 
-    def composed_probe():
+    def composed_probe(nprobe: int = 4):
         return ivfadc_probe(
-            emb, centroids, books, index_m, queries, k=K, nprobe=4, m=M,
+            emb, centroids, books, index_m, queries, k=K, nprobe=nprobe, m=M,
             rerank=RERANK,
         ).select("query_id", "neighbor_id")
 
@@ -116,6 +116,17 @@ def main() -> None:
     comp = {(r.query_id, r.neighbor_id) for r in composed.collect()}
     recall = len(exact & approx) / max(len(exact), 1)
     recall_c = len(exact & comp) / max(len(exact), 1)
+
+    # nprobe sweep — the recall/latency tuning curve a 100 TB deployment
+    # dials (FAISS-style): more probed lists = more candidates = higher
+    # recall at linearly more ADC work.  Recorded in BASELINE.md.
+    curve = []
+    for np_ in (2, 4, 8, 16):
+        t0 = time.perf_counter()
+        got = {(r.query_id, r.neighbor_id) for r in composed_probe(np_).collect()}
+        dt = time.perf_counter() - t0
+        curve.append((np_, dt, len(exact & got) / max(len(exact), 1)))
+    curve_s = " ".join(f"nprobe={n}:{t:.2f}s/r{r:.3f}" for n, t, r in curve)
     # On-disk ratio understates the win here: the synthetic 100x corpus
     # duplicates vectors so parquet compresses the float side unusually
     # well.  The scan-width ratio is the in-memory working-set story:
@@ -128,7 +139,8 @@ def main() -> None:
         f"disk_compression={raw_b / max(code_b, 1):.1f}x "
         f"scan_width_ratio={width_ratio:.0f}x recall@{K}={recall:.3f} "
         f"ivfadc_build_once={t_ivfadc_build:.2f}s "
-        f"ivfadc_probe={t_ivfadc:.2f}s ivfadc_recall@{K}={recall_c:.3f}"
+        f"ivfadc_probe={t_ivfadc:.2f}s ivfadc_recall@{K}={recall_c:.3f} "
+        f"curve[{curve_s}]"
     )
 
 

@@ -163,3 +163,28 @@ def test_macro_expansion_skips_string_literals(spark, sf_dir):
     assert got.a == "x=v"          # body literal 'x=' untouched by param x
     assert got.b == "call tagit(here)"  # quoted call site not expanded
     eng.sql("DROP TEMPORARY MACRO tagit")
+
+
+def test_hive_multijoin_single_on_form(spark, sf_dir):
+    """join_cond_pushdown_1.q's statement shape — `a JOIN b JOIN c ON
+    <all conditions>` with every condition in ONE trailing ON — must
+    parse and produce exactly the rows of the ANSI per-join spelling
+    (the golden files g229-g232 use the ANSI form because DuckDB cannot
+    parse the Hive form; this pins Spark-side equivalence)."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    hive_form = eng.sql(
+        "SELECT p1.p_partkey AS k1, p2.p_partkey AS k2, p3.p_partkey AS k3 "
+        "FROM part p1 JOIN part p2 JOIN part p3 "
+        "ON p1.p_name = p2.p_name AND p2.p_name = p3.p_name"
+    )
+    ansi_form = eng.sql(
+        "SELECT p1.p_partkey AS k1, p2.p_partkey AS k2, p3.p_partkey AS k3 "
+        "FROM part p1 JOIN part p2 ON p1.p_name = p2.p_name "
+        "JOIN part p3 ON p2.p_name = p3.p_name"
+    )
+    a = sorted(tuple(r) for r in hive_form.collect())
+    b = sorted(tuple(r) for r in ansi_form.collect())
+    assert a == b and len(a) > 0

@@ -24,6 +24,11 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 SQL_FILES = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.sql")))
 
 
+def _duck_compat(sql: str) -> str:
+    """DuckDB spells Hive/Spark's LEFT SEMI JOIN as SEMI JOIN."""
+    return re.sub(r"\bLEFT\s+SEMI\s+JOIN\b", "SEMI JOIN", sql, flags=re.IGNORECASE)
+
+
 def _spark_compat(sql: str) -> str:
     """Rewrite QUALIFY rn <= k into a subquery filter for Spark."""
     m = re.search(r"QUALIFY\s+(\w+)\s*<=\s*(\d+)", sql, re.IGNORECASE)
@@ -41,7 +46,7 @@ def test_golden_sql(path, spark, sf_dir, oracle):
     sdf = eng.sql(_spark_compat(sql))
     scols = [c.lower() for c in sdf.columns]
     srows = sdf.collect()
-    rel = oracle.execute(sql)
+    rel = oracle.execute(_duck_compat(sql))
     ocols = [d[0].lower() for d in rel.description]
     orows = rel.fetchall()
     assert sorted(scols) == sorted(ocols)

@@ -525,3 +525,44 @@ def test_arrow_and_pandas_decode_paths_agree(spark, sf_dir):
     a = sorted(map(tuple, decode_blobs(blobs).collect()))
     b = sorted(map(tuple, decode_blobs_arrow(blobs).collect()))
     assert a == b
+
+
+def test_xxhash_and_md5_minhash_paths_agree(spark, sf_dir):
+    """Both MinHash code paths are certified against each other on the
+    gate corpus: the xxhash64 production family (minhash_dedup — p02's
+    oracle-checked path) and the md5 family (md5_minhash_signatures /
+    md5_band_table — p30's oracle-reproducible path) must produce the
+    IDENTICAL verified near-dup pair set after exact-Jaccard verify.
+    (Raw candidate sets may differ in false positives between hash
+    families; the verified sets cannot, as long as each family's banding
+    recalls every true pair — which this pins.)"""
+    from apache_hive_2_1_1_src_spark.io import load_table
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import (
+        jaccard_pairs,
+        md5_band_table,
+        md5_minhash_signatures,
+        minhash_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    xx = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup(docs, num_hashes=32, bands=8, threshold=0.4).collect()
+    }
+    banded = md5_band_table(md5_minhash_signatures(docs), num_hashes=16, bands=8)
+    cands = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    md5_verified = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, cands, threshold=0.4).collect()
+    }
+    assert xx == md5_verified and len(xx) > 0
