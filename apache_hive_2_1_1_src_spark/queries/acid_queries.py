@@ -491,7 +491,67 @@ def q204_cdf_replica_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("write_id")
 
 
+def q210_acid_orc_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ACID on-disk interop (operators/acid_interop.py —
+    AcidUtils.java:56-146 naming, OrcRecordUpdater.java:162 event
+    schema, OrcRawRecordMerger visibility): a three-txn table exports to
+    the base_%07d / delta_%07d_%07d / bucket_%05d ORC layout, and
+    reading the layout back under the merger rules must reproduce every
+    historical snapshot.  Result: per write_id the replayed row count
+    plus two certificates — layout names parse with the exact AcidUtils
+    regexes, and read_hive_acid(valid_until=w) equals snapshot_at(w).
+    Counts are recomputable from the base table, so the oracle is full
+    SQL."""
+    import re
+    import shutil
+
+    from apache_hive_2_1_1_src_spark.operators.acid_interop import (
+        export_hive_acid,
+        read_hive_acid,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"hive_spark_acid_io_{os.getpid()}")
+    dest = root + "_layout"
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    tbl = AcidTable.create(spark, root, base, key_col="o_orderkey")
+    tx1 = tbl.begin()
+    tx1.update(
+        F.col("o_orderkey") % 3 == 0,
+        {"o_totalprice": F.col("o_totalprice") + 100.0},
+    )
+    tx1.commit()
+    tx2 = tbl.begin()
+    tx2.delete(F.col("o_orderkey") % 7 == 0)
+    tx2.commit()
+    export_hive_acid(tbl, dest)
+    names = sorted(os.listdir(dest))
+    layout_ok = all(
+        re.match(r"^(base_\d{7}|delta_\d{7}_\d{7})$", n) for n in names
+    ) and all(
+        os.listdir(os.path.join(dest, n)) == ["bucket_00000"] for n in names
+    )
+    results = []
+    for wid in (0, 1, 2):
+        replay = read_hive_acid(spark, dest, valid_until=wid)
+        snap = tbl.read(tbl.snapshot_at(wid))
+        n = replay.count()
+        diff = replay.exceptAll(snap).count() + snap.exceptAll(replay).count()
+        results.append((wid, n, diff == 0, bool(layout_ok)))
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(dest, ignore_errors=True)
+    return spark.createDataFrame(
+        results,
+        "write_id int, n_rows bigint, matches_snapshot boolean, layout_ok boolean",
+    ).orderBy("write_id")
+
+
 QUERIES = {
+    "q210_acid_orc_interop": q210_acid_orc_interop,
     "q204_cdf_replica_maintenance": q204_cdf_replica_maintenance,
     "q203_change_data_feed": q203_change_data_feed,
     "q200_show_locks": q200_show_locks,
@@ -502,6 +562,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q210_acid_orc_interop": """
+        WITH base AS (
+          SELECT o_orderkey FROM orders WHERE o_orderkey <= 2000
+        )
+        SELECT 0 AS write_id,
+               CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows,
+               TRUE AS matches_snapshot, TRUE AS layout_ok
+        UNION ALL
+        SELECT 1, CAST((SELECT COUNT(*) FROM base) AS BIGINT), TRUE, TRUE
+        UNION ALL
+        SELECT 2,
+               CAST((SELECT COUNT(*) FROM base WHERE o_orderkey % 7 <> 0)
+                    AS BIGINT),
+               TRUE, TRUE
+        ORDER BY write_id
+    """,
     "q204_cdf_replica_maintenance": """
         WITH base AS (
           SELECT o_orderkey FROM orders WHERE o_orderkey <= 2000
