@@ -71,21 +71,41 @@ def bucket_file_name(b: int) -> str:
     return f"bucket_{b:05d}"
 
 
-def _write_bucket0(events: DataFrame, dir_path: str) -> None:
-    """One ORC file named bucket_00000 holding ``events`` sorted by
-    (originalTransaction, bucket, rowId) — the sort order Hive's merger
-    expects inside each file (OrcRawRecordMerger key order)."""
+def _write_buckets(events: DataFrame, dir_path: str, num_buckets: int) -> None:
+    """``bucket_%05d`` ORC files, one per touched bucket, each sorted by
+    (originalTransaction, rowId) — the order Hive's merger expects
+    inside a file (OrcRawRecordMerger key order).  Hive's
+    OrcRecordUpdater only creates files for buckets a delta touched, so
+    absent buckets are legal and skipped.  One shuffle on the bucket id;
+    the staging-partition rename is metadata-only."""
     staging = dir_path + ".__staging__"
-    (
-        events.orderBy("originalTransaction", "bucket", "rowId")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .format("orc")
-        .save(staging)
-    )
     os.makedirs(dir_path, exist_ok=True)
-    part = glob.glob(os.path.join(staging, "part-*.orc"))[0]
-    shutil.move(part, os.path.join(dir_path, bucket_file_name(0)))
+    if num_buckets == 1:
+        (
+            events.orderBy("originalTransaction", "bucket", "rowId")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("orc")
+            .save(staging)
+        )
+        part = glob.glob(os.path.join(staging, "part-*.orc"))[0]
+        shutil.move(part, os.path.join(dir_path, bucket_file_name(0)))
+    else:
+        (
+            events.withColumn("_pb", F.col("bucket"))
+            .repartition(num_buckets, "_pb")
+            .sortWithinPartitions("_pb", "originalTransaction", "rowId")
+            .write.partitionBy("_pb")
+            .mode("overwrite")
+            .format("orc")
+            .save(staging)
+        )
+        for b in range(num_buckets):
+            parts = glob.glob(os.path.join(staging, f"_pb={b}", "part-*.orc"))
+            if len(parts) > 1:
+                raise RuntimeError(f"bucket {b} split across {len(parts)} files")
+            if parts:
+                shutil.move(parts[0], os.path.join(dir_path, bucket_file_name(b)))
     shutil.rmtree(staging, ignore_errors=True)
 
 
@@ -97,6 +117,7 @@ def _as_events(
     rowid_col,
     ctid_col,
     row_type: str,
+    bucket_col=None,
     null_row: bool = False,
 ) -> DataFrame:
     # DELETE events carry no row data.  Hive writes row=null there
@@ -111,21 +132,31 @@ def _as_events(
         ).cast(row_type)
     else:
         row_struct = F.struct(*[F.col(c) for c in data_cols]).cast(row_type)
+    if bucket_col is None:
+        bucket_col = F.lit(0)
     return rows.select(
         F.lit(op).cast("int").alias("operation"),
         otid_col.cast("long").alias("originalTransaction"),
-        F.lit(0).cast("int").alias("bucket"),
+        bucket_col.cast("int").alias("bucket"),
         rowid_col.cast("long").alias("rowId"),
         ctid_col.cast("long").alias("currentTransaction"),
         row_struct.alias("row"),
     )
 
 
-def export_hive_acid(table: AcidTable, dest: str) -> None:
+def export_hive_acid(table: AcidTable, dest: str, num_buckets: int = 1) -> None:
     """Write ``table``'s base + committed deltas at ``dest`` in the Hive
     ACID ORC layout.  Folded (minor-compacted) deltas export as their
     covered range ``delta_lo_hi`` with each event stamped at its
-    original write id — exactly what Hive's minor compaction emits."""
+    original write id — exactly what Hive's minor compaction emits.
+
+    With ``num_buckets`` > 1 every event routes to the bucket Hive's own
+    key hash picks (ObjectInspectorUtils.getBucketNumber via
+    operators/bucketing.hive_bucket_id), each delta writes one
+    ``bucket_%05d`` file per touched bucket, and rowIds are dense per
+    bucket — the layout Hive's bucketed transactional tables carry, and
+    the knob that makes export parallelism scale (file count and rowId
+    windows are per bucket, not global)."""
     spark = table.spark
     k = table.key_col
     log = _read_log(table.root)
@@ -143,9 +174,25 @@ def export_hive_acid(table: AcidTable, dest: str) -> None:
         + ">"
     )
     base_wid = int(log["base_write_id"])
-    w_rowid = Window.orderBy(k)
-    base_rows = base.withColumn("_rid", F.row_number().over(w_rowid) - 1)
-    _write_bucket0(
+
+    def bucket_of(df: DataFrame):
+        if num_buckets == 1:
+            return F.lit(0)
+        from apache_hive_2_1_1_src_spark.operators.bucketing import hive_bucket_id
+
+        return hive_bucket_id(df, [k], num_buckets)
+
+    # rowIds are dense PER BUCKET (OrcRecordUpdater numbers rows within
+    # its bucket file) — with num_buckets > 1 the window partitions on
+    # the bucket id, so assignment parallelizes with the bucket count
+    def with_rid(df: DataFrame) -> DataFrame:
+        df = df.withColumn("_b", bucket_of(df))
+        return df.withColumn(
+            "_rid", F.row_number().over(Window.partitionBy("_b").orderBy(k)) - 1
+        )
+
+    base_rows = with_rid(base)
+    _write_buckets(
         _as_events(
             base_rows,
             data_cols,
@@ -154,14 +201,16 @@ def export_hive_acid(table: AcidTable, dest: str) -> None:
             F.col("_rid"),
             F.lit(base_wid),
             row_type,
+            bucket_col=F.col("_b"),
         ),
         os.path.join(dest, base_dir_name(base_wid)),
+        num_buckets,
     )
 
-    # row-event registry (key, otid, rowId) — resolves each tombstone to
-    # the concrete row version it kills
+    # row-event registry (key, bucket, otid, rowId) — resolves each
+    # tombstone to the concrete row version it kills
     registry = base_rows.select(
-        F.col(k).alias("_k"), F.lit(base_wid).alias("_otid"), F.col("_rid")
+        F.col(k).alias("_k"), F.col("_b"), F.lit(base_wid).alias("_otid"), F.col("_rid")
     )
 
     for e in log["committed"]:
@@ -175,17 +224,16 @@ def export_hive_acid(table: AcidTable, dest: str) -> None:
             rows = spark.read.parquet(rdir)
             has_wid = "_wid" in rows.columns
             otid = F.col("_wid") if has_wid else F.lit(wid)
-            rows = rows.withColumn(
-                "_rid", F.row_number().over(Window.orderBy(k)) - 1
-            )
+            rows = with_rid(rows)
             parts.append(
                 _as_events(
                     rows, data_cols, INSERT_OPERATION, otid, F.col("_rid"), otid,
-                    row_type,
+                    row_type, bucket_col=F.col("_b"),
                 )
             )
             ins_reg = rows.select(
-                F.col(k).alias("_k"), otid.cast("long").alias("_otid"), F.col("_rid")
+                F.col(k).alias("_k"), F.col("_b"),
+                otid.cast("long").alias("_otid"), F.col("_rid")
             )
         if os.path.exists(tdir):
             tt = table._load_tombstones(e["dir"], wid)  # (key, _twid)
@@ -202,6 +250,7 @@ def export_hive_acid(table: AcidTable, dest: str) -> None:
                 .filter(F.col("_rn") == 1)
                 .select(
                     F.col("g._otid").alias("_votid"),
+                    F.col("g._b").alias("_vb"),
                     F.col("g._rid").alias("_vrid"),
                     F.col("t._twid").alias("_ctid"),
                 )
@@ -215,6 +264,7 @@ def export_hive_acid(table: AcidTable, dest: str) -> None:
                     F.col("_vrid"),
                     F.col("_ctid"),
                     row_type,
+                    bucket_col=F.col("_vb"),
                     null_row=True,
                 )
             )
@@ -223,7 +273,7 @@ def export_hive_acid(table: AcidTable, dest: str) -> None:
         events = parts[0]
         for p in parts[1:]:
             events = events.unionByName(p)
-        _write_bucket0(events, os.path.join(dest, delta_dir_name(lo, hi)))
+        _write_buckets(events, os.path.join(dest, delta_dir_name(lo, hi)), num_buckets)
         if ins_reg is not None:
             registry = registry.unionByName(ins_reg)
 
@@ -268,9 +318,9 @@ def read_hive_acid(
 
     frames = []
     if base_name:
-        frames.append(spark.read.format("orc").load(*_bucket_files(base_name)))
+        frames.append(spark.read.format("orc").load(_bucket_files(base_name)))
     for d in deltas:
-        frames.append(spark.read.format("orc").load(*_bucket_files(d)))
+        frames.append(spark.read.format("orc").load(_bucket_files(d)))
     if not frames:
         raise ValueError(f"no ACID base/delta directories under {path}")
     events = frames[0]

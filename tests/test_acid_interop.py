@@ -176,3 +176,67 @@ def test_bucket_and_dir_regexes_are_hive_parseable(spark, tbl, tmp_path):
         assert re.match(r"^(base_\d{7}|delta_\d{7}_\d{7})$", n), n
         for f in os.listdir(os.path.join(dest, n)):
             assert re.match(r"^bucket_\d{5}$", f), f
+
+
+def test_multibucket_export_roundtrip(spark, tmp_path):
+    """num_buckets=4: events route to Hive's own key-hash bucket, each
+    dir carries only bucket_%05d files for touched buckets, all of a
+    key's events share one bucket, and the merge round-trips — the
+    bucketed-transactional-table layout."""
+    from apache_hive_2_1_1_src_spark.operators.bucketing import hive_bucket_of
+
+    base = spark.createDataFrame(
+        [(i, "g" if i % 2 == 0 else "h", float(i * 10)) for i in range(1, 41)],
+        "k int, grp string, v double",
+    )
+    t = AcidTable.create(spark, str(tmp_path / "acid_mb"), base, key_col="k")
+    tx = t.begin()
+    tx.update(F.col("k") % 5 == 0, {"v": F.lit(-1.0)})
+    tx.commit()
+    tx = t.begin()
+    tx.delete(F.col("k") % 11 == 0)
+    tx.commit()
+    dest = str(tmp_path / "mb_layout")
+    export_hive_acid(t, dest, num_buckets=4)
+
+    for d in sorted(os.listdir(dest)):
+        files = os.listdir(os.path.join(dest, d))
+        assert all(re.match(r"^bucket_\d{5}$", f) for f in files), (d, files)
+        assert 1 <= len(files) <= 4
+    base_files = sorted(os.listdir(os.path.join(dest, "base_0000000")))
+    assert base_files == [f"bucket_{b:05d}" for b in range(4)]
+
+    # every event's bucket column equals the Hive hash of its key, and
+    # the file it sits in matches
+    for d in sorted(os.listdir(dest)):
+        for fname in os.listdir(os.path.join(dest, d)):
+            fb = int(fname.split("_")[1])
+            ev = spark.read.format("orc").load(os.path.join(dest, d, fname))
+            rows = ev.collect()
+            assert all(r.bucket == fb for r in rows), (d, fname)
+            for r in rows:
+                if r.operation == 0:
+                    assert hive_bucket_of([r.row.k], 4, ["int"]) == fb
+
+    assert _rows(read_hive_acid(spark, dest)) == _rows(t.read())
+    for wid in (0, 1, 2):
+        assert _rows(read_hive_acid(spark, dest, valid_until=wid)) == _rows(
+            t.read(t.snapshot_at(wid))
+        )
+
+
+def test_multibucket_rowids_dense_per_bucket(spark, tmp_path):
+    """rowIds restart at 0 within every (delta, bucket) file —
+    OrcRecordUpdater numbers rows per bucket, not globally."""
+    base = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(1, 41)], "k int, grp string, v double"
+    )
+    t = AcidTable.create(spark, str(tmp_path / "acid_mbr"), base, key_col="k")
+    dest = str(tmp_path / "mbr_layout")
+    export_hive_acid(t, dest, num_buckets=4)
+    for fname in sorted(os.listdir(os.path.join(dest, "base_0000000"))):
+        ev = spark.read.format("orc").load(
+            os.path.join(dest, "base_0000000", fname)
+        )
+        rids = sorted(r.rowId for r in ev.collect())
+        assert rids == list(range(len(rids))), fname
