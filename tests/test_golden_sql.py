@@ -92,3 +92,72 @@ def test_golden_multi_insert_statement(spark, sf_dir, oracle):
         )
         assert got == want and len(got) > 0, tname
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_golden_multi_insert_aggregating_branches(spark, sf_dir, oracle):
+    """Ported from clientpositive/groupby7.q: both insert branches carry
+    their own GROUP BY over the shared scan (the shape Hive's
+    SemanticAnalyzer plans as one map phase feeding two reduce phases)."""
+    pid = os.getpid()
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    d1, d2 = f"gb7_dest1_{pid}", f"gb7_dest2_{pid}"
+    for tname in (d1, d2):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        spark.sql(f"CREATE TABLE {tname} (key STRING, value DOUBLE) USING parquet")
+    eng.sql(
+        f"""
+        FROM orders
+        INSERT OVERWRITE TABLE {d1}
+          SELECT o_orderstatus, ROUND(SUM(o_totalprice), 2) GROUP BY o_orderstatus
+        INSERT OVERWRITE TABLE {d2}
+          SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) GROUP BY o_orderpriority
+        """
+    )
+    for tname, col in ((d1, "o_orderstatus"), (d2, "o_orderpriority")):
+        got = sorted((r.key, r.value) for r in spark.table(tname).collect())
+        want = sorted(
+            oracle.execute(
+                f"SELECT {col} AS key, ROUND(SUM(o_totalprice), 2) AS value "
+                f"FROM orders GROUP BY {col}"
+            ).fetchall()
+        )
+        assert got == want and len(got) > 0, tname
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_golden_multi_insert_from_union_subquery(spark, sf_dir, oracle):
+    """Ported from clientpositive/union_remove_6.q: the shared FROM is a
+    UNION ALL subquery feeding two INSERT OVERWRITE destinations."""
+    pid = os.getpid()
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    d1, d2 = f"ur6_dest1_{pid}", f"ur6_dest2_{pid}"
+    for tname in (d1, d2):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        spark.sql(f"CREATE TABLE {tname} (key STRING, n BIGINT) USING parquet")
+    eng.sql(
+        f"""
+        FROM (
+          SELECT o_orderstatus AS key, COUNT(1) AS n FROM orders GROUP BY o_orderstatus
+          UNION ALL
+          SELECT o_orderstatus AS key, COUNT(1) AS n FROM orders GROUP BY o_orderstatus
+        ) a
+        INSERT OVERWRITE TABLE {d1} SELECT *
+        INSERT OVERWRITE TABLE {d2} SELECT *
+        """
+    )
+    want = sorted(
+        oracle.execute(
+            "SELECT key, n FROM ("
+            "  SELECT o_orderstatus AS key, CAST(COUNT(1) AS BIGINT) AS n"
+            "  FROM orders GROUP BY o_orderstatus"
+            "  UNION ALL"
+            "  SELECT o_orderstatus, CAST(COUNT(1) AS BIGINT)"
+            "  FROM orders GROUP BY o_orderstatus)"
+        ).fetchall()
+    )
+    for tname in (d1, d2):
+        got = sorted((r.key, r.n) for r in spark.table(tname).collect())
+        assert got == want and len(got) > 0, tname
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
