@@ -24,6 +24,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from apache_hive_2_1_1_src_spark.io import read_hive_text, write_hive_text
 from apache_hive_2_1_1_src_spark.queries._util import t
@@ -566,6 +567,70 @@ def q173_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("last_date"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+def q211_rcfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RCFILE storage round trip (ql/.../io/RCFile.java:170-260 layout,
+    :862-921 run-length value encoding, :1150-1255 record framing;
+    ColumnarSerDe text cells): customer sample — with a NULL-bearing
+    column to exercise the \\N serde path — → real RCFile containers
+    written distributed (one per partition, mapInPandas) → binaryFile +
+    mapInArrow schema-on-read → digest.  ``java_ok`` certifies that the
+    actual Java ``RCFile$Reader`` from the hive-exec jar reads the
+    Python-written container byte-identically (row count + first/last
+    row equality), so the layout is Hive's, not merely self-consistent."""
+    import glob
+    import shutil
+
+    from apache_hive_2_1_1_src_spark.rcfile_io import (
+        NULL_BYTES,
+        decode_rcfile,
+        java_rcfile_reader_rows,
+        read_rcfile,
+        write_rcfile,
+    )
+
+    out = os.path.join(_SCRATCH, f"customer_rc_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 3000)
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 7 != 0, F.col("c_mktsegment")).alias("seg"),
+        )
+    )
+    write_rcfile(cust.repartition(4), out)
+    back = read_rcfile(
+        spark,
+        out,
+        T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+                T.StructField("seg", T.StringType()),
+            ]
+        ),
+    )
+    # certification: the stock Hive Java reader agrees with the pure-Python
+    # decoder on an actual shipped container (driver-side, one small file)
+    part = sorted(glob.glob(os.path.join(out, "*.rc")))[0]
+    with open(part, "rb") as fh:
+        _, py_rows = decode_rcfile(fh.read())
+    java_rows = java_rcfile_reader_rows(spark, part)
+    java_ok = java_rows == py_rows and any(NULL_BYTES in r for r in py_rows)
+    return (
+        back.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .withColumn("java_ok", F.lit(bool(java_ok)))
+        .orderBy("seg")
     )
 
 
@@ -1208,6 +1273,7 @@ def q208_multi_insert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q211_rcfile_roundtrip": q211_rcfile_roundtrip,
     "q208_multi_insert_sql": q208_multi_insert_sql,
     "q205_partition_statistics": q205_partition_statistics,
     "q197_external_table": q197_external_table,
@@ -1248,6 +1314,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q211_rcfile_roundtrip": """
+        SELECT CASE WHEN c_custkey % 7 <> 0 THEN c_mktsegment END AS seg,
+               COUNT(*) AS n,
+               ROUND(SUM(c_acctbal), 2) AS bal,
+               MIN(c_custkey) AS min_key,
+               MAX(c_custkey) AS max_key,
+               TRUE AS java_ok
+        FROM customer WHERE c_custkey <= 3000
+        GROUP BY seg ORDER BY seg
+    """,
     "q208_multi_insert_sql": """
         SELECT 'by_priority' AS dest, o_orderpriority AS key,
                CAST(COUNT(*) AS BIGINT) AS n,
