@@ -127,15 +127,44 @@ def _decode_rle_lengths(data: bytes, nrows: int) -> list[int]:
     return lengths
 
 
+DEFAULT_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
+GZIP_CODEC = "org.apache.hadoop.io.compress.GzipCodec"
+
+
+def _inflate(codec: str, data: bytes) -> bytes:
+    import gzip
+    import zlib
+
+    if codec == DEFAULT_CODEC:  # zlib-framed deflate
+        return zlib.decompress(data)
+    if codec == GZIP_CODEC:
+        return gzip.decompress(data)
+    raise ValueError(f"unsupported RCFile codec {codec}")
+
+
 def encode_rcfile(
-    rows: list[tuple], ncols: int, sync: bytes, rowgroup_rows: int = 4096
+    rows: list[tuple],
+    ncols: int,
+    sync: bytes,
+    rowgroup_rows: int = 4096,
+    codec: str | None = None,
 ) -> bytes:
-    """Encode rows (tuples of cell ``bytes``) into one RCFile container."""
+    """Encode rows (tuples of cell ``bytes``) into one RCFile container.
+    ``codec=DEFAULT_CODEC`` compresses the key part and each column's
+    value bytes as independent zlib streams, exactly as the Java writer's
+    per-column ``resetState()``/``finish()`` cycle does
+    (RCFile.java:1155-1184, :1236-1247)."""
+    import zlib
+
     assert len(sync) == SYNC_HASH_SIZE
+    if codec not in (None, DEFAULT_CODEC):
+        raise ValueError(f"unsupported write codec {codec}")
     out = io.BytesIO()
     out.write(MAGIC)
     out.write(bytes([VERSION]))
-    out.write(b"\x00")  # isCompressed = false
+    out.write(b"\x01" if codec else b"\x00")  # isCompressed
+    if codec:
+        _write_text(out, codec)
     # SequenceFile.Metadata: int32 count then Text key / Text value pairs
     out.write(struct.pack(">i", 1))
     _write_text(out, COLUMN_NUMBER_METADATA_STR)
@@ -151,11 +180,12 @@ def encode_rcfile(
         write_vlong(key, len(group))
         for c in range(ncols):
             cells = [row[c] for row in group]
-            data = b"".join(cells)
+            plain = b"".join(cells)
+            data = zlib.compress(plain) if codec else plain
             lenbuf = _rle_lengths([len(v) for v in cells])
             col_bytes.append(data)
-            write_vlong(key, len(data))  # on-disk col len (== plain, no codec)
-            write_vlong(key, len(data))  # uncompressed col len
+            write_vlong(key, len(data))  # on-disk col len (compressed if codec)
+            write_vlong(key, len(plain))  # uncompressed col len
             write_vlong(key, len(lenbuf))
             key.write(lenbuf)
         key_bytes = key.getvalue()
@@ -165,10 +195,17 @@ def encode_rcfile(
             out.write(SYNC_ESCAPE)
             out.write(sync)
             last_sync_pos = out.tell()
-        out.write(struct.pack(">i", len(key_bytes) + value_len))  # recordLen
-        out.write(struct.pack(">i", len(key_bytes)))  # keyLen
-        out.write(struct.pack(">i", len(key_bytes)))  # plain key len
-        out.write(key_bytes)
+        # recordLen counts the PLAIN key size + on-disk value size
+        # (RCFile.java:1186 writeKey(key, keyLength + valueLength, keyLength))
+        out.write(struct.pack(">i", len(key_bytes) + value_len))
+        out.write(struct.pack(">i", len(key_bytes)))  # plain keyLen
+        if codec:
+            ckey = zlib.compress(key_bytes)
+            out.write(struct.pack(">i", len(ckey)))  # compressed key len
+            out.write(ckey)
+        else:
+            out.write(struct.pack(">i", len(key_bytes)))
+            out.write(key_bytes)
         for b in col_bytes:
             out.write(b)
     return out.getvalue()
@@ -198,8 +235,7 @@ def decode_rcfile(data: bytes) -> tuple[int, list[tuple]]:
             raise ValueError("block-compressed RCFile is not valid")
     else:
         raise ValueError(f"not an RCFile: magic {magic!r}")
-    if compressed:
-        raise ValueError("compressed RCFile containers not supported")
+    codec = _read_text(buf) if compressed else None
     meta_count = struct.unpack(">i", buf.read(4))[0]
     meta = {}
     for _ in range(meta_count):
@@ -219,38 +255,57 @@ def decode_rcfile(data: bytes) -> tuple[int, list[tuple]]:
                 break
             record_len = struct.unpack(">i", buf.read(4))[0]
         key_len = struct.unpack(">i", buf.read(4))[0]
-        plain_key_len = struct.unpack(">i", buf.read(4))[0]
-        key = io.BytesIO(buf.read(plain_key_len))
+        stored_key_len = struct.unpack(">i", buf.read(4))[0]
+        key_raw = buf.read(stored_key_len)
+        if compressed:
+            key_raw = _inflate(codec, key_raw)
+            if len(key_raw) != key_len:
+                raise ValueError("decompressed key length mismatch")
+        key = io.BytesIO(key_raw)
         nrows = read_vlong(key)
         col_lens: list[list[int]] = []
         disk_lens: list[int] = []
+        plain_lens: list[int] = []
         for _ in range(ncols):
             disk_len = read_vlong(key)
-            read_vlong(key)  # uncompressed len (== disk_len here)
+            plain_len = read_vlong(key)
             lenbuf_len = read_vlong(key)
             lenbuf = key.read(lenbuf_len)
             disk_lens.append(disk_len)
+            plain_lens.append(plain_len)
             col_lens.append(_decode_rle_lengths(lenbuf, nrows))
         cols: list[list[bytes]] = []
         for c in range(ncols):
             raw = buf.read(disk_lens[c])
+            if compressed:
+                raw = _inflate(codec, raw)
+                if len(raw) != plain_lens[c]:
+                    raise ValueError(
+                        f"column {c}: decompressed {len(raw)} != declared "
+                        f"plain length {plain_lens[c]}"
+                    )
             cells, pos = [], 0
             for ln in col_lens[c]:
                 cells.append(raw[pos : pos + ln])
                 pos += ln
-            if pos != disk_lens[c]:
+            if pos != len(raw):
                 raise ValueError(
                     f"column {c}: cell lengths {pos} != column bytes "
-                    f"{disk_lens[c]}"
+                    f"{len(raw)}"
                 )
             cols.append(cells)
         rows.extend(zip(*cols) if ncols else [])
-        del key_len, record_len
+        del record_len
     return ncols, rows
 
 
 # -------------------------------------------------------------- Spark bridge
-def write_rcfile(df: DataFrame, path: str, rowgroup_rows: int = 4096) -> int:
+def write_rcfile(
+    df: DataFrame,
+    path: str,
+    rowgroup_rows: int = 4096,
+    codec: str | None = None,
+) -> int:
     """Distributed RCFile write: one container per input partition via
     mapInPandas.  Cell bytes are the Hive text encoding — every column is
     cast to string JVM-side first (so Spark, not Python, owns the
@@ -279,7 +334,7 @@ def write_rcfile(df: DataFrame, path: str, rowgroup_rows: int = 4096) -> int:
             ]
             rows.extend(zip(*cells))
         sync = hashlib.md5(f"rcfile-sync-{pid}-{len(rows)}".encode()).digest()
-        data = encode_rcfile(rows, ncols, sync, rowgroup_rows)
+        data = encode_rcfile(rows, ncols, sync, rowgroup_rows, codec)
         out = os.path.join(path, f"part-{pid:05d}.rc")
         with open(out, "wb") as fh:
             fh.write(data)
@@ -364,18 +419,28 @@ def java_rcfile_reader_rows(spark: SparkSession, file_path: str) -> list[tuple]:
 
 
 def java_rcfile_write(
-    spark: SparkSession, file_path: str, rows: list[tuple], ncols: int
+    spark: SparkSession,
+    file_path: str,
+    rows: list[tuple],
+    ncols: int,
+    codec: str | None = None,
 ) -> None:
     """Write an RCFile with the real Java ``RCFile$Writer`` (driver-side,
     certification only) so the pure-Python reader can be validated against
-    bytes Hive itself produced."""
+    bytes Hive itself produced.  ``codec`` takes a Hadoop codec class name
+    (e.g. ``DEFAULT_CODEC``) for a compressed container."""
     jvm = spark._jvm
     conf = jvm.org.apache.hadoop.conf.Configuration()
     conf.setInt("hive.io.rcfile.column.number.conf", ncols)
     fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
     jpath = jvm.org.apache.hadoop.fs.Path(file_path)
     writer_cls = getattr(jvm.org.apache.hadoop.hive.ql.io, "RCFile$Writer")
-    writer = writer_cls(fs, conf, jpath)
+    if codec:
+        jcodec_cls = jvm.java.lang.Thread.currentThread().getContextClassLoader().loadClass(codec)
+        jcodec = jvm.org.apache.hadoop.util.ReflectionUtils.newInstance(jcodec_cls, conf)
+        writer = writer_cls(fs, conf, jpath, None, jcodec)
+    else:
+        writer = writer_cls(fs, conf, jpath)
     braw_cls = getattr(
         jvm.org.apache.hadoop.hive.serde2.columnar, "BytesRefArrayWritable"
     )

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from apache_hive_2_1_1_src_spark.rcfile_io import (
+    DEFAULT_CODEC,
+    GZIP_CODEC,
     MAGIC,
     NULL_BYTES,
     _decode_rle_lengths,
@@ -102,6 +104,34 @@ def test_python_reads_java_rcfile(spark, tmp_path):
     rows = [tuple(f"jr{r}c{c}".encode() for c in range(3)) for r in range(400)]
     p = str(tmp_path / "java.rc")
     java_rcfile_write(spark, p, rows, 3)
+    with open(p, "rb") as fh:
+        ncols, back = decode_rcfile(fh.read())
+    assert ncols == 3 and back == rows
+
+
+def test_compressed_pure_python_roundtrip():
+    rows = [tuple(f"r{r}c{c}".encode() * 3 for c in range(3)) for r in range(2000)]
+    rows[5] = (b"", NULL_BYTES, b"zz")
+    plain = encode_rcfile(rows, 3, SYNC, rowgroup_rows=256)
+    comp = encode_rcfile(rows, 3, SYNC, rowgroup_rows=256, codec=DEFAULT_CODEC)
+    assert len(comp) < len(plain) // 2  # repetitive text should compress
+    ncols, back = decode_rcfile(comp)
+    assert ncols == 3 and back == rows
+
+
+def test_java_reads_python_compressed(spark, tmp_path):
+    rows = [tuple(f"r{r}c{c}".encode() * 3 for c in range(3)) for r in range(900)]
+    p = str(tmp_path / "pyz.rc")
+    with open(p, "wb") as fh:
+        fh.write(encode_rcfile(rows, 3, SYNC, rowgroup_rows=128, codec=DEFAULT_CODEC))
+    assert java_rcfile_reader_rows(spark, p) == rows
+
+
+@pytest.mark.parametrize("codec", [DEFAULT_CODEC, GZIP_CODEC])
+def test_python_reads_java_compressed(spark, tmp_path, codec):
+    rows = [tuple(f"jz{r}c{c}".encode() * 2 for c in range(3)) for r in range(700)]
+    p = str(tmp_path / "javaz.rc")
+    java_rcfile_write(spark, p, rows, 3, codec=codec)
     with open(p, "rb") as fh:
         ncols, back = decode_rcfile(fh.read())
     assert ncols == 3 and back == rows
