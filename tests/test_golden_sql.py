@@ -25,8 +25,18 @@ SQL_FILES = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.sql")))
 
 
 def _duck_compat(sql: str) -> str:
-    """DuckDB spells Hive/Spark's LEFT SEMI JOIN as SEMI JOIN."""
-    return re.sub(r"\bLEFT\s+SEMI\s+JOIN\b", "SEMI JOIN", sql, flags=re.IGNORECASE)
+    """DuckDB spells Hive/Spark's LEFT SEMI JOIN as SEMI JOIN, and
+    multi-column COUNT(DISTINCT a, b) as COUNT(DISTINCT (a, b)) — a
+    struct, equivalent on non-null key columns (count.q cases use
+    NOT-NULL columns; Hive drops a row when ANY distinct key is null,
+    the struct form only when ALL are)."""
+    sql = re.sub(r"\bLEFT\s+SEMI\s+JOIN\b", "SEMI JOIN", sql, flags=re.IGNORECASE)
+    return re.sub(
+        r"COUNT\(\s*DISTINCT\s+([^()]+,[^()]+?)\)",
+        r"COUNT(DISTINCT (\1))",
+        sql,
+        flags=re.IGNORECASE,
+    )
 
 
 def _spark_compat(sql: str) -> str:
