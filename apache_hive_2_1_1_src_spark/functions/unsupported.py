@@ -1,10 +1,15 @@
 """Explicitly-unsupported reference surface — fail loudly, not silently.
 
-SURVEY.md §2.5/§7: JVM-reflection UDFs (reflect/java_method/reflect2),
-the ewah_* bitmap-index internals, and index DDL are out of scope
-(Hive 3 itself removed indexes; reflection has no Python equivalent).
+SURVEY.md §2.5/§7: the ewah_* bitmap-index internals and index DDL are
+out of scope (Hive 3 itself removed indexes), and reflect2
+(GenericUDFReflect2's instance-method form) has no Spark counterpart.
 Hive's own pattern for removed features is a clear compile-time error —
 mirrored here by registering stub UDFs that raise with guidance.
+
+reflect / java_method (FunctionRegistry.java:409-411, GenericUDFReflect)
+are NOT stubbed: Spark ships them natively (CallMethodViaReflection,
+static-method form, same semantics as Hive's) — covered by q212 and
+pinned in tests/test_unsupported.py.
 """
 
 from __future__ import annotations
@@ -12,10 +17,8 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 UNSUPPORTED: dict[str, str] = {
-    "reflect": "JVM reflection (GenericUDFReflect) — call the equivalent "
-    "pyspark.sql.functions builtin or a Python UDF instead",
-    "java_method": "JVM reflection — same as reflect",
-    "reflect2": "JVM reflection — same as reflect",
+    "reflect2": "JVM reflection on an instance method (GenericUDFReflect2) "
+    "— Spark only ships the static form; use reflect/java_method",
     "ewah_bitmap": "bitmap-index internal; Hive indexes were removed in Hive 3",
     "ewah_bitmap_and": "bitmap-index internal",
     "ewah_bitmap_or": "bitmap-index internal",

@@ -546,7 +546,25 @@ def q108_date_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q212_reflect_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reflect / java_method (FunctionRegistry.java:409-411,
+    GenericUDFReflect, exercised by clientpositive/udf_reflect.q):
+    static-method JVM reflection over row values — Spark's
+    CallMethodViaReflection is the same static form Hive ships, running
+    JVM-side (no Python bridge).  The oracle recomputes each call with
+    DuckDB-native equivalents (hex/bin/mod/max)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.selectExpr(
+        "o_orderkey AS k",
+        "reflect('java.lang.Integer', 'toHexString', CAST(o_orderkey AS INT)) AS hex_k",
+        "java_method('java.lang.Long', 'toBinaryString', o_orderkey) AS bin_k",
+        "reflect('java.lang.Math', 'floorMod', CAST(o_orderkey AS INT), 7) AS mod7",
+        "java_method('java.lang.Math', 'max', CAST(o_orderkey AS INT), 100) AS max100",
+    ).orderBy("k")
+
+
 QUERIES = {
+    "q212_reflect_udf": q212_reflect_udf,
     "q141_python_udtf": q141_python_udtf,
     "q50_string_funcs": q50_string_funcs,
     "q106_string_extra_oracle": q106_string_extra_oracle,
@@ -579,6 +597,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q212_reflect_udf": """
+        SELECT o_orderkey AS k,
+               printf('%x', o_orderkey) AS hex_k,
+               bin(o_orderkey) AS bin_k,
+               CAST(o_orderkey % 7 AS VARCHAR) AS mod7,
+               CAST(GREATEST(o_orderkey, 100) AS VARCHAR) AS max100
+        FROM orders WHERE o_orderkey <= 200 ORDER BY k
+    """,
     "q65_xpath": """
         SELECT n_nationkey, n_name AS xp_name,
                CAST(n_regionkey AS INT) AS xp_rk

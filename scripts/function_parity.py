@@ -67,10 +67,14 @@ ENGINE_OPS: dict[str, str] = {
     "isnull": "q53 (IS NULL predicate)", "isnotnull": "q53",
 }
 
+# Spark-builtin names that deserve a pointer to their certification
+BUILTIN_NOTES: dict[str, str] = {
+    "reflect": "q212 (CallMethodViaReflection, static form)",
+    "java_method": "q212 (CallMethodViaReflection, static form)",
+}
+
 UNSUPPORTED_NOTES: dict[str, str] = {
-    "reflect": "JVM reflection — fail-loudly stub",
-    "reflect2": "JVM reflection — fail-loudly stub",
-    "java_method": "JVM reflection — fail-loudly stub",
+    "reflect2": "instance-method reflection — fail-loudly stub",
     "ewah_bitmap": "bitmap-index internal (removed in Hive 3)",
     "ewah_bitmap_and": "bitmap-index internal",
     "ewah_bitmap_or": "bitmap-index internal",
@@ -116,6 +120,7 @@ def main() -> int:
             rows.append((name, "unsupported", UNSUPPORTED_NOTES[name]))
         elif spark_builtin(RENAMES.get(name, name)):
             note = f"as `{RENAMES[name]}`" if name in RENAMES else ""
+            note = BUILTIN_NOTES.get(name, note)
             rows.append((name, "spark-builtin", note))
         else:
             rows.append((name, "MISSING", ""))

@@ -31,12 +31,14 @@ def _duck_compat(sql: str) -> str:
     NOT-NULL columns; Hive drops a row when ANY distinct key is null,
     the struct form only when ALL are)."""
     sql = re.sub(r"\bLEFT\s+SEMI\s+JOIN\b", "SEMI JOIN", sql, flags=re.IGNORECASE)
-    return re.sub(
+    sql = re.sub(
         r"COUNT\(\s*DISTINCT\s+([^()]+,[^()]+?)\)",
         r"COUNT(DISTINCT (\1))",
         sql,
         flags=re.IGNORECASE,
     )
+    # Hive/Spark SPLIT is regex; DuckDB's split/string_split is literal
+    return re.sub(r"\bSPLIT\(", "regexp_split_to_array(", sql, flags=re.IGNORECASE)
 
 
 def _spark_compat(sql: str) -> str:

@@ -16,8 +16,20 @@ def test_unsupported_functions_raise_with_guidance(spark):
     df = spark.range(1)
     df.createOrReplaceTempView("one_row")
     with pytest.raises(Exception) as exc:
-        spark.sql("SELECT reflect('java.lang.Math', 'abs', -1) FROM one_row").collect()
+        spark.sql("SELECT reflect2('x', 'toString') FROM one_row").collect()
     assert "not supported" in str(exc.value)
+
+
+def test_reflect_and_java_method_are_native(spark):
+    """reflect/java_method (FunctionRegistry.java:409-411) are NOT stubbed:
+    Spark's CallMethodViaReflection implements Hive's static-method form
+    natively, so the stubs must not shadow it."""
+    register_unsupported_stubs(spark)
+    row = spark.sql(
+        "SELECT reflect('java.lang.Math', 'abs', -1) AS a, "
+        "java_method('java.lang.Integer', 'toHexString', 255) AS h"
+    ).collect()[0]
+    assert row.a == "1" and row.h == "ff"
 
 
 def test_uniontype_struct_encoding(spark):
