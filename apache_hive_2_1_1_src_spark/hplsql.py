@@ -1,0 +1,1033 @@
+"""HPL/SQL procedural dialect — an interpreter for the core of the
+reference's ``hplsql/`` module (Hplsql.g4 grammar, Exec.java evaluator,
+Stmt.java statement handlers), re-expressed as a driver-side control
+plane over the Spark engine.
+
+Supported surface (mirrors hplsql/src/test/queries/local coverage):
+DECLARE (multi-name, DEFAULT/=), SET (multi-assign, tuple form),
+``:=`` and bare assignment, PRINT, bare-expression statements (value
+printed, as Exec.java does for standalone expressions), IF/ELSIF/ELSE,
+WHILE with LOOP and DO variants, FOR range loops (REVERSE, loop var
+scoped to the loop), FOR cursor loops over a query, EXIT [label]
+[WHEN cond], BREAK, CONTINUE, loop labels ``<<lbl>>``,
+BEGIN/EXCEPTION WHEN OTHERS/END blocks, RETURN, CREATE PROCEDURE with
+IN/OUT/INOUT params + CALL (OUT args copy back), CREATE FUNCTION +
+invocation from expressions, EXECUTE IMMEDIATE, SELECT ... INTO, and
+pass-through of any other SQL statement to the engine.
+
+Expressions are evaluated locally (as the reference's Exec.java does —
+it does NOT ship a query per expression): literals, variables,
+arithmetic (+ - * / %), ``||``, comparisons, AND/OR/NOT, BETWEEN,
+IS [NOT] NULL, simple and searched CASE, and a builtin catalog
+(CONCAT null-skipping per Hive's udf, NVL, NVL2, COALESCE, DECODE,
+UPPER, LOWER, LENGTH/LEN, SUBSTR, INSTR, TRIM, ABS, MOD, REPLACE).
+Anything else falls back to one-row ``SELECT`` through the attached
+engine, so engine semantics win for the long tail.
+
+Scale note: this is deliberately driver-side — procedural control flow
+is a control plane, exactly as the reference runs HPL/SQL on the client
+and pushes each SQL statement to the cluster.  Data never loops through
+Python; cursor FOR loops iterate ``toLocalIterator``-style over
+collected rows only when the user writes a row-at-a-time loop.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+# ------------------------------------------------------------------- lexer
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>--[^\n]*|/\*.*?\*/)
+  | (?P<number>\d+\.\d+|\.\d+|\d+)
+  | (?P<string>'(?:[^']|'')*')
+  | (?P<label><<[A-Za-z_][\w]*>>)
+  | (?P<ident>[A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*)
+  | (?P<op>:=|\.\.|\|\||<>|!=|<=|>=|==|[=<>+\-*/%(),;])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_KEYWORDS = {
+    "declare", "set", "print", "if", "then", "elsif", "elseif", "else",
+    "end", "while", "loop", "do", "for", "in", "reverse", "exit", "when",
+    "break", "continue", "begin", "exception", "others", "return",
+    "create", "or", "replace", "procedure", "function", "returns", "call",
+    "execute", "immediate", "into", "and", "not", "between", "is", "null",
+    "true", "false", "case", "default", "as",
+}
+
+
+@dataclass
+class Tok:
+    kind: str  # 'num' | 'str' | 'ident' | 'kw' | 'op' | 'label' | 'eof'
+    text: str
+    line: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    pos, line = 0, 1
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise SyntaxError(f"HPL/SQL: bad character {src[pos]!r} at line {line}")
+        text = m.group(0)
+        line += text.count("\n")
+        pos = m.end()
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        if m.lastgroup == "number":
+            toks.append(Tok("num", text, line))
+        elif m.lastgroup == "string":
+            toks.append(Tok("str", text[1:-1].replace("''", "'"), line))
+        elif m.lastgroup == "label":
+            toks.append(Tok("label", text[2:-2], line))
+        elif m.lastgroup == "ident":
+            low = text.lower()
+            toks.append(Tok("kw" if low in _KEYWORDS else "ident", text, line))
+        else:
+            toks.append(Tok("op", text, line))
+    toks.append(Tok("eof", "", line))
+    return toks
+
+
+# ------------------------------------------------------------------ parser
+# AST nodes are plain tuples: (kind, ...)
+
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    # -- token helpers
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def at(self, text: str, k: int = 0) -> bool:
+        t = self.peek(k)
+        return t.text.lower() == text.lower() and t.kind in ("kw", "op", "ident")
+
+    def eat(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Tok:
+        if not self.at(text):
+            t = self.peek()
+            raise SyntaxError(
+                f"HPL/SQL line {t.line}: expected {text!r}, got {t.text!r}"
+            )
+        return self.eat()
+
+    def skip_semi(self) -> None:
+        while self.at(";"):
+            self.eat()
+
+    # -- program
+    def parse_program(self) -> list:
+        stmts = []
+        while self.peek().kind != "eof":
+            stmts.append(self.parse_stmt())
+            self.skip_semi()
+        return stmts
+
+    def parse_block_until(self, *terminators: str) -> list:
+        stmts = []
+        while True:
+            self.skip_semi()
+            t = self.peek()
+            if t.kind == "eof":
+                raise SyntaxError(
+                    f"HPL/SQL: unexpected end of script, expected {terminators}"
+                )
+            if any(self.at(term) for term in terminators):
+                return stmts
+            # two-word terminators (END IF / END LOOP / END WHILE / END CASE)
+            if "end" in terminators and self.at("end"):
+                return stmts
+            stmts.append(self.parse_stmt())
+
+    # -- statements
+    def parse_stmt(self):
+        t = self.peek()
+        if t.kind == "label":
+            self.eat()
+            inner = self.parse_stmt()
+            return ("labeled", t.text.lower(), inner)
+        low = t.text.lower()
+        if low == "declare":
+            return self.parse_declare()
+        if low == "set":
+            return self.parse_set()
+        if low == "print":
+            self.eat()
+            return ("print", self.parse_expr())
+        if low == "if":
+            return self.parse_if()
+        if low == "while":
+            return self.parse_while()
+        if low == "for":
+            return self.parse_for()
+        if low == "exit":
+            self.eat()
+            label = None
+            if self.peek().kind == "ident" and not self.at("when"):
+                label = self.eat().text.lower()
+            cond = None
+            if self.at("when"):
+                self.eat()
+                cond = self.parse_expr()
+            return ("exit", label, cond)
+        if low == "break":
+            self.eat()
+            return ("exit", None, None)
+        if low == "continue":
+            self.eat()
+            return ("continue",)
+        if low == "begin":
+            return self.parse_begin()
+        if low == "return":
+            self.eat()
+            if self.at(";") or self.peek().kind == "eof" or self.at("end"):
+                return ("return", None)
+            return ("return", self.parse_expr())
+        if low == "create":
+            return self.parse_create()
+        if low == "call":
+            self.eat()
+            name = self.eat().text.lower()
+            args = self.parse_call_args()
+            return ("call", name, args)
+        if low == "execute":
+            self.eat()
+            self.expect("immediate")
+            return ("execute_immediate", self.parse_expr())
+        if low == "select":
+            return self.parse_select_stmt()
+        if low in ("insert", "drop", "truncate", "update", "delete", "merge",
+                   "use", "with", "analyze", "msck", "show", "describe",
+                   "load", "export", "import"):
+            return ("sql", self.consume_sql_text())
+        # assignment: ident := expr  |  ident = expr
+        if t.kind == "ident" and self.peek(1).text in (":=", "="):
+            name = self.eat().text.lower()
+            self.eat()
+            return ("assign", name, self.parse_expr())
+        # bare expression statement — value is printed (Exec.java behavior
+        # for standalone expressions, see concat.sql golden)
+        return ("exprstmt", self.parse_expr())
+
+    def consume_sql_text(self) -> str:
+        """Capture a pass-through SQL statement verbatim up to ``;``."""
+        parts = []
+        depth = 0
+        while self.peek().kind != "eof":
+            t = self.peek()
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+            elif t.text == ";" and depth == 0:
+                break
+            parts.append(self.render_token(self.eat()))
+        return " ".join(parts)
+
+    @staticmethod
+    def render_token(t: Tok) -> str:
+        if t.kind == "str":
+            return "'" + t.text.replace("'", "''") + "'"
+        return t.text
+
+    def parse_declare(self):
+        self.expect("declare")
+        decls = []
+        while True:
+            names = [self.eat().text.lower()]
+            while self.at(","):
+                # lookahead: another name of the same type, or the next decl
+                save = self.i
+                self.eat()
+                nxt = self.eat()
+                if self.at(",") or self.is_type_name(self.peek()) or (
+                    nxt.kind == "ident" and self.is_type_name(self.peek())
+                ):
+                    names.append(nxt.text.lower())
+                    continue
+                self.i = save
+                break
+            typ = self.eat().text.lower()  # type name (INT, STRING, ...)
+            # optional precision (e.g. VARCHAR(10), DECIMAL(10,2))
+            if self.at("("):
+                depth = 0
+                while True:
+                    tt = self.eat()
+                    if tt.text == "(":
+                        depth += 1
+                    elif tt.text == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+            init = None
+            if self.at("default") or self.at("=") or self.at(":="):
+                self.eat()
+                init = self.parse_expr()
+            decls.append((names, typ, init))
+            if self.at(","):
+                self.eat()
+                continue
+            break
+        return ("declare", decls)
+
+    @staticmethod
+    def is_type_name(t: Tok) -> bool:
+        return t.text.lower() in (
+            "int", "integer", "bigint", "smallint", "tinyint", "string",
+            "varchar", "char", "dec", "decimal", "number", "numeric",
+            "float", "double", "bool", "boolean", "date", "timestamp",
+        )
+
+    def parse_set(self):
+        self.expect("set")
+        if self.at("("):  # SET (a, b) = (1, 2)
+            self.eat()
+            names = [self.eat().text.lower()]
+            while self.at(","):
+                self.eat()
+                names.append(self.eat().text.lower())
+            self.expect(")")
+            self.expect("=")
+            self.expect("(")
+            exprs = [self.parse_expr()]
+            while self.at(","):
+                self.eat()
+                exprs.append(self.parse_expr())
+            self.expect(")")
+            return ("set_multi", list(zip(names, exprs)))
+        pairs = []
+        while True:
+            name = self.eat().text.lower()
+            if self.at("=") or self.at(":="):
+                self.eat()
+            pairs.append((name, self.parse_expr()))
+            if self.at(","):
+                self.eat()
+                continue
+            break
+        return ("set_multi", pairs)
+
+    def parse_if(self):
+        self.expect("if")
+        branches = []
+        cond = self.parse_expr()
+        self.expect("then")
+        body = self.parse_block_until("elsif", "elseif", "else", "end")
+        branches.append((cond, body))
+        while self.at("elsif") or self.at("elseif"):
+            self.eat()
+            c = self.parse_expr()
+            self.expect("then")
+            b = self.parse_block_until("elsif", "elseif", "else", "end")
+            branches.append((c, b))
+        else_body = []
+        if self.at("else"):
+            self.eat()
+            else_body = self.parse_block_until("end")
+        self.expect("end")
+        self.expect("if")
+        return ("if", branches, else_body)
+
+    def parse_while(self):
+        self.expect("while")
+        cond = self.parse_expr()
+        if self.at("loop"):
+            self.eat()
+            body = self.parse_block_until("end")
+            self.expect("end")
+            self.expect("loop")
+        elif self.at("do") or self.at("then"):
+            self.eat()
+            body = self.parse_block_until("end")
+            self.expect("end")
+            if self.at("while"):
+                self.eat()
+        else:
+            raise SyntaxError(
+                f"HPL/SQL line {self.peek().line}: WHILE needs LOOP or DO"
+            )
+        return ("while", cond, body)
+
+    def parse_for(self):
+        self.expect("for")
+        var = self.eat().text.lower()
+        self.expect("in")
+        if self.at("("):  # cursor loop
+            self.eat()
+            sql = self.consume_cursor_sql()
+            self.expect("loop")
+            body = self.parse_block_until("end")
+            self.expect("end")
+            self.expect("loop")
+            return ("for_cursor", var, sql, body)
+        reverse = False
+        if self.at("reverse"):
+            self.eat()
+            reverse = True
+        lo = self.parse_expr()
+        self.expect("..")
+        hi = self.parse_expr()
+        self.expect("loop")
+        body = self.parse_block_until("end")
+        self.expect("end")
+        self.expect("loop")
+        return ("for_range", var, reverse, lo, hi, body)
+
+    def consume_cursor_sql(self) -> str:
+        parts = []
+        depth = 1
+        while self.peek().kind != "eof":
+            t = self.peek()
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    self.eat()
+                    break
+            parts.append(self.render_token(self.eat()))
+        return " ".join(parts)
+
+    def parse_begin(self):
+        self.expect("begin")
+        body = self.parse_block_until("exception", "end")
+        handler = None
+        if self.at("exception"):
+            self.eat()
+            self.expect("when")
+            self.expect("others")
+            self.expect("then")
+            handler = self.parse_block_until("end")
+        self.expect("end")
+        return ("begin", body, handler)
+
+    def parse_create(self):
+        self.expect("create")
+        if self.at("or"):
+            self.eat()
+            self.expect("replace")
+        if self.at("procedure") or self.at("function"):
+            is_func = self.at("function")
+            self.eat()
+            name = self.eat().text.lower()
+            params = []
+            if self.at("("):
+                self.eat()
+                while not self.at(")"):
+                    mode = "in"
+                    if self.peek().text.lower() in ("in", "out", "inout"):
+                        mode = self.eat().text.lower()
+                    pname = self.eat().text.lower()
+                    self.eat()  # type
+                    if self.at("("):
+                        while not self.at(")"):
+                            self.eat()
+                        self.eat()
+                    params.append((mode, pname))
+                    if self.at(","):
+                        self.eat()
+                self.expect(")")
+            if is_func and self.at("returns"):
+                self.eat()
+                self.eat()  # return type
+            if self.at("as") or self.at("is"):
+                self.eat()
+            body = self.parse_stmt()  # BEGIN block (or single stmt)
+            return ("create_routine", is_func, name, params, body)
+        # any other CREATE → pass-through SQL
+        self.i -= 1
+        return ("sql", self.consume_sql_text())
+
+    def parse_select_stmt(self):
+        """SELECT ... [INTO v1, v2, ...] FROM ... — detect INTO at the
+        top nesting level; everything else passes through verbatim."""
+        start = self.i
+        parts = []
+        into_vars: list[str] = []
+        depth = 0
+        seen_into_at = None
+        while self.peek().kind != "eof":
+            t = self.peek()
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+            elif t.text == ";" and depth == 0:
+                break
+            if depth == 0 and t.text.lower() == "into":
+                seen_into_at = len(parts)
+                self.eat()
+                into_vars.append(self.eat().text.lower())
+                while self.at(","):
+                    self.eat()
+                    into_vars.append(self.eat().text.lower())
+                continue
+            parts.append(self.render_token(self.eat()))
+        del start, seen_into_at
+        return ("select", " ".join(parts), into_vars)
+
+    def parse_call_args(self) -> list:
+        args = []
+        if self.at("("):
+            self.eat()
+            while not self.at(")"):
+                args.append(self.parse_expr())
+                if self.at(","):
+                    self.eat()
+            self.expect(")")
+        return args
+
+    # -- expressions (precedence climbing)
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.at("or"):
+            self.eat()
+            left = ("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.at("and"):
+            self.eat()
+            left = ("and", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        if self.at("not"):
+            self.eat()
+            return ("not", self.parse_not())
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        left = self.parse_add()
+        t = self.peek()
+        if t.text in ("=", "==", "<>", "!=", "<", ">", "<=", ">="):
+            op = self.eat().text
+            return ("cmp", op, left, self.parse_add())
+        if self.at("between"):
+            self.eat()
+            lo = self.parse_add()
+            self.expect("and")
+            hi = self.parse_add()
+            return ("between", left, lo, hi)
+        if self.at("is"):
+            self.eat()
+            neg = False
+            if self.at("not"):
+                self.eat()
+                neg = True
+            self.expect("null")
+            return ("isnull", neg, left)
+        return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while self.peek().text in ("+", "-", "||"):
+            op = self.eat().text
+            left = ("bin", op, left, self.parse_mul())
+        return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while self.peek().text in ("*", "/", "%"):
+            op = self.eat().text
+            left = ("bin", op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.peek().text == "-":
+            self.eat()
+            return ("neg", self.parse_unary())
+        if self.peek().text == "+":
+            self.eat()
+            return self.parse_unary()
+        return self.parse_primary()
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.kind == "num":
+            self.eat()
+            return ("lit", float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "str":
+            self.eat()
+            return ("lit", t.text)
+        if self.at("null"):
+            self.eat()
+            return ("lit", None)
+        if self.at("true"):
+            self.eat()
+            return ("lit", True)
+        if self.at("false"):
+            self.eat()
+            return ("lit", False)
+        if self.at("("):
+            self.eat()
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if self.at("case"):
+            return self.parse_case()
+        if t.kind in ("ident", "kw"):
+            self.eat()
+            if self.at("("):
+                args = self.parse_call_args()
+                return ("fn", t.text.lower(), args)
+            return ("var", t.text.lower())
+        raise SyntaxError(f"HPL/SQL line {t.line}: unexpected {t.text!r}")
+
+    def parse_case(self):
+        self.expect("case")
+        subject = None
+        if not self.at("when"):
+            subject = self.parse_expr()
+        whens = []
+        while self.at("when"):
+            self.eat()
+            c = self.parse_expr()
+            self.expect("then")
+            v = self.parse_expr()
+            whens.append((c, v))
+        default = ("lit", None)
+        if self.at("else"):
+            self.eat()
+            default = self.parse_expr()
+        self.expect("end")
+        return ("case", subject, whens, default)
+
+
+# -------------------------------------------------------------- interpreter
+class _Exit(Exception):
+    def __init__(self, label: Optional[str]):
+        self.label = label
+
+
+class _Continue(Exception):
+    pass
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+@dataclass
+class Routine:
+    is_func: bool
+    params: list
+    body: Any
+
+
+@dataclass
+class HplsqlInterpreter:
+    """Runs an HPL/SQL script.  ``engine`` is optional: anything the
+    local evaluator can't handle (pass-through SQL, cursor loops,
+    unknown functions) needs it; pure procedural scripts run without a
+    SparkSession at all."""
+
+    engine: Any = None  # HiveEngine or SparkSession-like with .sql()
+    output: list[str] = field(default_factory=list)
+    vars: dict[str, Any] = field(default_factory=dict)
+    routines: dict[str, Routine] = field(default_factory=dict)
+    last_select: Any = None  # DataFrame of the last top-level SELECT
+
+    # -- entry point
+    def run(self, src: str) -> list[str]:
+        stmts = Parser(tokenize(src)).parse_program()
+        self.exec_block(stmts)
+        return self.output
+
+    # -- statements
+    def exec_block(self, stmts: list) -> None:
+        for s in stmts:
+            self.exec_stmt(s)
+
+    def exec_stmt(self, s) -> None:
+        kind = s[0]
+        if kind == "declare":
+            for names, _typ, init in s[1]:
+                val = self.eval(init) if init is not None else None
+                for n in names:
+                    self.vars[n] = val
+        elif kind == "assign":
+            self.vars[s[1]] = self.eval(s[2])
+        elif kind == "set_multi":
+            for name, expr in s[1]:
+                self.vars[name] = self.eval(expr)
+        elif kind == "print":
+            self.output.append(self.fmt(self.eval(s[1])))
+        elif kind == "exprstmt":
+            self.output.append(self.fmt(self.eval(s[1])))
+        elif kind == "if":
+            for cond, body in s[1]:
+                if self.truthy(self.eval(cond)):
+                    self.exec_block(body)
+                    return
+            self.exec_block(s[2])
+        elif kind == "while":
+            self.run_loop(None, lambda: self.loop_while(s[1], s[2]))
+        elif kind == "labeled":
+            label, inner = s[1], s[2]
+            if inner[0] == "while":
+                self.run_loop(label, lambda: self.loop_while(inner[1], inner[2]))
+            elif inner[0] == "for_range":
+                self.run_loop(label, lambda: self.loop_range(inner))
+            elif inner[0] == "for_cursor":
+                self.run_loop(label, lambda: self.loop_cursor(inner))
+            else:
+                self.exec_stmt(inner)
+        elif kind == "for_range":
+            self.run_loop(None, lambda: self.loop_range(s))
+        elif kind == "for_cursor":
+            self.run_loop(None, lambda: self.loop_cursor(s))
+        elif kind == "exit":
+            _, label, cond = s
+            if cond is None or self.truthy(self.eval(cond)):
+                raise _Exit(label)
+        elif kind == "continue":
+            raise _Continue()
+        elif kind == "begin":
+            _, body, handler = s
+            if handler is None:
+                self.exec_block(body)
+            else:
+                try:
+                    self.exec_block(body)
+                except (_Exit, _Continue, _Return):
+                    raise
+                except Exception:
+                    self.exec_block(handler)
+        elif kind == "return":
+            raise _Return(self.eval(s[1]) if s[1] is not None else None)
+        elif kind == "create_routine":
+            _, is_func, name, params, body = s
+            self.routines[name] = Routine(is_func, params, body)
+        elif kind == "call":
+            self.call_routine(s[1], s[2])
+        elif kind == "execute_immediate":
+            sql = self.eval(s[1])
+            self.last_select = self.sql(sql)
+        elif kind == "select":
+            _, sql, into_vars = s
+            df = self.sql(sql)
+            if into_vars:
+                rows = df.collect() if hasattr(df, "collect") else list(df)
+                if rows:
+                    row = rows[0]
+                    for i, v in enumerate(into_vars):
+                        self.vars[v] = row[i]
+                else:
+                    for v in into_vars:
+                        self.vars[v] = None
+            else:
+                self.last_select = df
+        elif kind == "sql":
+            self.last_select = self.sql(s[1])
+        else:
+            raise NotImplementedError(f"HPL/SQL statement {kind}")
+
+    def run_loop(self, label: Optional[str], body: Callable[[], None]) -> None:
+        try:
+            body()
+        except _Exit as e:
+            if e.label is not None and e.label != (label or ""):
+                raise  # propagate to the labeled outer loop
+
+    def loop_while(self, cond, body) -> None:
+        while self.truthy(self.eval(cond)):
+            try:
+                self.exec_block(body)
+            except _Continue:
+                continue
+
+    def loop_range(self, s) -> None:
+        _, var, reverse, lo_e, hi_e, body = s
+        lo, hi = int(self.eval(lo_e)), int(self.eval(hi_e))
+        rng = range(lo, hi - 1, -1) if reverse else range(lo, hi + 1)
+        saved = self.vars.get(var, _MISSING := object())
+        try:
+            for i in rng:
+                self.vars[var] = i
+                try:
+                    self.exec_block(body)
+                except _Continue:
+                    continue
+        finally:
+            # loop variable is scoped to the loop (for_range.sql golden:
+            # outer i keeps its pre-loop value)
+            if saved is _MISSING:
+                self.vars.pop(var, None)
+            else:
+                self.vars[var] = saved
+
+    def loop_cursor(self, s) -> None:
+        _, var, sql, body = s
+        df = self.sql(sql)
+        rows = df.collect() if hasattr(df, "collect") else list(df)
+        cols = [c.lower() for c in df.columns] if hasattr(df, "columns") else None
+        for row in rows:
+            if cols:
+                for i, c in enumerate(cols):
+                    self.vars[f"{var}.{c}"] = row[i]
+            self.vars[var] = row
+            try:
+                self.exec_block(body)
+            except _Continue:
+                continue
+
+    def call_routine(self, name: str, arg_exprs: list):
+        r = self.routines.get(name)
+        if r is None:
+            raise NameError(f"HPL/SQL: no procedure or function {name!r}")
+        saved = dict(self.vars)
+        out_bindings: list[tuple[str, str]] = []  # (param, caller var)
+        for (mode, pname), aexpr in zip(r.params, arg_exprs):
+            if mode in ("out", "inout") and aexpr[0] == "var":
+                out_bindings.append((pname, aexpr[1]))
+            self.vars[pname] = None if mode == "out" else self.eval(aexpr)
+        ret = None
+        try:
+            self.exec_stmt(r.body)
+        except _Return as e:
+            ret = e.value
+        out_vals = {p: self.vars.get(p) for p, _ in out_bindings}
+        self.vars = saved
+        for pname, caller_var in out_bindings:
+            self.vars[caller_var] = out_vals[pname]
+        return ret
+
+    # -- expression evaluation
+    def eval(self, e) -> Any:
+        kind = e[0]
+        if kind == "lit":
+            return e[1]
+        if kind == "var":
+            name = e[1]
+            if name in self.vars:
+                return self.vars[name]
+            if name in self.routines and self.routines[name].is_func:
+                return self.call_routine(name, [])
+            raise NameError(f"HPL/SQL: undefined variable {name!r}")
+        if kind == "neg":
+            v = self.eval(e[1])
+            return None if v is None else -v
+        if kind == "bin":
+            return self.binop(e[1], self.eval(e[2]), self.eval(e[3]))
+        if kind == "cmp":
+            return self.cmpop(e[1], self.eval(e[2]), self.eval(e[3]))
+        if kind == "between":
+            v, lo, hi = self.eval(e[1]), self.eval(e[2]), self.eval(e[3])
+            if v is None or lo is None or hi is None:
+                return None
+            return lo <= v <= hi
+        if kind == "isnull":
+            neg, sub = e[1], e[2]
+            isn = self.eval(sub) is None
+            return (not isn) if neg else isn
+        if kind == "and":
+            left = self.eval(e[1])
+            if left is False:
+                return False
+            right = self.eval(e[2])
+            if left is None or right is None:
+                return False if right is False else None
+            return self.truthy(left) and self.truthy(right)
+        if kind == "or":
+            left = self.eval(e[1])
+            if self.truthy(left):
+                return True
+            right = self.eval(e[2])
+            if left is None or right is None:
+                return True if self.truthy(right) else None
+            return self.truthy(right)
+        if kind == "not":
+            v = self.eval(e[1])
+            return None if v is None else not self.truthy(v)
+        if kind == "case":
+            _, subject, whens, default = e
+            if subject is not None:
+                sv = self.eval(subject)
+                for c, val in whens:
+                    if self.cmpop("=", sv, self.eval(c)) is True:
+                        return self.eval(val)
+            else:
+                for c, val in whens:
+                    if self.truthy(self.eval(c)):
+                        return self.eval(val)
+            return self.eval(default)
+        if kind == "fn":
+            return self.call_fn(e[1], e[2])
+        raise NotImplementedError(f"HPL/SQL expression {kind}")
+
+    @staticmethod
+    def truthy(v) -> bool:
+        return bool(v) and v is not None
+
+    @staticmethod
+    def binop(op: str, a, b):
+        if op == "||":
+            # Oracle-style concat: NULL operands act as empty strings
+            # (hplsql Var.java string concat), matching create_procedure.sql
+            sa = "" if a is None else HplsqlInterpreter.fmt(a)
+            sb = "" if b is None else HplsqlInterpreter.fmt(b)
+            return sa + sb
+        if a is None or b is None:
+            return None
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        if op == "%":
+            return a % b
+        raise NotImplementedError(op)
+
+    @staticmethod
+    def cmpop(op: str, a, b):
+        if a is None or b is None:
+            return None
+        if isinstance(a, bool) or isinstance(b, bool):
+            a, b = bool(a), bool(b)
+        elif isinstance(a, (int, float)) != isinstance(b, (int, float)):
+            # numeric-vs-string comparison coerces to string (Hive loose)
+            a, b = str(a), str(b)
+        if op in ("=", "=="):
+            return a == b
+        if op in ("<>", "!="):
+            return a != b
+        if op == "<":
+            return a < b
+        if op == ">":
+            return a > b
+        if op == "<=":
+            return a <= b
+        if op == ">=":
+            return a >= b
+        raise NotImplementedError(op)
+
+    @staticmethod
+    def fmt(v) -> str:
+        if v is None:
+            return "null"
+        if v is True:
+            return "true"
+        if v is False:
+            return "false"
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return str(v)
+
+    # -- builtin functions (GenericUDF-compatible local forms)
+    def call_fn(self, name: str, arg_exprs: list):
+        if name in self.routines:
+            return self.call_routine(name, arg_exprs)
+        args = [self.eval(a) for a in arg_exprs]
+        if name == "concat":  # Hive CONCAT skips NULLs in hplsql (concat.sql)
+            vals = [self.fmt(a) for a in args if a is not None]
+            return "".join(vals) if vals else None
+        if name in ("nvl", "ifnull", "isnull_fn"):
+            return args[0] if args[0] is not None else args[1]
+        if name == "nvl2":
+            return args[1] if args[0] is not None else args[2]
+        if name == "coalesce":
+            for a in args:
+                if a is not None:
+                    return a
+            return None
+        if name == "decode":
+            subject = args[0]
+            pairs, default = args[1:], None
+            if len(pairs) % 2 == 1:
+                default = pairs[-1]
+                pairs = pairs[:-1]
+            for i in range(0, len(pairs), 2):
+                if subject == pairs[i] or (subject is None and pairs[i] is None):
+                    return pairs[i + 1]
+            return default
+        if name == "upper":
+            return None if args[0] is None else str(args[0]).upper()
+        if name == "lower":
+            return None if args[0] is None else str(args[0]).lower()
+        if name in ("length", "len"):
+            return None if args[0] is None else len(str(args[0]))
+        if name in ("substr", "substring"):
+            s = args[0]
+            if s is None:
+                return None
+            s = str(s)
+            start = int(args[1])
+            idx = start - 1 if start > 0 else len(s) + start
+            if len(args) > 2:
+                return s[idx : idx + int(args[2])]
+            return s[idx:]
+        if name == "instr":
+            if args[0] is None or args[1] is None:
+                return None
+            return str(args[0]).find(str(args[1])) + 1
+        if name == "trim":
+            return None if args[0] is None else str(args[0]).strip()
+        if name == "replace":
+            if args[0] is None:
+                return None
+            return str(args[0]).replace(str(args[1]), str(args[2]))
+        if name == "abs":
+            return None if args[0] is None else abs(args[0])
+        if name == "mod":
+            if args[0] is None or args[1] is None:
+                return None
+            return args[0] % args[1]
+        # unknown → engine semantics win (one-row SELECT fallback)
+        if self.engine is None:
+            raise NameError(f"HPL/SQL: unknown function {name!r} (no engine)")
+        lits = ", ".join(self.to_sql_literal(a) for a in args)
+        df = self.sql(f"SELECT {name}({lits})")
+        return df.collect()[0][0]
+
+    @staticmethod
+    def to_sql_literal(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    # -- SQL bridge with :var / var substitution for known variables
+    def sql(self, text: str):
+        if self.engine is None:
+            raise RuntimeError("HPL/SQL: SQL statement needs an engine")
+        # substitute scalar variables referenced by bare name (hplsql
+        # binds known identifiers; we replace whole-word matches only)
+        def repl(m: "re.Match[str]") -> str:
+            name = m.group(0).lower()
+            if name in self.vars and not isinstance(self.vars[name], (list, tuple)):
+                return self.to_sql_literal(self.vars[name])
+            return m.group(0)
+
+        bound = re.sub(r"\b[A-Za-z_][\w]*\b", repl, text)
+        return self.engine.sql(bound)
+
+
+def run_script(src: str, engine: Any = None) -> list[str]:
+    """Convenience: run an HPL/SQL script, return its PRINT output."""
+    return HplsqlInterpreter(engine=engine).run(src)

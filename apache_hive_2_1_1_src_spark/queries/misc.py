@@ -837,7 +837,72 @@ def q165_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def q213_hplsql_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HPL/SQL procedural script end-to-end (reference module hplsql/:
+    Hplsql.g4 grammar, Exec.java evaluator, Stmt.java CALL/FOR/cursor
+    handlers): a script declares accumulators, iterates a cursor over a
+    grouped join, calls a procedure with an OUT parameter, and invokes a
+    user FUNCTION — the interpreter's final state is returned as one row
+    the SQL oracle recomputes declaratively."""
+    from apache_hive_2_1_1_src_spark.hplsql import HplsqlInterpreter
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    interp = HplsqlInterpreter(engine=eng)
+    interp.run(
+        """
+        DECLARE total_nations INT = 0;
+        DECLARE n_regions INT = 0;
+        DECLARE biggest STRING;
+        DECLARE biggest_n INT = -1;
+        FOR rec IN (SELECT r.r_name AS name, COUNT(n.n_nationkey) AS n
+                    FROM region r JOIN nation n
+                      ON r.r_regionkey = n.n_regionkey
+                    GROUP BY r.r_name ORDER BY r.r_name) LOOP
+          SET total_nations = total_nations + rec.n;
+          SET n_regions = n_regions + 1;
+          IF rec.n > biggest_n OR (rec.n = biggest_n AND rec.name < biggest) THEN
+            SET biggest = rec.name;
+            SET biggest_n = rec.n;
+          END IF;
+        END LOOP;
+        CREATE PROCEDURE describe_corpus(IN r INT, IN n INT, OUT msg STRING)
+        BEGIN
+          SET msg = r || ' regions / ' || n || ' nations';
+        END;
+        DECLARE summary STRING;
+        CALL describe_corpus(n_regions, total_nations, summary);
+        CREATE FUNCTION avg_per_region(t INT, r INT)
+          RETURNS INT
+        BEGIN
+          RETURN t / r;
+        END;
+        """
+    )
+    avg = interp.call_routine(
+        "avg_per_region", [("lit", interp.vars["total_nations"]),
+                           ("lit", interp.vars["n_regions"])]
+    )
+    row = [
+        (
+            int(interp.vars["n_regions"]),
+            int(interp.vars["total_nations"]),
+            interp.vars["biggest"],
+            int(interp.vars["biggest_n"]),
+            interp.vars["summary"],
+            float(avg),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_regions int, total_nations int, biggest string, "
+        "biggest_n int, summary string, avg_per_region double",
+    )
+
+
 QUERIES = {
+    "q213_hplsql_procedure": q213_hplsql_procedure,
     "q161_constraint_validation": q161_constraint_validation,
     "q165_nulls_ordering": q165_nulls_ordering,
     "q162_streaming_upsert": q162_streaming_upsert,
@@ -880,6 +945,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q213_hplsql_procedure": """
+        WITH per_region AS (
+          SELECT r.r_name AS name, CAST(COUNT(n.n_nationkey) AS INT) AS n
+          FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+          GROUP BY r.r_name
+        )
+        SELECT CAST(COUNT(*) AS INT) AS n_regions,
+               CAST(SUM(n) AS INT) AS total_nations,
+               (SELECT name FROM per_region ORDER BY n DESC, name LIMIT 1)
+                 AS biggest,
+               CAST(MAX(n) AS INT) AS biggest_n,
+               CAST(COUNT(*) AS VARCHAR) || ' regions / ' ||
+                 CAST(CAST(SUM(n) AS INT) AS VARCHAR) || ' nations' AS summary,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_per_region
+        FROM per_region
+    """,
     "q165_nulls_ordering": """
         SELECT o_orderkey, v,
                ROW_NUMBER() OVER (ORDER BY v ASC NULLS FIRST, o_orderkey)

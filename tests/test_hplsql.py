@@ -1,0 +1,329 @@
+"""HPL/SQL interpreter parity pins.
+
+Each script is adapted from the reference's hplsql local test corpus
+(hplsql/src/test/queries/local/*.sql) with expected PRINT streams
+matching the golden .out.txt files' print lines (trace lines excluded);
+provenance cited per test.  Pure-procedural scripts run with no engine
+at all — the reference's Exec.java likewise evaluates locally — while
+cursor/SQL tests bind the real Spark engine.
+"""
+
+import pytest
+
+from apache_hive_2_1_1_src_spark.hplsql import HplsqlInterpreter, run_script
+
+
+def test_if_elsif_else_between():
+    # adapted from queries/local/if.sql (standard-form branches)
+    out = run_script(
+        """
+        DECLARE state VARCHAR;
+        DECLARE count INT;
+        SET state = 'CA';
+        SET count = 1;
+        IF count = 1 THEN PRINT 'True block - Correct'; END IF;
+        IF state = 'CA' THEN PRINT 'True block - Correct';
+        ELSE PRINT 'False block - Incorrect'; END IF;
+        IF state = 'MA' THEN PRINT 'True block - Incorrect';
+        ELSE PRINT 'False block - Correct'; END IF;
+        IF count = 4 THEN PRINT 'A';
+        ELSIF count = 3 THEN PRINT 'B';
+        ELSIF count = 2 THEN PRINT 'C';
+        ELSE PRINT 'False block - Correct'; END IF;
+        IF count = 3 THEN PRINT 'A';
+        ELSIF count = 1 THEN PRINT 'True block - Correct';
+        ELSE PRINT 'D'; END IF;
+        IF 1 IS NOT NULL AND 1 BETWEEN 0 AND 100 THEN
+          PRINT 'True block - Correct';
+        ELSE PRINT 'E'; END IF;
+        """
+    )
+    assert out == [
+        "True block - Correct",
+        "True block - Correct",
+        "False block - Correct",
+        "False block - Correct",
+        "True block - Correct",
+        "True block - Correct",
+    ]
+
+
+def test_while_loop_and_do_variants():
+    # adapted from queries/local/while.sql: LOOP and DO forms count down
+    out = run_script(
+        """
+        DECLARE count INT DEFAULT 3;
+        WHILE count <> 0 LOOP
+          PRINT count;
+          count := count - 1;
+        END LOOP;
+        SET count = 3;
+        WHILE count <> 0 DO
+          PRINT count;
+          SET count = count - 1;
+        END WHILE;
+        """
+    )
+    assert out == ["3", "2", "1", "3", "2", "1"]
+
+
+def test_for_range_and_reverse_and_scoping():
+    # adapted from queries/local/for_range.sql: loop var shadows, the
+    # outer i keeps its pre-loop value after END LOOP
+    out = run_script(
+        """
+        DECLARE i INT = 3;
+        PRINT i;
+        FOR i IN 1..5 LOOP PRINT i; END LOOP;
+        PRINT i;
+        FOR i IN REVERSE 5..1 LOOP PRINT i; END LOOP;
+        """
+    )
+    assert out == ["3", "1", "2", "3", "4", "5", "3", "5", "4", "3", "2", "1"]
+
+
+def test_exit_when_and_labeled_exit():
+    # adapted from queries/local/exit.sql: EXIT WHEN, plain EXIT breaking
+    # one level, EXIT <label> breaking the outer labeled loop
+    out = run_script(
+        """
+        DECLARE count INT DEFAULT 3;
+        WHILE 1=1 LOOP
+          PRINT 'Start of while block';
+          PRINT count;
+          count := count - 1;
+          EXIT WHEN count = 0;
+          PRINT 'End of while block';
+        END LOOP;
+        <<lbl>>
+        WHILE 1=1 LOOP
+          PRINT 'Start of outer while block';
+          WHILE 1=1 LOOP
+            PRINT 'Start of 1st inner while block';
+            EXIT;
+            PRINT 'NEVER SHOWN';
+          END LOOP;
+          WHILE 1=1 LOOP
+            PRINT 'Start of 2nd inner while block';
+            EXIT lbl;
+            PRINT 'NEVER SHOWN';
+          END LOOP;
+          PRINT 'NEVER SHOWN';
+        END LOOP;
+        """
+    )
+    assert out == [
+        "Start of while block", "3", "End of while block",
+        "Start of while block", "2", "End of while block",
+        "Start of while block", "1",
+        "Start of outer while block",
+        "Start of 1st inner while block",
+        "Start of 2nd inner while block",
+    ]
+
+
+def test_case_simple_searched_nvl2():
+    # adapted from queries/local/case.sql (all six branches → Correct)
+    out = run_script(
+        """
+        PRINT CASE 1 WHEN 0 THEN 'FAILED' WHEN 1 THEN 'Correct'
+                     WHEN 2 THEN 'FAILED' ELSE 'FAILED' END
+        PRINT CASE 3 WHEN 0 THEN 'FAILED' WHEN 1 THEN 'FAILED'
+                     ELSE 'Correct' END
+        PRINT NVL2(CASE 3 WHEN 0 THEN 'FAILED' WHEN 1 THEN 'FAILED' END,
+                   'FAILED', 'Correct')
+        PRINT CASE WHEN 1=0 THEN 'FAILED' WHEN 1=1 THEN 'Correct'
+                   ELSE 'FAILED' END
+        PRINT CASE WHEN 3=0 THEN 'FAILED' WHEN 3=1 THEN 'FAILED'
+                   ELSE 'Correct' END
+        PRINT NVL2(CASE WHEN 3=0 THEN 'FAILED' WHEN 3=1 THEN 'FAILED' END,
+                   'FAILED', 'Correct')
+        """
+    )
+    assert out == ["Correct"] * 6
+
+
+def test_concat_null_skipping_and_bare_expression():
+    # adapted from queries/local/concat.sql: bare expression statements
+    # print their value; CONCAT skips NULLs, all-NULL → NULL
+    out = run_script(
+        """
+        CONCAT('a', 'b', NULL, 'c');
+        NVL(CONCAT(NULL, NULL, NULL), 'NULL Value');
+        """
+    )
+    assert out == ["abc", "NULL Value"]
+
+
+def test_assignment_forms():
+    # adapted from queries/local/assign.sql: :=, bare =, SET multi, tuple
+    out = run_script(
+        """
+        DECLARE code VARCHAR; DECLARE status INT; DECLARE count INT;
+        DECLARE limit INT;
+        code := 'A';
+        status := 1;
+        count = 0;
+        PRINT code; PRINT status; PRINT count;
+        SET code = 'B', status = 2;
+        SET (count, limit) = (10, 100);
+        PRINT code; PRINT status; PRINT count; PRINT limit;
+        """
+    )
+    assert out == ["A", "1", "0", "B", "2", "10", "100"]
+
+
+def test_create_procedure_with_out_param():
+    # adapted from queries/local/create_procedure.sql
+    out = run_script(
+        """
+        CREATE PROCEDURE set_message(IN name STRING, OUT result STRING)
+        BEGIN
+          SET result = 'Hello, ' || name || '!';
+        END;
+        DECLARE str STRING;
+        CALL set_message('world', str);
+        PRINT str;
+        """
+    )
+    assert out == ["Hello, world!"]
+
+
+def test_create_function_return_stops_execution():
+    # adapted from queries/local/create_function.sql: statements after
+    # RETURN must not run; function callable from expressions
+    out = run_script(
+        """
+        CREATE FUNCTION hello()
+          RETURNS STRING
+        BEGIN
+          PRINT 'Start';
+          RETURN 'Hello, world';
+          PRINT 'Must not be printed';
+        END;
+        PRINT hello() || '!';
+        PRINT 'End of script';
+        """
+    )
+    assert out == ["Start", "Hello, world!", "End of script"]
+
+
+def test_exception_handler():
+    # adapted from queries/local/exception.sql: failing statement inside
+    # BEGIN routes to EXCEPTION WHEN OTHERS THEN
+    out = run_script(
+        """
+        BEGIN
+          PRINT 'Correct';
+          PRINT unknown_variable_name;
+          PRINT 'Incorrect - unreachable';
+        EXCEPTION WHEN OTHERS THEN
+          PRINT 'Correct - Exception raised';
+        END
+        """
+    )
+    assert out == ["Correct", "Correct - Exception raised"]
+
+
+def test_decode_and_builtins():
+    # adapted from queries/local/decode.sql + string function batteries
+    out = run_script(
+        """
+        DECLARE a INT = 1;
+        PRINT DECODE(a, 1, 'one', 2, 'two', 'other');
+        PRINT DECODE(3, 1, 'one', 2, 'two', 'other');
+        PRINT DECODE(NULL, NULL, 'null match', 'other');
+        PRINT UPPER('ab') || LOWER('CD');
+        PRINT LENGTH('hello');
+        PRINT SUBSTR('abcdef', 2, 3);
+        PRINT INSTR('abcabc', 'b');
+        PRINT MOD(7, 3);
+        """
+    )
+    assert out == ["one", "other", "null match", "ABcd", "5", "bcd", "2", "1"]
+
+
+def test_arithmetic_and_null_propagation():
+    out = run_script(
+        """
+        DECLARE x INT = 10;
+        PRINT x + 5; PRINT x - 5; PRINT x * 2; PRINT x / 4; PRINT x % 3;
+        PRINT NVL(NULL + 1, 'null arith');
+        PRINT 1 = 1; PRINT 1 <> 1;
+        """
+    )
+    assert out == ["15", "5", "20", "2.5", "1", "null arith", "true", "false"]
+
+
+def test_continue_statement():
+    out = run_script(
+        """
+        FOR i IN 1..5 LOOP
+          IF i % 2 = 0 THEN CONTINUE; END IF;
+          PRINT i;
+        END LOOP;
+        """
+    )
+    assert out == ["1", "3", "5"]
+
+
+# ---------------------------------------------------------- engine-bound
+@pytest.fixture()
+def engine(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    return eng
+
+
+def test_cursor_for_loop(engine):
+    # adapted from the cursor-loop pattern in queries/db: iterate a
+    # query's rows binding rec.col names
+    interp = HplsqlInterpreter(engine=engine)
+    interp.run(
+        """
+        DECLARE total INT = 0;
+        FOR rec IN (SELECT r_regionkey, r_name FROM region
+                    ORDER BY r_regionkey) LOOP
+          PRINT rec.r_name;
+          SET total = total + rec.r_regionkey;
+        END LOOP;
+        PRINT total;
+        """
+    )
+    assert interp.output[-1] == "10"  # 0+1+2+3+4
+    assert len(interp.output) == 6
+
+
+def test_select_into(engine):
+    out = run_script(
+        """
+        DECLARE cnt INT; DECLARE mx INT;
+        SELECT COUNT(*), MAX(r_regionkey) INTO cnt, mx FROM region;
+        PRINT 'count=' || cnt;
+        PRINT 'max=' || mx;
+        """,
+        engine=engine,
+    )
+    assert out == ["count=5", "max=4"]
+
+
+def test_execute_immediate_and_variable_binding(engine):
+    out = run_script(
+        """
+        DECLARE k INT = 2;
+        DECLARE nm STRING;
+        SELECT r_name INTO nm FROM region WHERE r_regionkey = k;
+        PRINT nm;
+        EXECUTE IMMEDIATE 'SELECT COUNT(*) AS n FROM nation';
+        """,
+        engine=engine,
+    )
+    assert len(out) == 1 and isinstance(out[0], str) and out[0]
+
+
+def test_unknown_function_falls_back_to_engine(engine):
+    # repeat() is not in the local builtin catalog — engine evaluates it
+    out = run_script("PRINT REPEAT('ab', 3);", engine=engine)
+    assert out == ["ababab"]
