@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("-S", dest="silent", action="store_true", help="silent mode")
     ap.add_argument("--sf-dir", dest="sf_dir", default=None)
+    ap.add_argument(
+        "--hplsql", dest="hplsql", action="store_true",
+        help="treat the input as an HPL/SQL procedural script "
+        "(the reference's separate `hplsql` binary)",
+    )
     args = ap.parse_args(argv)
 
     if bool(args.query) == bool(args.file):
@@ -81,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if not args.silent:
         print(f"Session ready in {time.time() - t0:.3f} seconds", file=sys.stderr)
+    if args.hplsql:
+        from apache_hive_2_1_1_src_spark.hplsql import run_script
+
+        for line in run_script(script, engine=eng):
+            print(line)
+        return 0
     for stmt in eng.split_statements(script):
         t_stmt = time.time()  # per-statement, matching Hive's CLI output
         df = eng.sql(stmt)

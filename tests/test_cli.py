@@ -78,3 +78,20 @@ def test_f_script_hivevar_header_multi_statement(tmp_path):
     )
     assert p.returncode == 0, p.stderr[-2000:]
     assert p.stdout.splitlines() == ["n", str(n_regions), "r_name", rname]
+
+
+def test_hplsql_flag_runs_procedural_script(tmp_path):
+    """--hplsql mirrors the reference's separate `hplsql` binary
+    (hplsql/src/main/java/.../Hplsql.java main): procedural control
+    flow on the client, SQL pushed to the engine."""
+    script = tmp_path / "p.sql"
+    script.write_text(
+        "DECLARE total INT = 0;\n"
+        "FOR rec IN (SELECT r_regionkey FROM region ORDER BY r_regionkey) LOOP\n"
+        "  SET total = total + rec.r_regionkey;\n"
+        "END LOOP;\n"
+        "IF total = 10 THEN PRINT 'total=' || total; END IF;\n"
+    )
+    p = run_cli("-f", str(script), "--hplsql", "--sf-dir", SF, "-S")
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert p.stdout.splitlines() == ["total=10"]
