@@ -208,6 +208,21 @@ class Parser:
             self.eat()
             self.expect("immediate")
             return ("execute_immediate", self.parse_expr())
+        if low == "open" and self.peek(1).kind == "ident":
+            self.eat()
+            return ("open_cursor", self.eat().text.lower())
+        if low == "fetch" and self.peek(1).kind == "ident":
+            self.eat()
+            name = self.eat().text.lower()
+            self.expect("into")
+            vars_ = [self.eat().text.lower()]
+            while self.at(","):
+                self.eat()
+                vars_.append(self.eat().text.lower())
+            return ("fetch_cursor", name, vars_)
+        if low == "close" and self.peek(1).kind == "ident":
+            self.eat()
+            return ("close_cursor", self.eat().text.lower())
         if low == "select":
             return self.parse_select_stmt()
         if low in ("insert", "drop", "truncate", "update", "delete", "merge",
@@ -246,6 +261,12 @@ class Parser:
 
     def parse_declare(self):
         self.expect("declare")
+        if self.at("cursor"):  # DECLARE CURSOR c IS|FOR SELECT ...
+            self.eat()
+            name = self.eat().text.lower()
+            if self.at("is") or self.at("for"):
+                self.eat()
+            return ("declare_cursor", name, self.consume_sql_text())
         decls = []
         while True:
             names = [self.eat().text.lower()]
@@ -589,6 +610,13 @@ class Parser:
             if self.at("("):
                 args = self.parse_call_args()
                 return ("fn", t.text.lower(), args)
+            # cursor attributes: c%ISOPEN / c%FOUND / c%NOTFOUND / c%ROWCOUNT
+            if self.peek().text == "%" and self.peek(1).text.lower() in (
+                "isopen", "found", "notfound", "rowcount"
+            ):
+                self.eat()
+                attr = self.eat().text.lower()
+                return ("cursor_attr", t.text.lower(), attr)
             return ("var", t.text.lower())
         raise SyntaxError(f"HPL/SQL line {t.line}: unexpected {t.text!r}")
 
@@ -635,6 +663,19 @@ class Routine:
 
 
 @dataclass
+class Cursor:
+    sql: str
+    is_open: bool = False
+    rows: Optional[list] = None
+    idx: int = 0
+    fetched: int = 0
+    found: Optional[bool] = None  # NULL before the first FETCH
+
+
+_SILENT = object()  # return value of statement-style calls (PUT_LINE)
+
+
+@dataclass
 class HplsqlInterpreter:
     """Runs an HPL/SQL script.  ``engine`` is optional: anything the
     local evaluator can't handle (pass-through SQL, cursor loops,
@@ -645,6 +686,7 @@ class HplsqlInterpreter:
     output: list[str] = field(default_factory=list)
     vars: dict[str, Any] = field(default_factory=dict)
     routines: dict[str, Routine] = field(default_factory=dict)
+    cursors: dict[str, Cursor] = field(default_factory=dict)
     last_select: Any = None  # DataFrame of the last top-level SELECT
 
     # -- entry point
@@ -673,7 +715,32 @@ class HplsqlInterpreter:
         elif kind == "print":
             self.output.append(self.fmt(self.eval(s[1])))
         elif kind == "exprstmt":
-            self.output.append(self.fmt(self.eval(s[1])))
+            v = self.eval(s[1])
+            if v is not _SILENT:
+                self.output.append(self.fmt(v))
+        elif kind == "declare_cursor":
+            self.cursors[s[1]] = Cursor(sql=s[2])
+        elif kind == "open_cursor":
+            cur = self.cursor(s[1])
+            df = self.sql(cur.sql)
+            cur.rows = df.collect() if hasattr(df, "collect") else list(df)
+            cur.is_open, cur.idx, cur.fetched, cur.found = True, 0, 0, None
+        elif kind == "fetch_cursor":
+            cur = self.cursor(s[1])
+            if not cur.is_open:
+                raise RuntimeError(f"HPL/SQL: cursor {s[1]!r} is not open")
+            if cur.idx < len(cur.rows):
+                row = cur.rows[cur.idx]
+                for i, v in enumerate(s[2]):
+                    self.vars[v] = row[i]
+                cur.idx += 1
+                cur.fetched += 1
+                cur.found = True
+            else:
+                cur.found = False
+        elif kind == "close_cursor":
+            cur = self.cursor(s[1])
+            cur.is_open, cur.rows, cur.found = False, None, None
         elif kind == "if":
             for cond, body in s[1]:
                 if self.truthy(self.eval(cond)):
@@ -873,7 +940,23 @@ class HplsqlInterpreter:
             return self.eval(default)
         if kind == "fn":
             return self.call_fn(e[1], e[2])
+        if kind == "cursor_attr":
+            cur = self.cursor(e[1])
+            attr = e[2]
+            if attr == "isopen":
+                return cur.is_open
+            if attr == "found":
+                return cur.found
+            if attr == "notfound":
+                return None if cur.found is None else not cur.found
+            if attr == "rowcount":
+                return cur.fetched
         raise NotImplementedError(f"HPL/SQL expression {kind}")
+
+    def cursor(self, name: str) -> Cursor:
+        if name not in self.cursors:
+            raise NameError(f"HPL/SQL: unknown cursor {name!r}")
+        return self.cursors[name]
 
     @staticmethod
     def truthy(v) -> bool:
@@ -941,6 +1024,9 @@ class HplsqlInterpreter:
         if name in self.routines:
             return self.call_routine(name, arg_exprs)
         args = [self.eval(a) for a in arg_exprs]
+        if name == "dbms_output.put_line":  # statement-style: prints, no value
+            self.output.append(self.fmt(args[0]) if args else "")
+            return _SILENT
         if name == "concat":  # Hive CONCAT skips NULLs in hplsql (concat.sql)
             vals = [self.fmt(a) for a in args if a is not None]
             return "".join(vals) if vals else None

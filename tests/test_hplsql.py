@@ -327,3 +327,85 @@ def test_unknown_function_falls_back_to_engine(engine):
     # repeat() is not in the local builtin catalog — engine evaluates it
     out = run_script("PRINT REPEAT('ab', 3);", engine=engine)
     assert out == ["ababab"]
+
+
+def test_cursor_open_fetch_close_attributes(engine):
+    # adapted from queries/db/cursor_attributes.sql: %ISOPEN before/after
+    # OPEN, %FOUND/%NOTFOUND NULL before first FETCH, flipping after the
+    # rows are exhausted; DBMS_OUTPUT.PUT_LINE prints without echoing a
+    # statement value
+    out = run_script(
+        """
+        DECLARE CURSOR c1 IS SELECT r_name FROM region
+                             WHERE r_regionkey = 0 ORDER BY r_name;
+        DECLARE v1 VARCHAR;
+        BEGIN
+          IF c1%ISOPEN THEN DBMS_OUTPUT.PUT_LINE('%ISOPEN failed');
+          ELSE DBMS_OUTPUT.PUT_LINE('%ISOPEN correct'); END IF;
+          OPEN c1;
+          IF c1%ISOPEN THEN DBMS_OUTPUT.PUT_LINE('%ISOPEN correct');
+          ELSE DBMS_OUTPUT.PUT_LINE('%ISOPEN failed'); END IF;
+          IF c1%FOUND IS NULL THEN DBMS_OUTPUT.PUT_LINE('%FOUND correct');
+          ELSE DBMS_OUTPUT.PUT_LINE('%FOUND failed'); END IF;
+          IF c1%NOTFOUND IS NULL THEN DBMS_OUTPUT.PUT_LINE('%NOTFOUND correct');
+          ELSE DBMS_OUTPUT.PUT_LINE('%NOTFOUND failed'); END IF;
+          FETCH c1 INTO v1;
+          IF c1%FOUND THEN DBMS_OUTPUT.PUT_LINE('%FOUND correct');
+          ELSE DBMS_OUTPUT.PUT_LINE('%FOUND failed'); END IF;
+          IF c1%NOTFOUND THEN DBMS_OUTPUT.PUT_LINE('%NOTFOUND failed');
+          ELSE DBMS_OUTPUT.PUT_LINE('%NOTFOUND correct'); END IF;
+          FETCH c1 INTO v1;
+          IF c1%FOUND THEN DBMS_OUTPUT.PUT_LINE('%FOUND failed');
+          ELSE DBMS_OUTPUT.PUT_LINE('%FOUND correct'); END IF;
+          IF c1%NOTFOUND THEN DBMS_OUTPUT.PUT_LINE('%NOTFOUND correct');
+          ELSE DBMS_OUTPUT.PUT_LINE('%NOTFOUND failed'); END IF;
+          CLOSE c1;
+        END
+        """,
+        engine=engine,
+    )
+    assert out == [
+        "%ISOPEN correct", "%ISOPEN correct", "%FOUND correct",
+        "%NOTFOUND correct", "%FOUND correct", "%NOTFOUND correct",
+        "%FOUND correct", "%NOTFOUND correct",
+    ]
+
+
+def test_cursor_fetch_loop_rowcount(engine):
+    # classic FETCH-loop pattern: EXIT WHEN c%NOTFOUND, %ROWCOUNT tracks
+    # fetched rows
+    out = run_script(
+        """
+        DECLARE CURSOR c IS SELECT n_name FROM nation
+                            WHERE n_regionkey = 1 ORDER BY n_name;
+        DECLARE nm STRING;
+        OPEN c;
+        WHILE 1=1 LOOP
+          FETCH c INTO nm;
+          EXIT WHEN c%NOTFOUND;
+          PRINT nm;
+        END LOOP;
+        PRINT 'rows=' || c%ROWCOUNT;
+        CLOSE c;
+        """,
+        engine=engine,
+    )
+    assert out[-1] == "rows=5"
+    assert len(out) == 6 and out[:5] == sorted(out[:5])
+
+
+def test_fetch_unopened_cursor_raises_into_handler(engine):
+    out = run_script(
+        """
+        DECLARE CURSOR c IS SELECT r_name FROM region;
+        DECLARE v STRING;
+        BEGIN
+          FETCH c INTO v;
+          PRINT 'unreachable';
+        EXCEPTION WHEN OTHERS THEN
+          PRINT 'Correct - Exception raised';
+        END
+        """,
+        engine=engine,
+    )
+    assert out == ["Correct - Exception raised"]
