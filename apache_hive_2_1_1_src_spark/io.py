@@ -114,6 +114,23 @@ def write_hive_sequencefile(df: DataFrame, path: str) -> None:
     df.select(line).rdd.map(lambda r: ("", r[0])).saveAsSequenceFile(path)
 
 
+def write_hive_sequencefile_compressed(
+    df: DataFrame,
+    path: str,
+    codec: str = "org.apache.hadoop.io.compress.DefaultCodec",
+) -> None:
+    """Record-compressed SequenceFile write (SET
+    hive.exec.compress.output=true + mapred.output.compression.codec in
+    the reference; SequenceFile.Writer RECORD compression).  The read
+    path is unchanged — Hadoop's reader decompresses transparently."""
+    from pyspark.sql import functions as F
+
+    line = F.concat_ws(
+        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in df.columns]
+    ).alias("line")
+    df.select(line).rdd.map(lambda r: ("", r[0])).saveAsSequenceFile(path, codec)
+
+
 def read_hive_sequencefile(spark: SparkSession, path: str, schema) -> DataFrame:
     """Read Hive SEQUENCEFILE: container → Text values → schema-on-read
     parse (keys ignored, as Hive's SequenceFileInputFormat binding
