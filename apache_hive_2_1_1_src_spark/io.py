@@ -142,6 +142,42 @@ def read_hive_sequencefile(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.options(**opts).schema(schema).csv(values)
 
 
+def write_multidelimit_text(df: DataFrame, path: str, delim: str) -> None:
+    """MultiDelimitSerDe write equivalent (contrib/.../serde2/
+    MultiDelimitSerDe.java — FIELDS TERMINATED BY a multi-character
+    delimiter, which LazySimpleSerDe cannot do): rows become text lines
+    joined on the literal delimiter, ``\\N`` nulls, one file per
+    partition via the text source."""
+    from pyspark.sql import functions as F
+
+    line = F.concat_ws(
+        delim, *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in df.columns]
+    ).alias("value")
+    df.select(line).write.mode("overwrite").text(path)
+
+
+def read_multidelimit_text(spark: SparkSession, path: str, schema, delim: str) -> DataFrame:
+    """MultiDelimitSerDe read equivalent: split each line on the literal
+    multi-char delimiter (regex-quoted), then cast fields per the
+    declared schema — all JVM-side expressions, schema-on-read."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    parts = F.split(F.col("value"), _re.escape(delim))
+    cols = [
+        F.when(parts.getItem(i) == "\\N", None)
+        .otherwise(parts.getItem(i))
+        .cast(f.dataType)
+        .alias(f.name)
+        for i, f in enumerate(schema.fields)
+    ]
+    return spark.read.text(path).select(cols)
+
+
 def has_avro_support(spark: SparkSession) -> bool:
     """spark-avro is an external module; gate Avro paths on its presence.
     Probed with a real one-row write — class-presence checks false-positive

@@ -634,6 +634,54 @@ def q211_rcfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q214_multidelimit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiDelimitSerDe storage round trip (contrib/.../serde2/
+    MultiDelimitSerDe.java: FIELDS TERMINATED BY a multi-character
+    delimiter — the one text layout LazySimpleSerDe's single-byte
+    delimiters cannot express): orders sample → '|~|'-delimited text →
+    schema-on-read split/cast → digest.  A NULL-bearing column and a
+    column containing the single chars '|' and '~' (but never the full
+    sequence) prove the delimiter is matched literally as a unit."""
+    import shutil
+
+    from apache_hive_2_1_1_src_spark.io import (
+        read_multidelimit_text,
+        write_multidelimit_text,
+    )
+
+    out = os.path.join(_SCRATCH, f"orders_mdelim_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            "o_orderkey",
+            F.concat(F.lit("a|b~c:"), F.col("o_orderstatus")).alias("tricky"),
+            F.when(F.col("o_orderkey") % 5 != 0, F.col("o_orderpriority")).alias(
+                "prio"
+            ),
+            "o_totalprice",
+        )
+    )
+    write_multidelimit_text(orders, out, "|~|")
+    back = read_multidelimit_text(
+        spark,
+        out,
+        "o_orderkey bigint, tricky string, prio string, o_totalprice double",
+        "|~|",
+    )
+    return (
+        back.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("tricky").alias("min_tricky"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("prio")
+    )
+
+
 def q176_show_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW command family (HiveParser.g SHOW grammar;
     DDLSemanticAnalyzer → ShowTablesDesc/ShowColumnsDesc/ShowFunctionsDesc,
@@ -1273,6 +1321,7 @@ def q208_multi_insert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q214_multidelimit_roundtrip": q214_multidelimit_roundtrip,
     "q211_rcfile_roundtrip": q211_rcfile_roundtrip,
     "q208_multi_insert_sql": q208_multi_insert_sql,
     "q205_partition_statistics": q205_partition_statistics,
@@ -1314,6 +1363,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q214_multidelimit_roundtrip": """
+        SELECT CASE WHEN o_orderkey % 5 <> 0 THEN o_orderpriority END AS prio,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               MIN('a|b~c:' || o_orderstatus) AS min_tricky,
+               MAX(o_orderkey) AS max_key
+        FROM orders WHERE o_orderkey <= 4000
+        GROUP BY prio ORDER BY prio
+    """,
     "q211_rcfile_roundtrip": """
         SELECT CASE WHEN c_custkey % 7 <> 0 THEN c_mktsegment END AS seg,
                COUNT(*) AS n,
