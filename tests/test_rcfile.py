@@ -166,3 +166,42 @@ def test_null_cells_roundtrip(spark, tmp_path):
     back = read_rcfile(spark, out, df.schema).orderBy("k").collect()
     assert back[0].s is None and back[1].v is None
     assert back[2].v == 0.0
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.binary(max_size=40),
+                st.binary(max_size=40),
+                st.binary(max_size=40),
+            ),
+            max_size=200,
+        ),
+        rowgroup=st.integers(min_value=1, max_value=64),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_rcfile_codec_roundtrip_property(rows, rowgroup):
+        """Arbitrary binary cells (including empty, delimiter-looking and
+        non-UTF8 bytes) survive encode→decode bit-exactly at any
+        row-group size — the container is byte-transparent."""
+        data = encode_rcfile(rows, 3, SYNC, rowgroup_rows=rowgroup)
+        ncols, back = decode_rcfile(data)
+        assert ncols == 3 and back == rows
+
+    @given(
+        lengths=st.lists(st.integers(min_value=0, max_value=300), max_size=300)
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_rle_lengths_roundtrip_property(lengths):
+        assert _decode_rle_lengths(_rle_lengths(lengths), len(lengths)) == lengths
