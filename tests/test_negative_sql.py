@@ -114,6 +114,27 @@ CASES = [
         "SELECT e.x FROM orders LATERAL VIEW explode(o_orderkey) e AS x",
         "",
     ),
+    (
+        "duplicate_column_create",  # clientnegative/create_skewed_table_dup_col_name.q family
+        "CREATE TABLE negdup_cols (a INT, a STRING)",
+        "a",
+    ),
+    (
+        "drop_nonexistent_table",  # clientnegative/drop_table_failure1.q
+        "DROP TABLE definitely_missing_tbl",
+        "definitely_missing_tbl",
+    ),
+    (
+        "truncate_view",  # clientnegative/authorization_truncate.q family —
+        # TRUNCATE must name a table, not a view
+        "TRUNCATE TABLE region",
+        "region",
+    ),
+    (
+        "cluster_by_with_order_by",  # clientnegative/clusterbyorderby.q
+        "SELECT o_orderkey FROM orders CLUSTER BY o_orderkey ORDER BY o_orderkey",
+        "",
+    ),
 ]
 
 
