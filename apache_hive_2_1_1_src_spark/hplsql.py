@@ -46,7 +46,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>'(?:[^']|'')*')
   | (?P<label><<[A-Za-z_][\w]*>>)
   | (?P<ident>[A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*)
-  | (?P<op>:=|\.\.|\|\||<>|!=|<=|>=|==|[=<>+\-*/%(),;])
+  | (?P<op>:=|\.\.|\|\||<>|!=|<=|>=|==|[=<>+\-*/%(),;:])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -57,7 +57,21 @@ _KEYWORDS = {
     "break", "continue", "begin", "exception", "others", "return",
     "create", "or", "replace", "procedure", "function", "returns", "call",
     "execute", "immediate", "into", "and", "not", "between", "is", "null",
-    "true", "false", "case", "default", "as",
+    "true", "false", "case", "default", "as", "values", "leave", "cast",
+    "date", "timestamp", "interval", "constant", "handler",
+}
+
+# interval unit suffixes (1 DAY, 3 DAYS, 1 MICROSECOND ...)
+_UNITS = {
+    "day": "days", "days": "days",
+    "hour": "hours", "hours": "hours",
+    "minute": "minutes", "minutes": "minutes",
+    "second": "seconds", "seconds": "seconds",
+    # the reference's Var timestamps carry millisecond precision, so its
+    # MICROSECOND arithmetic lands on the millisecond (interval.out.txt:
+    # 10:10:10.000 + 1 MICROSECOND prints 10:10:10.001) — reproduced here
+    "microsecond": "milliseconds", "microseconds": "milliseconds",
+    "millisecond": "milliseconds", "milliseconds": "milliseconds",
 }
 
 
@@ -160,6 +174,12 @@ class Parser:
             self.eat()
             inner = self.parse_stmt()
             return ("labeled", t.text.lower(), inner)
+        # `lbl:` label form (leave.sql, T-SQL/MySQL style)
+        if t.kind == "ident" and self.peek(1).text == ":":
+            self.eat()
+            self.eat()
+            inner = self.parse_stmt()
+            return ("labeled", t.text.lower(), inner)
         low = t.text.lower()
         if low == "declare":
             return self.parse_declare()
@@ -187,9 +207,52 @@ class Parser:
         if low == "break":
             self.eat()
             return ("exit", None, None)
+        if low == "leave":
+            self.eat()
+            label = None
+            if self.peek().kind == "ident":
+                label = self.eat().text.lower()
+            return ("exit", label, None)
         if low == "continue":
             self.eat()
             return ("continue",)
+        if low == "null" and self.peek(1).text == ";":
+            self.eat()
+            return ("nop",)
+        if low == "values":
+            # VALUES expr INTO v  |  VALUES (e1, e2) INTO (v1, v2)
+            self.eat()
+            exprs = []
+            if self.at("("):
+                self.eat()
+                exprs.append(self.parse_expr())
+                while self.at(","):
+                    self.eat()
+                    exprs.append(self.parse_expr())
+                self.expect(")")
+            else:
+                exprs.append(self.parse_expr())
+            self.expect("into")
+            names = []
+            if self.at("("):
+                self.eat()
+                names.append(self.eat().text.lower())
+                while self.at(","):
+                    self.eat()
+                    names.append(self.eat().text.lower())
+                self.expect(")")
+            else:
+                names.append(self.eat().text.lower())
+                while self.at(","):
+                    self.eat()
+                    names.append(self.eat().text.lower())
+            return ("set_multi", list(zip(names, exprs)))
+        if low in ("function", "procedure", "proc"):
+            # Oracle-style routine definition without CREATE
+            return self.parse_routine(low == "function")
+        if low == "signal" and self.peek(1).kind == "ident":
+            self.eat()
+            return ("signal", self.eat().text.lower())
         if low == "begin":
             return self.parse_begin()
         if low == "return":
@@ -260,57 +323,98 @@ class Parser:
         return t.text
 
     def parse_declare(self):
+        """DECLARE — both the single-statement form and the Oracle-style
+        declaration section (name TYPE [:=|=|DEFAULT expr]; repeated up
+        to BEGIN), plus CURSOR declarations and MySQL-style CONTINUE
+        HANDLERs.  Items: ('var', names, init) | ('cursor', name, sql) |
+        ('handler', stmt)."""
         self.expect("declare")
-        if self.at("cursor"):  # DECLARE CURSOR c IS|FOR SELECT ...
-            self.eat()
-            name = self.eat().text.lower()
-            if self.at("is") or self.at("for"):
-                self.eat()
-            return ("declare_cursor", name, self.consume_sql_text())
-        decls = []
+        items: list = []
         while True:
-            names = [self.eat().text.lower()]
-            while self.at(","):
-                # lookahead: another name of the same type, or the next decl
-                save = self.i
+            if self.at("cursor"):  # CURSOR c IS|FOR SELECT ...
                 self.eat()
-                nxt = self.eat()
-                if self.at(",") or self.is_type_name(self.peek()) or (
-                    nxt.kind == "ident" and self.is_type_name(self.peek())
-                ):
-                    names.append(nxt.text.lower())
-                    continue
-                self.i = save
-                break
-            typ = self.eat().text.lower()  # type name (INT, STRING, ...)
-            # optional precision (e.g. VARCHAR(10), DECIMAL(10,2))
-            if self.at("("):
-                depth = 0
-                while True:
-                    tt = self.eat()
-                    if tt.text == "(":
-                        depth += 1
-                    elif tt.text == ")":
-                        depth -= 1
-                        if depth == 0:
-                            break
-            init = None
-            if self.at("default") or self.at("=") or self.at(":="):
+                name = self.eat().text.lower()
+                if self.at("is") or self.at("for"):
+                    self.eat()
+                items.append(("cursor", name, self.consume_sql_text()))
+            elif (self.at("continue") or self.at("exit")) and self.at("handler", 1):
+                # DECLARE CONTINUE|EXIT HANDLER FOR <condition> <stmt>
+                mode = self.eat().text.lower()
                 self.eat()
-                init = self.parse_expr()
-            decls.append((names, typ, init))
-            if self.at(","):
+                self.expect("for")
+                cond = self.eat().text.lower()  # sqlexception | a condition
+                items.append(("handler", mode, cond, self.parse_stmt()))
+            else:
+                items.append(("var", *self.parse_one_var_decl()))
+            self.skip_semi()
+            # declaration-section continuation: another `name TYPE ...`
+            t, t1 = self.peek(), self.peek(1)
+            if self.at("cursor") and t1.kind == "ident":
+                continue
+            if (self.at("continue") or self.at("exit")) and self.at("handler", 1):
+                continue
+            if self.at(","):  # DECLARE a INT, b STRING DEFAULT ... (one stmt)
                 self.eat()
                 continue
+            if (
+                t.kind == "ident"
+                and t.text.lower() not in ("open", "fetch", "close")
+                and (
+                    t1.text == ","
+                    or self.is_type_name(t1)
+                    or t1.text.lower() == "constant"
+                    or (t1.kind == "ident" and "." in t1.text)
+                )
+            ):
+                continue
             break
-        return ("declare", decls)
+        return ("declare", items)
+
+    def parse_one_var_decl(self):
+        """One `n1 [, n2 ...] [CONSTANT] TYPE[(p)] [NOT NULL] [init]`."""
+        names = [self.eat().text.lower()]
+        while self.at(","):
+            # lookahead: another name of the same type, or the next decl
+            save = self.i
+            self.eat()
+            nxt = self.eat()
+            if self.at(",") or self.is_type_name(self.peek()) or (
+                nxt.kind == "ident" and self.is_type_name(self.peek())
+            ):
+                names.append(nxt.text.lower())
+                continue
+            self.i = save
+            break
+        if self.at("constant"):
+            self.eat()
+        self.eat()  # type name (INT, STRING, UTL_FILE.FILE_TYPE, ...)
+        # optional precision (e.g. VARCHAR(10), DECIMAL(10,2))
+        if self.at("("):
+            depth = 0
+            while True:
+                tt = self.eat()
+                if tt.text == "(":
+                    depth += 1
+                elif tt.text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+        if self.at("not") and self.at("null", 1):
+            self.eat()
+            self.eat()
+        init = None
+        if self.at("default") or self.at("=") or self.at(":="):
+            self.eat()
+            init = self.parse_expr()
+        return (names, init)
 
     @staticmethod
     def is_type_name(t: Tok) -> bool:
         return t.text.lower() in (
             "int", "integer", "bigint", "smallint", "tinyint", "string",
-            "varchar", "char", "dec", "decimal", "number", "numeric",
-            "float", "double", "bool", "boolean", "date", "timestamp",
+            "varchar", "varchar2", "char", "dec", "decimal", "number",
+            "numeric", "float", "double", "bool", "boolean", "date",
+            "timestamp",
         )
 
     def parse_set(self):
@@ -346,6 +450,15 @@ class Parser:
         self.expect("if")
         branches = []
         cond = self.parse_expr()
+        if not self.at("then"):
+            # Transact-SQL form: IF cond <stmt|BEGIN..END> [ELSE <stmt|BEGIN..END>]
+            then_stmt = self.parse_stmt()
+            self.skip_semi()
+            else_body = []
+            if self.at("else"):
+                self.eat()
+                else_body = [self.parse_stmt()]
+            return ("if", [(cond, [then_stmt])], else_body)
         self.expect("then")
         body = self.parse_block_until("elsif", "elseif", "else", "end")
         branches.append((cond, body))
@@ -377,6 +490,11 @@ class Parser:
             self.expect("end")
             if self.at("while"):
                 self.eat()
+        elif self.at("begin"):
+            # Transact-SQL: WHILE cond BEGIN ... END
+            self.eat()
+            body = self.parse_block_until("end")
+            self.expect("end")
         else:
             raise SyntaxError(
                 f"HPL/SQL line {self.peek().line}: WHILE needs LOOP or DO"
@@ -402,11 +520,15 @@ class Parser:
         lo = self.parse_expr()
         self.expect("..")
         hi = self.parse_expr()
+        step = None
+        if self.at("by"):
+            self.eat()
+            step = self.parse_expr()
         self.expect("loop")
         body = self.parse_block_until("end")
         self.expect("end")
         self.expect("loop")
-        return ("for_range", var, reverse, lo, hi, body)
+        return ("for_range", var, reverse, lo, hi, step, body)
 
     def consume_cursor_sql(self) -> str:
         parts = []
@@ -429,10 +551,18 @@ class Parser:
         handler = None
         if self.at("exception"):
             self.eat()
-            self.expect("when")
-            self.expect("others")
-            self.expect("then")
-            handler = self.parse_block_until("end")
+            # one or more WHEN <condition|OTHERS> THEN blocks; all route
+            # to the same catch (named conditions beyond OTHERS are not
+            # distinguished — exception.sql only exercises the catch)
+            first = None
+            while self.at("when"):
+                self.eat()
+                self.eat()  # OTHERS or a condition name (NO_DATA_FOUND, ...)
+                self.expect("then")
+                block = self.parse_block_until("when", "end")
+                if first is None:
+                    first = block
+            handler = first or []
         self.expect("end")
         return ("begin", body, handler)
 
@@ -441,37 +571,67 @@ class Parser:
         if self.at("or"):
             self.eat()
             self.expect("replace")
-        if self.at("procedure") or self.at("function"):
+        if self.at("procedure") or self.at("function") or self.at("proc"):
             is_func = self.at("function")
             self.eat()
-            name = self.eat().text.lower()
-            params = []
-            if self.at("("):
-                self.eat()
-                while not self.at(")"):
-                    mode = "in"
-                    if self.peek().text.lower() in ("in", "out", "inout"):
-                        mode = self.eat().text.lower()
-                    pname = self.eat().text.lower()
-                    self.eat()  # type
-                    if self.at("("):
-                        while not self.at(")"):
-                            self.eat()
-                        self.eat()
-                    params.append((mode, pname))
-                    if self.at(","):
-                        self.eat()
-                self.expect(")")
-            if is_func and self.at("returns"):
-                self.eat()
-                self.eat()  # return type
-            if self.at("as") or self.at("is"):
-                self.eat()
-            body = self.parse_stmt()  # BEGIN block (or single stmt)
-            return ("create_routine", is_func, name, params, body)
+            return self.parse_routine(is_func, consumed_keyword=True)
         # any other CREATE → pass-through SQL
         self.i -= 1
         return ("sql", self.consume_sql_text())
+
+    def parse_routine(self, is_func: bool, consumed_keyword: bool = False):
+        """Routine signature + optional declaration section + body.
+        Handles CREATE PROCEDURE/FUNCTION and the bare Oracle
+        ``FUNCTION name(...) RETURN type AS <decls> BEGIN...END`` form."""
+        if not consumed_keyword:
+            self.eat()  # FUNCTION | PROCEDURE
+        name = self.eat().text.lower()
+        params = []
+        if self.at("("):
+            self.eat()
+            while not self.at(")"):
+                mode = "in"
+                if self.peek().text.lower() in ("in", "out", "inout"):
+                    mode = self.eat().text.lower()
+                pname = self.eat().text.lower()
+                self.eat()  # type
+                if self.at("("):
+                    while not self.at(")"):
+                        self.eat()
+                    self.eat()
+                params.append((mode, pname))
+                if self.at(","):
+                    self.eat()
+            self.expect(")")
+        if self.at("returns") or self.at("return"):
+            self.eat()
+            self.eat()  # return type
+            if self.at("("):
+                while not self.at(")"):
+                    self.eat()
+                self.eat()
+        if self.at("as") or self.at("is"):
+            self.eat()
+        pre = []
+        if self.at("declare"):
+            pre.append(self.parse_declare())
+            self.skip_semi()
+        # Oracle AS/IS section: bare local decls before BEGIN
+        while (
+            not self.at("begin")
+            and self.peek().kind == "ident"
+            and (
+                self.is_type_name(self.peek(1))
+                or self.peek(1).text == ","
+                or self.peek(1).text.lower() == "constant"
+            )
+        ):
+            pre.append(("declare", [("var", *self.parse_one_var_decl())]))
+            self.skip_semi()
+        body = self.parse_stmt()  # BEGIN block (or single stmt)
+        if pre:
+            body = ("seq", pre + [body])
+        return ("create_routine", is_func, name, params, body)
 
     def parse_select_stmt(self):
         """SELECT ... [INTO v1, v2, ...] FROM ... — detect INTO at the
@@ -539,7 +699,7 @@ class Parser:
     def parse_cmp(self):
         left = self.parse_add()
         t = self.peek()
-        if t.text in ("=", "==", "<>", "!=", "<", ">", "<=", ">="):
+        if t.kind == "op" and t.text in ("=", "==", "<>", "!=", "<", ">", "<=", ">="):
             op = self.eat().text
             return ("cmp", op, left, self.parse_add())
         if self.at("between"):
@@ -559,24 +719,34 @@ class Parser:
         return left
 
     def parse_add(self):
-        left = self.parse_mul()
-        while self.peek().text in ("+", "-", "||"):
+        left = self.parse_mul_with_unit()
+        while self.peek().kind == "op" and self.peek().text in ("+", "-", "||"):
             op = self.eat().text
-            left = ("bin", op, left, self.parse_mul())
+            left = ("bin", op, left, self.parse_mul_with_unit())
         return left
+
+    def parse_mul_with_unit(self):
+        """A multiplicative operand with an optional interval-unit
+        suffix: ``1 DAY``, ``NVL(NULL, 3) DAYS`` (interval.sql)."""
+        e = self.parse_mul()
+        t = self.peek()
+        if t.kind in ("ident", "kw") and t.text.lower() in _UNITS:
+            unit = _UNITS[self.eat().text.lower()]
+            return ("interval_of", e, unit)
+        return e
 
     def parse_mul(self):
         left = self.parse_unary()
-        while self.peek().text in ("*", "/", "%"):
+        while self.peek().kind == "op" and self.peek().text in ("*", "/", "%"):
             op = self.eat().text
             left = ("bin", op, left, self.parse_unary())
         return left
 
     def parse_unary(self):
-        if self.peek().text == "-":
+        if self.peek().kind == "op" and self.peek().text == "-":
             self.eat()
             return ("neg", self.parse_unary())
-        if self.peek().text == "+":
+        if self.peek().kind == "op" and self.peek().text == "+":
             self.eat()
             return self.parse_unary()
         return self.parse_primary()
@@ -605,9 +775,58 @@ class Parser:
             return e
         if self.at("case"):
             return self.parse_case()
+        # typed literals: DATE '...', TIMESTAMP '...', INTERVAL 'n' unit
+        if self.at("date") and self.peek(1).kind == "str":
+            self.eat()
+            return ("date_lit", self.eat().text)
+        if self.at("timestamp") and self.peek(1).kind == "str":
+            self.eat()
+            return ("timestamp_lit", self.eat().text)
+        if self.at("interval") and self.peek(1).kind in ("str", "num"):
+            self.eat()
+            n = self.eat().text
+            unit_tok = self.eat()
+            unit = _UNITS.get(unit_tok.text.lower())
+            if unit is None:
+                raise SyntaxError(
+                    f"HPL/SQL line {unit_tok.line}: unknown interval unit "
+                    f"{unit_tok.text!r}"
+                )
+            return ("interval_of", ("lit", int(n)), unit)
+        if self.at("cast") and self.peek(1).text == "(":
+            self.eat()
+            self.eat()
+            e = self.parse_expr()
+            self.expect("as")
+            typ = self.eat().text.lower()
+            prec = None
+            if self.at("("):
+                self.eat()
+                prec = int(self.eat().text)
+                while not self.at(")"):
+                    self.eat()
+                self.expect(")")
+            self.expect(")")
+            return ("cast", e, typ, prec)
         if t.kind in ("ident", "kw"):
             self.eat()
             if self.at("("):
+                # SUBSTRING(x FROM start [FOR len]) ANSI form
+                if t.text.lower() in ("substr", "substring"):
+                    save = self.i
+                    self.eat()
+                    first = self.parse_expr()
+                    if self.at("from"):
+                        self.eat()
+                        start = self.parse_expr()
+                        length = None
+                        if self.at("for"):
+                            self.eat()
+                            length = self.parse_expr()
+                        self.expect(")")
+                        args = [first, start] + ([length] if length else [])
+                        return ("fn", "substr", args)
+                    self.i = save
                 args = self.parse_call_args()
                 return ("fn", t.text.lower(), args)
             # cursor attributes: c%ISOPEN / c%FOUND / c%NOTFOUND / c%ROWCOUNT
@@ -641,6 +860,10 @@ class Parser:
 
 
 # -------------------------------------------------------------- interpreter
+class _Signal(Exception):
+    """A raised HPL/SQL condition (SIGNAL <condition>)."""
+
+
 class _Exit(Exception):
     def __init__(self, label: Optional[str]):
         self.label = label
@@ -660,6 +883,85 @@ class Routine:
     is_func: bool
     params: list
     body: Any
+
+
+class _Ts:
+    """datetime wrapper carrying the literal's fractional-digit scale:
+    the reference's Var displays a timestamp with the scale of its
+    source literal (interval.out.txt: TIMESTAMP '2015-03-12' - 1 DAY -
+    1 MICROSECOND prints without a fraction, while the '.000' literal
+    shows '.999')."""
+
+    __slots__ = ("dt", "scale")
+
+    def __init__(self, dt, scale: int):
+        self.dt = dt
+        self.scale = scale
+
+    def __add__(self, other):
+        return _Ts(self.dt + other, self.scale)
+
+    def __sub__(self, other):
+        return _Ts(self.dt - other, self.scale)
+
+    def __eq__(self, other):
+        o = other.dt if isinstance(other, _Ts) else other
+        return self.dt == o
+
+    def __lt__(self, other):
+        o = other.dt if isinstance(other, _Ts) else other
+        return self.dt < o
+
+    def __le__(self, other):
+        return self < other or self == other
+
+    def __gt__(self, other):
+        return not self <= other
+
+    def __ge__(self, other):
+        return not self < other
+
+    def __hash__(self):
+        return hash(self.dt)
+
+
+@dataclass
+class _Interval:
+    """Interval value for date/timestamp arithmetic (1 DAY, 3 DAYS, ...)."""
+
+    delta: Any  # datetime.timedelta
+
+
+def _parse_date(s: str):
+    import datetime as dt
+
+    return dt.date.fromisoformat(s.strip())
+
+
+def _parse_timestamp(s: str):
+    """Timestamp literal: 'YYYY-MM-DD[ HH:MM:SS[.f...]]' plus the DB2
+    dashed form 'YYYY-MM-DD-HH.MM.SS.fff' (timestamp.sql).  Fractions
+    truncate to millisecond precision, as the reference's Var does."""
+    import datetime as dt
+
+    s = s.strip()
+    m = re.match(r"^(\d{4}-\d{2}-\d{2})-(\d{2})\.(\d{2})\.(\d{2})(?:\.(\d+))?$", s)
+    if m:  # DB2 dashed form
+        s = f"{m.group(1)} {m.group(2)}:{m.group(3)}:{m.group(4)}"
+        if m.group(5):
+            s += f".{m.group(5)}"
+    if " " not in s:
+        d = dt.date.fromisoformat(s)
+        return _Ts(dt.datetime(d.year, d.month, d.day), 0)
+    datepart, timepart = s.split(" ", 1)
+    frac, scale = 0, 0
+    if "." in timepart:
+        timepart, fracs = timepart.split(".", 1)
+        scale = min(len(fracs), 3)
+        frac = int(fracs[:3].ljust(3, "0")) * 1000  # µs, ms precision
+    hh, mm, ss = (int(x) for x in timepart.split(":"))
+    d = dt.date.fromisoformat(datepart)
+    return _Ts(dt.datetime(d.year, d.month, d.day, hh, mm, ss, frac), scale)
 
 
 @dataclass
@@ -687,12 +989,16 @@ class HplsqlInterpreter:
     vars: dict[str, Any] = field(default_factory=dict)
     routines: dict[str, Routine] = field(default_factory=dict)
     cursors: dict[str, Cursor] = field(default_factory=dict)
+    handler_stack: list = field(default_factory=list)
     last_select: Any = None  # DataFrame of the last top-level SELECT
 
     # -- entry point
     def run(self, src: str) -> list[str]:
         stmts = Parser(tokenize(src)).parse_program()
-        self.exec_block(stmts)
+        try:
+            self.exec_guarded(stmts)
+        except _Return:
+            pass  # top-level RETURN ends the script (return.sql)
         return self.output
 
     # -- statements
@@ -700,13 +1006,57 @@ class HplsqlInterpreter:
         for s in stmts:
             self.exec_stmt(s)
 
+    def exec_guarded(self, stmts: list) -> None:
+        """Run statements under a fresh DECLARE ... HANDLER scope
+        (MySQL-style): on an exception, a CONTINUE handler runs and the
+        block proceeds; an EXIT handler runs and the block ends."""
+        self.handler_stack.append([])
+        try:
+            for stmt in stmts:
+                try:
+                    self.exec_stmt(stmt)
+                except (_Exit, _Continue, _Return):
+                    raise
+                except Exception as exc:
+                    # a handler fires for its named condition, or for any
+                    # error when declared FOR SQLEXCEPTION/OTHERS
+                    sig = exc.args[0] if isinstance(exc, _Signal) else None
+                    fired = [
+                        (mode, h)
+                        for mode, cond, h in self.handler_stack[-1]
+                        if (sig is not None and cond == sig)
+                        or (sig is None and cond in ("sqlexception", "others"))
+                    ]
+                    if not fired:
+                        raise
+                    stop = False
+                    for mode, h in fired:
+                        self.exec_stmt(h)
+                        stop = stop or mode == "exit"
+                    if stop:
+                        return
+        finally:
+            self.handler_stack.pop()
+
     def exec_stmt(self, s) -> None:
         kind = s[0]
         if kind == "declare":
-            for names, _typ, init in s[1]:
-                val = self.eval(init) if init is not None else None
-                for n in names:
-                    self.vars[n] = val
+            for item in s[1]:
+                if item[0] == "var":
+                    _, names, init = item
+                    val = self.eval(init) if init is not None else None
+                    for n in names:
+                        self.vars[n] = val
+                elif item[0] == "cursor":
+                    self.cursors[item[1]] = Cursor(sql=item[2])
+                elif item[0] == "handler":
+                    if self.handler_stack:
+                        self.handler_stack[-1].append(item[1:])
+        elif kind == "seq":
+            for sub in s[1]:
+                self.exec_stmt(sub)
+        elif kind == "nop":
+            pass
         elif kind == "assign":
             self.vars[s[1]] = self.eval(s[2])
         elif kind == "set_multi":
@@ -715,7 +1065,18 @@ class HplsqlInterpreter:
         elif kind == "print":
             self.output.append(self.fmt(self.eval(s[1])))
         elif kind == "exprstmt":
-            v = self.eval(s[1])
+            e = s[1]
+            # a bare routine invocation statement (`sp1;` / `sp1();`)
+            # prints nothing unless the routine returns a value
+            name = e[1] if e[0] in ("var", "fn") else None
+            if name in self.routines:
+                ret = self.call_routine(
+                    name, e[2] if e[0] == "fn" else []
+                )
+                if ret is not None:
+                    self.output.append(self.fmt(ret))
+                return
+            v = self.eval(e)
             if v is not _SILENT:
                 self.output.append(self.fmt(v))
         elif kind == "declare_cursor":
@@ -771,15 +1132,16 @@ class HplsqlInterpreter:
             raise _Continue()
         elif kind == "begin":
             _, body, handler = s
-            if handler is None:
-                self.exec_block(body)
-            else:
-                try:
-                    self.exec_block(body)
-                except (_Exit, _Continue, _Return):
+            try:
+                self.exec_guarded(body)
+            except (_Exit, _Continue, _Return):
+                raise
+            except Exception:
+                if handler is None:
                     raise
-                except Exception:
-                    self.exec_block(handler)
+                self.exec_block(handler)
+        elif kind == "signal":
+            raise _Signal(s[1])
         elif kind == "return":
             raise _Return(self.eval(s[1]) if s[1] is not None else None)
         elif kind == "create_routine":
@@ -824,9 +1186,10 @@ class HplsqlInterpreter:
                 continue
 
     def loop_range(self, s) -> None:
-        _, var, reverse, lo_e, hi_e, body = s
+        _, var, reverse, lo_e, hi_e, step_e, body = s
         lo, hi = int(self.eval(lo_e)), int(self.eval(hi_e))
-        rng = range(lo, hi - 1, -1) if reverse else range(lo, hi + 1)
+        step = int(self.eval(step_e)) if step_e is not None else 1
+        rng = range(lo, hi - 1, -step) if reverse else range(lo, hi + 1, step)
         saved = self.vars.get(var, _MISSING := object())
         try:
             for i in rng:
@@ -884,6 +1247,17 @@ class HplsqlInterpreter:
         kind = e[0]
         if kind == "lit":
             return e[1]
+        if kind == "date_lit":
+            return _parse_date(e[1])
+        if kind == "timestamp_lit":
+            return _parse_timestamp(e[1])
+        if kind == "interval_of":
+            import datetime as _dt
+
+            n = self.eval(e[1])
+            return _Interval(_dt.timedelta(**{e[2]: float(n)}))
+        if kind == "cast":
+            return self.eval_cast(self.eval(e[1]), e[2], e[3])
         if kind == "var":
             name = e[1]
             if name in self.vars:
@@ -964,14 +1338,29 @@ class HplsqlInterpreter:
 
     @staticmethod
     def binop(op: str, a, b):
+        import datetime as dt
+
         if op == "||":
-            # Oracle-style concat: NULL operands act as empty strings
-            # (hplsql Var.java string concat), matching create_procedure.sql
+            # Oracle-style concat: a NULL operand acts as an empty string
+            # unless ALL operands are NULL (expr.sql: null||null → null)
+            if a is None and b is None:
+                return None
             sa = "" if a is None else HplsqlInterpreter.fmt(a)
             sb = "" if b is None else HplsqlInterpreter.fmt(b)
             return sa + sb
         if a is None or b is None:
             return None
+        # date/timestamp arithmetic: ± INTERVAL, ± int days (add.sql)
+        if isinstance(b, _Interval) and isinstance(a, (dt.date, dt.datetime, _Ts)):
+            if op == "+":
+                return a + b.delta
+            if op == "-":
+                return a - b.delta
+            raise NotImplementedError(f"date {op} interval")
+        if isinstance(a, (dt.date, dt.datetime, _Ts)) and isinstance(b, int):
+            return a + dt.timedelta(days=b) if op == "+" else a - dt.timedelta(days=b)
+        if isinstance(b, (dt.date, dt.datetime, _Ts)) and isinstance(a, int) and op == "+":
+            return b + dt.timedelta(days=a)
         if op == "+":
             return a + b
         if op == "-":
@@ -1009,6 +1398,8 @@ class HplsqlInterpreter:
 
     @staticmethod
     def fmt(v) -> str:
+        import datetime as dt
+
         if v is None:
             return "null"
         if v is True:
@@ -1017,7 +1408,35 @@ class HplsqlInterpreter:
             return "false"
         if isinstance(v, float) and v.is_integer():
             return str(int(v))
+        if isinstance(v, _Ts):
+            base = v.dt.strftime("%Y-%m-%d %H:%M:%S")
+            if v.scale and v.dt.microsecond:
+                base += f".{v.dt.microsecond // 1000:03d}"
+            return base
+        if isinstance(v, dt.datetime):
+            base = v.strftime("%Y-%m-%d %H:%M:%S")
+            if v.microsecond:
+                base += f".{v.microsecond // 1000:03d}"
+            return base
+        if isinstance(v, dt.date):
+            return v.isoformat()
         return str(v)
+
+    def eval_cast(self, v, typ: str, prec: Optional[int]):
+        if v is None:
+            return None
+        if typ in ("char", "varchar", "varchar2", "string"):
+            s = self.fmt(v)
+            return s[:prec] if prec is not None else s
+        if typ in ("int", "integer", "bigint", "smallint", "tinyint"):
+            return int(float(v)) if not isinstance(v, int) else v
+        if typ in ("float", "double", "dec", "decimal", "number", "numeric"):
+            return float(v)
+        if typ == "date":
+            return _parse_date(self.fmt(v)[:10])
+        if typ == "timestamp":
+            return _parse_timestamp(self.fmt(v))
+        raise NotImplementedError(f"CAST AS {typ}")
 
     # -- builtin functions (GenericUDF-compatible local forms)
     def call_fn(self, name: str, arg_exprs: list):
@@ -1031,7 +1450,11 @@ class HplsqlInterpreter:
             vals = [self.fmt(a) for a in args if a is not None]
             return "".join(vals) if vals else None
         if name in ("nvl", "ifnull", "isnull_fn"):
-            return args[0] if args[0] is not None else args[1]
+            # hplsql's NVL is N-ary first-non-null (nvl.sql)
+            for a in args:
+                if a is not None:
+                    return a
+            return None
         if name == "nvl2":
             return args[1] if args[0] is not None else args[2]
         if name == "coalesce":
@@ -1053,8 +1476,10 @@ class HplsqlInterpreter:
             return None if args[0] is None else str(args[0]).upper()
         if name == "lower":
             return None if args[0] is None else str(args[0]).lower()
-        if name in ("length", "len"):
+        if name == "length":
             return None if args[0] is None else len(str(args[0]))
+        if name == "len":  # T-SQL LEN: trailing blanks excluded (len.sql)
+            return None if args[0] is None else len(str(args[0]).rstrip())
         if name in ("substr", "substring"):
             s = args[0]
             if s is None:
@@ -1066,9 +1491,22 @@ class HplsqlInterpreter:
                 return s[idx : idx + int(args[2])]
             return s[idx:]
         if name == "instr":
+            # Oracle INSTR(str, sub[, pos[, occurrence]]) incl. negative
+            # pos = backward search (instr.sql battery)
             if args[0] is None or args[1] is None:
                 return None
-            return str(args[0]).find(str(args[1])) + 1
+            s, sub = str(args[0]), str(args[1])
+            pos = int(args[2]) if len(args) > 2 else 1
+            occ = int(args[3]) if len(args) > 3 else 1
+            starts, i = [], s.find(sub)
+            while i != -1:
+                starts.append(i)
+                i = s.find(sub, i + 1)
+            if pos >= 0:
+                cands = [p for p in starts if p >= pos - 1]
+            else:
+                cands = [p for p in starts if p <= len(s) + pos][::-1]
+            return cands[occ - 1] + 1 if occ <= len(cands) else 0
         if name == "trim":
             return None if args[0] is None else str(args[0]).strip()
         if name == "replace":
@@ -1081,6 +1519,41 @@ class HplsqlInterpreter:
             if args[0] is None or args[1] is None:
                 return None
             return args[0] % args[1]
+        if name == "char":  # value → string (char.sql, float.sql)
+            return None if args[0] is None else self.fmt(args[0])
+        if name == "to_char":
+            # single-arg form: default string conversion (to_char.sql)
+            return None if args[0] is None else self.fmt(args[0])
+        if name == "date":
+            v = args[0]
+            if v is None:
+                return None
+            return _parse_date(self.fmt(v)[:10])
+        if name == "timestamp_iso":
+            return None if args[0] is None else _parse_timestamp(self.fmt(args[0]))
+        if name == "to_timestamp":
+            if args[0] is None:
+                return None
+            if len(args) == 1:
+                return _parse_timestamp(self.fmt(args[0]))
+            import datetime as _dt
+
+            # Oracle-style picture → strptime (to_timestamp.sql)
+            fmt = args[1]
+            for pat, rep in (
+                ("YYYY", "%Y"), ("yyyy", "%Y"), ("MM", "%m"), ("mm", "%m"),
+                ("DD", "%d"), ("dd", "%d"), ("HH24", "%H"), ("hh24", "%H"),
+                ("MI", "%M"), ("mi", "%M"), ("SS", "%S"), ("ss", "%S"),
+            ):
+                fmt = fmt.replace(pat, rep)
+            parsed = _dt.datetime.strptime(str(args[0]), fmt)
+            scale = 3 if "%S" in fmt else 0
+            return _Ts(parsed, scale)
+        if name == "current_date" or name == "sysdate":
+            raise NameError(
+                "HPL/SQL: current_date/sysdate are non-deterministic — "
+                "query the engine (SELECT current_date) instead"
+            )
         # unknown → engine semantics win (one-row SELECT fallback)
         if self.engine is None:
             raise NameError(f"HPL/SQL: unknown function {name!r} (no engine)")
