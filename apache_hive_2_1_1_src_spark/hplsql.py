@@ -575,9 +575,92 @@ class Parser:
             is_func = self.at("function")
             self.eat()
             return self.parse_routine(is_func, consumed_keyword=True)
+        if self.at("package"):
+            return self.parse_package()
         # any other CREATE → pass-through SQL
         self.i -= 1
         return ("sql", self.consume_sql_text())
+
+    def parse_package(self):
+        """CREATE [OR REPLACE] PACKAGE [BODY] name AS|IS <items> END —
+        items are package variables, routine signatures (spec) and full
+        routine definitions (body).  Package state lives in the
+        interpreter's variable map under ``pkg.var`` names."""
+        self.expect("package")
+        is_body = False
+        if self.at("body"):
+            self.eat()
+            is_body = True
+        name = self.eat().text.lower()
+        if self.at("as") or self.at("is"):
+            self.eat()
+        items: list = []
+        while not self.at("end"):
+            if self.at("function") or self.at("procedure") or self.at("proc"):
+                is_func = self.at("function")
+                self.eat()
+                rname = self.eat().text.lower()
+                params = self.parse_routine_params()
+                if self.at("returns") or self.at("return"):
+                    self.eat()
+                    self.eat()
+                    if self.at("("):
+                        while not self.at(")"):
+                            self.eat()
+                        self.eat()
+                if self.at(";") or not (
+                    self.at("is") or self.at("as") or self.at("begin")
+                    or self.at("declare")
+                ):
+                    # spec: signature only
+                    self.skip_semi()
+                    continue
+                if self.at("as") or self.at("is"):
+                    self.eat()
+                pre = []
+                if self.at("declare"):
+                    pre.append(self.parse_declare())
+                    self.skip_semi()
+                while (
+                    not self.at("begin")
+                    and self.peek().kind == "ident"
+                    and (
+                        self.is_type_name(self.peek(1))
+                        or self.peek(1).text == ","
+                        or self.peek(1).text.lower() == "constant"
+                    )
+                ):
+                    pre.append(("declare", [("var", *self.parse_one_var_decl())]))
+                    self.skip_semi()
+                body = self.parse_stmt()
+                if pre:
+                    body = ("seq", pre + [body])
+                items.append(("routine", is_func, rname, params, body))
+            else:
+                items.append(("var", *self.parse_one_var_decl()))
+            self.skip_semi()
+        self.expect("end")
+        return ("create_package", name, is_body, items)
+
+    def parse_routine_params(self) -> list:
+        params = []
+        if self.at("("):
+            self.eat()
+            while not self.at(")"):
+                mode = "in"
+                if self.peek().text.lower() in ("in", "out", "inout"):
+                    mode = self.eat().text.lower()
+                pname = self.eat().text.lower()
+                self.eat()  # type
+                if self.at("("):
+                    while not self.at(")"):
+                        self.eat()
+                    self.eat()
+                params.append((mode, pname))
+                if self.at(","):
+                    self.eat()
+            self.expect(")")
+        return params
 
     def parse_routine(self, is_func: bool, consumed_keyword: bool = False):
         """Routine signature + optional declaration section + body.
@@ -883,6 +966,7 @@ class Routine:
     is_func: bool
     params: list
     body: Any
+    pkg: Optional[str] = None
 
 
 class _Ts:
@@ -990,6 +1074,8 @@ class HplsqlInterpreter:
     routines: dict[str, Routine] = field(default_factory=dict)
     cursors: dict[str, Cursor] = field(default_factory=dict)
     handler_stack: list = field(default_factory=list)
+    pkg_stack: list = field(default_factory=list)
+    pkg_vars: set = field(default_factory=set)
     last_select: Any = None  # DataFrame of the last top-level SELECT
 
     # -- entry point
@@ -1058,10 +1144,10 @@ class HplsqlInterpreter:
         elif kind == "nop":
             pass
         elif kind == "assign":
-            self.vars[s[1]] = self.eval(s[2])
+            self.vars[self.resolve_write(s[1])] = self.eval(s[2])
         elif kind == "set_multi":
             for name, expr in s[1]:
-                self.vars[name] = self.eval(expr)
+                self.vars[self.resolve_write(name)] = self.eval(expr)
         elif kind == "print":
             self.output.append(self.fmt(self.eval(s[1])))
         elif kind == "exprstmt":
@@ -1069,7 +1155,8 @@ class HplsqlInterpreter:
             # a bare routine invocation statement (`sp1;` / `sp1();`)
             # prints nothing unless the routine returns a value
             name = e[1] if e[0] in ("var", "fn") else None
-            if name in self.routines:
+            name = self.resolve_routine(name) if name else None
+            if name is not None:
                 ret = self.call_routine(
                     name, e[2] if e[0] == "fn" else []
                 )
@@ -1144,11 +1231,25 @@ class HplsqlInterpreter:
             raise _Signal(s[1])
         elif kind == "return":
             raise _Return(self.eval(s[1]) if s[1] is not None else None)
+        elif kind == "create_package":
+            _, pname, _is_body, items = s
+            for item in items:
+                if item[0] == "var":
+                    _, names, init = item
+                    val = self.eval(init) if init is not None else None
+                    for n in names:
+                        self.vars[f"{pname}.{n}"] = val
+                        self.pkg_vars.add(f"{pname}.{n}")
+                else:
+                    _, is_func, rname, params, body = item
+                    self.routines[f"{pname}.{rname}"] = Routine(
+                        is_func, params, body, pkg=pname
+                    )
         elif kind == "create_routine":
             _, is_func, name, params, body = s
             self.routines[name] = Routine(is_func, params, body)
         elif kind == "call":
-            self.call_routine(s[1], s[2])
+            self.call_routine(self.resolve_routine(s[1]) or s[1], s[2])
         elif kind == "execute_immediate":
             sql = self.eval(s[1])
             self.last_select = self.sql(sql)
@@ -1221,6 +1322,28 @@ class HplsqlInterpreter:
             except _Continue:
                 continue
 
+    def resolve_write(self, name: str) -> str:
+        """Assignment target: an existing local wins, else the enclosing
+        package's variable (users.add writing session_count), else a new
+        local of that name."""
+        if name in self.vars:
+            return name
+        if self.pkg_stack:
+            q = f"{self.pkg_stack[-1]}.{name}"
+            if q in self.vars:
+                return q
+        return name
+
+    def resolve_routine(self, name: str) -> Optional[str]:
+        """Routine lookup incl. the enclosing package's namespace."""
+        if name in self.routines:
+            return name
+        if self.pkg_stack:
+            q = f"{self.pkg_stack[-1]}.{name}"
+            if q in self.routines:
+                return q
+        return None
+
     def call_routine(self, name: str, arg_exprs: list):
         r = self.routines.get(name)
         if r is None:
@@ -1231,13 +1354,22 @@ class HplsqlInterpreter:
             if mode in ("out", "inout") and aexpr[0] == "var":
                 out_bindings.append((pname, aexpr[1]))
             self.vars[pname] = None if mode == "out" else self.eval(aexpr)
+        self.pkg_stack.append(r.pkg)
         ret = None
         try:
             self.exec_stmt(r.body)
         except _Return as e:
             ret = e.value
+        finally:
+            self.pkg_stack.pop()
         out_vals = {p: self.vars.get(p) for p, _ in out_bindings}
+        # package state mutated inside the call survives the local-var
+        # restore (users.add incrementing users.session_count)
+        pkg_updates = {
+            k: v for k, v in self.vars.items() if k in self.pkg_vars
+        }
         self.vars = saved
+        self.vars.update(pkg_updates)
         for pname, caller_var in out_bindings:
             self.vars[caller_var] = out_vals[pname]
         return ret
@@ -1262,8 +1394,13 @@ class HplsqlInterpreter:
             name = e[1]
             if name in self.vars:
                 return self.vars[name]
-            if name in self.routines and self.routines[name].is_func:
-                return self.call_routine(name, [])
+            if self.pkg_stack:
+                q = f"{self.pkg_stack[-1]}.{name}"
+                if q in self.vars:
+                    return self.vars[q]
+            rn = self.resolve_routine(name)
+            if rn is not None and self.routines[rn].is_func:
+                return self.call_routine(rn, [])
             raise NameError(f"HPL/SQL: undefined variable {name!r}")
         if kind == "neg":
             v = self.eval(e[1])
@@ -1440,8 +1577,9 @@ class HplsqlInterpreter:
 
     # -- builtin functions (GenericUDF-compatible local forms)
     def call_fn(self, name: str, arg_exprs: list):
-        if name in self.routines:
-            return self.call_routine(name, arg_exprs)
+        rn = self.resolve_routine(name)
+        if rn is not None:
+            return self.call_routine(rn, arg_exprs)
         args = [self.eval(a) for a in arg_exprs]
         if name == "dbms_output.put_line":  # statement-style: prints, no value
             self.output.append(self.fmt(args[0]) if args else "")

@@ -9,11 +9,14 @@ way a reader of those files would: the ``Ln:N`` statement-trace lines
 and ``EXEC FUNCTION/PROCEDURE`` trace lines are execution-log noise,
 the remaining lines are the script's actual PRINT stream.
 
-62 of the 68 scripts with goldens pass byte-for-byte.  The six
-exclusions are whole dialect features deliberately out of subset:
-packages (create_package, create_package2), the BTEQ dot-command
-dialect (if3_bteq), file inclusion (include, var_scope), and exotic
-quoted/@/#-prefixed identifiers (lang).
+63 of the 68 scripts with goldens pass byte-for-byte.  The five
+exclusions: the BTEQ dot-command dialect (if3_bteq), file inclusion
+(include, var_scope), exotic quoted/@/#-prefixed identifiers (lang),
+and create_package — whose golden records the reference LOSING the
+function's return value (``pack1.f1:`` printed empty where
+f1 = p1+p2+a+b = 12); packages themselves work (create_package2
+passes) and we deliberately return the correct value instead of
+reproducing that defect.
 
 Skips cleanly when the reference checkout is not present.
 """
@@ -32,7 +35,7 @@ BASE = "/root/reference/hplsql/src/test"
 PASSING = """
 add assign bool bool_expr break case cast char coalesce concat
 create_function create_function2 create_function3 create_function4
-create_procedure create_procedure2 create_procedure3
+create_package2 create_procedure create_procedure2 create_procedure3
 create_procedure_no_params datatypes date dbms_output declare declare2
 declare3 declare_condition declare_condition2 decode equal exception
 exception_divide_by_zero exit expr float for_range if if2 instr
@@ -63,6 +66,6 @@ def test_reference_local_script(name):
 
 
 def test_coverage_floor():
-    """At least 62 of the reference's local scripts must stay pinned —
+    """At least 63 of the reference's local scripts must stay pinned —
     a shrinking PASSING list is a regression, not a cleanup."""
-    assert len(PASSING) >= 62
+    assert len(PASSING) >= 63
