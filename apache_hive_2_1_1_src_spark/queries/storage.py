@@ -682,6 +682,65 @@ def q214_multidelimit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q215_alter_concatenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... CONCATENATE (DDLTask.mergeFiles;
+    DDLSemanticAnalyzer.analyzeAlterTablePartMergeFiles; exercised by
+    clientpositive/alter_merge*.q): compact a table written as many
+    small files into ~merge-size files with identical data.  The result
+    digests the post-merge table and certifies ``files_merged`` (file
+    count strictly dropped to the computed target) and ``data_ok``
+    (pre/post exceptAll empty both ways) — the small-files compaction
+    story at 100 TB."""
+    import glob as _glob
+
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    tbl = f"concat_demo_{_PID}"
+    drop_table(spark, tbl)
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # 16 shuffle partitions → 16 small files: the problem case
+    src.repartition(16).write.saveAsTable(tbl)
+
+    def file_count() -> int:
+        loc = next(
+            r.data_type
+            for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+            if r.col_name == "Location"
+        ).replace("file:", "")
+        return len(
+            [
+                f
+                for f in _glob.glob(loc + "/*")
+                if not f.rsplit("/", 1)[-1].startswith(("_", "."))
+            ]
+        )
+
+    before_files = file_count()
+    before = spark.table(tbl).localCheckpoint()
+    eng.sql(f"ALTER TABLE {tbl} CONCATENATE")
+    after_files = file_count()
+    after = spark.table(tbl)
+    data_ok = (
+        before.exceptAll(after).count() == 0
+        and after.exceptAll(before).count() == 0
+    )
+    return (
+        after.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("files_merged", F.lit(bool(before_files > after_files)))
+        .withColumn("merged_to_one", F.lit(bool(after_files == 1)))
+        .withColumn("data_ok", F.lit(bool(data_ok)))
+        .orderBy("o_orderstatus")
+    )
+
+
 def q176_show_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW command family (HiveParser.g SHOW grammar;
     DDLSemanticAnalyzer → ShowTablesDesc/ShowColumnsDesc/ShowFunctionsDesc,
@@ -1321,6 +1380,7 @@ def q208_multi_insert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q215_alter_concatenate": q215_alter_concatenate,
     "q214_multidelimit_roundtrip": q214_multidelimit_roundtrip,
     "q211_rcfile_roundtrip": q211_rcfile_roundtrip,
     "q208_multi_insert_sql": q208_multi_insert_sql,
@@ -1363,6 +1423,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q215_alter_concatenate": """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               TRUE AS files_merged, TRUE AS merged_to_one, TRUE AS data_ok
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "q214_multidelimit_roundtrip": """
         SELECT CASE WHEN o_orderkey % 5 <> 0 THEN o_orderpriority END AS prio,
                COUNT(*) AS n,

@@ -201,6 +201,52 @@ class HiveEngine:
         r"^\s*DROP\s+TEMPORARY\s+MACRO\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
         re.IGNORECASE,
     )
+    _CONCATENATE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+CONCATENATE\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _alter_table_concatenate(self, tbl: str):
+        """ALTER TABLE ... CONCATENATE (DDLTask.mergeFiles,
+        ql/.../parse/DDLSemanticAnalyzer.java analyzeAlterTablePartMergeFiles):
+        merge a table's small files into ~hive.merge.size.per.task-sized
+        ones (256 MB default).  Data-identical rewrite: stage the rows to
+        a temp location coalesced to the target file count, then swap
+        into the table — the stage hop avoids reading and overwriting the
+        same files in one job.  At scale this is the small-files
+        compaction an ingest-heavy warehouse runs continuously."""
+        import math
+        import os
+        import shutil
+        import tempfile
+
+        merge_size = int(
+            getattr(self, "_vars", {}).get(
+                "hive.merge.size.per.task", str(256 * 1024 * 1024)
+            )
+        )
+        location = next(
+            r.data_type
+            for r in self.spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+            if r.col_name == "Location"
+        ).replace("file:", "")
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(location)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+        target = max(1, math.ceil(total_bytes / merge_size))
+        stage = tempfile.mkdtemp(prefix="concat_stage_")
+        try:
+            self.spark.table(tbl).coalesce(target).write.mode("overwrite").parquet(
+                stage
+            )
+            staged = self.spark.read.parquet(stage)
+            staged.write.mode("overwrite").saveAsTable(tbl)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        return self.spark.range(0).select()
 
     def _expand_macros(self, text: str) -> str:
         """Expand CREATE TEMPORARY MACRO definitions (HIVE-2655;
@@ -309,6 +355,9 @@ class HiveEngine:
         if m:
             getattr(self, "_macros", {}).pop(m.group(1), None)
             return self.spark.range(0).select()
+        m = self._CONCATENATE.match(text)
+        if m:
+            return self._alter_table_concatenate(m.group(1))
         text = self.translate_hints(self._expand_macros(text))
         # StatsOptimizer (ql/.../optimizer/StatsOptimizer.java:97): with
         # hive.compute.query.using.stats=true, pure-aggregate queries
