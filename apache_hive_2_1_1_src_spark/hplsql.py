@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from decimal import Decimal
 from typing import Any, Callable, Optional
 
 # ------------------------------------------------------------------- lexer
@@ -45,8 +46,9 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+\.\d+|\.\d+|\d+)
   | (?P<string>'(?:[^']|'')*')
   | (?P<label><<[A-Za-z_][\w]*>>)
-  | (?P<ident>[A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)*)
-  | (?P<op>:=|\.\.|\|\||<>|!=|<=|>=|==|[=<>+\-*/%(),;:])
+  | (?P<qident>"[^"]*"|`[^`]*`|\[[^\]]*\])
+  | (?P<ident>[@#$]*[A-Za-z_][\w$#@]*(?:\.[A-Za-z_][\w$#@]*)*)
+  | (?P<op>:=|\.\.|\|\||<>|!=|<=|>=|==|[=<>+\-*/%(),;:.])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -100,6 +102,8 @@ def tokenize(src: str) -> list[Tok]:
             toks.append(Tok("str", text[1:-1].replace("''", "'"), line))
         elif m.lastgroup == "label":
             toks.append(Tok("label", text[2:-2], line))
+        elif m.lastgroup == "qident":
+            toks.append(Tok("ident", text[1:-1], line))
         elif m.lastgroup == "ident":
             low = text.lower()
             toks.append(Tok("kw" if low in _KEYWORDS else "ident", text, line))
@@ -247,6 +251,21 @@ class Parser:
                     self.eat()
                     names.append(self.eat().text.lower())
             return ("set_multi", list(zip(names, exprs)))
+        if low == "host":
+            self.eat()
+            return ("host", self.parse_expr())
+        if low == "include":
+            line = self.eat().line
+            if self.peek().kind == "str":
+                return ("include", self.parse_expr())
+            parts = []
+            while (
+                self.peek().kind != "eof"
+                and not self.at(";")
+                and self.peek().line == line
+            ):
+                parts.append(self.eat().text)
+            return ("include", ("lit", "".join(parts)))
         if low in ("function", "procedure", "proc"):
             # Oracle-style routine definition without CREATE
             return self.parse_routine(low == "function")
@@ -370,9 +389,20 @@ class Parser:
             break
         return ("declare", items)
 
+    def parse_decl_name(self) -> str:
+        """A declarable name: optional ':' sigil (``:new.abc``), then an
+        identifier, with spaced ``.`` qualifiers joined (lang.sql)."""
+        if self.at(":"):
+            self.eat()
+        name = self.eat().text.lower()
+        while self.at(".") and self.peek(1).kind in ("ident", "kw"):
+            self.eat()
+            name += "." + self.eat().text.lower()
+        return name
+
     def parse_one_var_decl(self):
         """One `n1 [, n2 ...] [CONSTANT] TYPE[(p)] [NOT NULL] [init]`."""
-        names = [self.eat().text.lower()]
+        names = [self.parse_decl_name()]
         while self.at(","):
             # lookahead: another name of the same type, or the next decl
             save = self.i
@@ -838,7 +868,9 @@ class Parser:
         t = self.peek()
         if t.kind == "num":
             self.eat()
-            return ("lit", float(t.text) if "." in t.text else int(t.text))
+            if "." in t.text:
+                return ("lit", Decimal(t.text))
+            return ("lit", int(t.text))
         if t.kind == "str":
             self.eat()
             return ("lit", t.text)
@@ -1076,6 +1108,8 @@ class HplsqlInterpreter:
     handler_stack: list = field(default_factory=list)
     pkg_stack: list = field(default_factory=list)
     pkg_vars: set = field(default_factory=set)
+    local_stack: list = field(default_factory=list)
+    include_base: str = "."
     last_select: Any = None  # DataFrame of the last top-level SELECT
 
     # -- entry point
@@ -1132,7 +1166,7 @@ class HplsqlInterpreter:
                     _, names, init = item
                     val = self.eval(init) if init is not None else None
                     for n in names:
-                        self.vars[n] = val
+                        self.scope()[n] = val
                 elif item[0] == "cursor":
                     self.cursors[item[1]] = Cursor(sql=item[2])
                 elif item[0] == "handler":
@@ -1144,10 +1178,10 @@ class HplsqlInterpreter:
         elif kind == "nop":
             pass
         elif kind == "assign":
-            self.vars[self.resolve_write(s[1])] = self.eval(s[2])
+            self.write_var(s[1], self.eval(s[2]))
         elif kind == "set_multi":
             for name, expr in s[1]:
-                self.vars[self.resolve_write(name)] = self.eval(expr)
+                self.write_var(name, self.eval(expr))
         elif kind == "print":
             self.output.append(self.fmt(self.eval(s[1])))
         elif kind == "exprstmt":
@@ -1180,7 +1214,7 @@ class HplsqlInterpreter:
             if cur.idx < len(cur.rows):
                 row = cur.rows[cur.idx]
                 for i, v in enumerate(s[2]):
-                    self.vars[v] = row[i]
+                    self.write_var(v, row[i])
                 cur.idx += 1
                 cur.fetched += 1
                 cur.found = True
@@ -1229,6 +1263,29 @@ class HplsqlInterpreter:
                 self.exec_block(handler)
         elif kind == "signal":
             raise _Signal(s[1])
+        elif kind == "host":
+            # HOST 'cmd' (seterror.sql): run through the shell; a nonzero
+            # exit raises into the surrounding EXCEPTION handler, which is
+            # exactly what the reference's golden pins (FAILED printed by
+            # the handler when the command does not exist)
+            import subprocess
+
+            cmd = self.eval(s[1])
+            rc = subprocess.run(
+                cmd, shell=True, capture_output=True
+            ).returncode
+            self.write_var("hostcode", rc)
+            if rc != 0:
+                raise RuntimeError(f"HOST command failed with code {rc}")
+        elif kind == "include":
+            import os as _os
+
+            path = self.eval(s[1])
+            full = path if _os.path.isabs(path) else _os.path.join(
+                self.include_base, path
+            )
+            with open(full) as fh:
+                self.exec_block(Parser(tokenize(fh.read())).parse_program())
         elif kind == "return":
             raise _Return(self.eval(s[1]) if s[1] is not None else None)
         elif kind == "create_package":
@@ -1261,10 +1318,10 @@ class HplsqlInterpreter:
                 if rows:
                     row = rows[0]
                     for i, v in enumerate(into_vars):
-                        self.vars[v] = row[i]
+                        self.write_var(v, row[i])
                 else:
                     for v in into_vars:
-                        self.vars[v] = None
+                        self.write_var(v, None)
             else:
                 self.last_select = df
         elif kind == "sql":
@@ -1291,10 +1348,11 @@ class HplsqlInterpreter:
         lo, hi = int(self.eval(lo_e)), int(self.eval(hi_e))
         step = int(self.eval(step_e)) if step_e is not None else 1
         rng = range(lo, hi - 1, -step) if reverse else range(lo, hi + 1, step)
-        saved = self.vars.get(var, _MISSING := object())
+        sc = self.scope()
+        saved = sc.get(var, _MISSING := object())
         try:
             for i in rng:
-                self.vars[var] = i
+                sc[var] = i
                 try:
                     self.exec_block(body)
                 except _Continue:
@@ -1303,36 +1361,60 @@ class HplsqlInterpreter:
             # loop variable is scoped to the loop (for_range.sql golden:
             # outer i keeps its pre-loop value)
             if saved is _MISSING:
-                self.vars.pop(var, None)
+                sc.pop(var, None)
             else:
-                self.vars[var] = saved
+                sc[var] = saved
 
     def loop_cursor(self, s) -> None:
         _, var, sql, body = s
         df = self.sql(sql)
         rows = df.collect() if hasattr(df, "collect") else list(df)
         cols = [c.lower() for c in df.columns] if hasattr(df, "columns") else None
+        sc = self.scope()
         for row in rows:
             if cols:
                 for i, c in enumerate(cols):
-                    self.vars[f"{var}.{c}"] = row[i]
-            self.vars[var] = row
+                    sc[f"{var}.{c}"] = row[i]
+            sc[var] = row
             try:
                 self.exec_block(body)
             except _Continue:
                 continue
 
-    def resolve_write(self, name: str) -> str:
-        """Assignment target: an existing local wins, else the enclosing
-        package's variable (users.add writing session_count), else a new
-        local of that name."""
-        if name in self.vars:
-            return name
-        if self.pkg_stack:
+    def scope(self) -> dict:
+        """The dict a DECLARE/new-variable write lands in: the current
+        routine's local scope, else the global script scope.  Routine
+        calls are lexically scoped like the reference (var_scope.sql:
+        a callee does NOT see its caller's locals, only globals)."""
+        return self.local_stack[-1] if self.local_stack else self.vars
+
+    def write_var(self, name: str, value) -> None:
+        """Assignment: an existing local wins, then the enclosing
+        package's variable, then an existing global, else a new variable
+        in the current scope."""
+        if self.local_stack and name in self.local_stack[-1]:
+            self.local_stack[-1][name] = value
+            return
+        if self.pkg_stack and self.pkg_stack[-1]:
             q = f"{self.pkg_stack[-1]}.{name}"
             if q in self.vars:
-                return q
-        return name
+                self.vars[q] = value
+                return
+        if name in self.vars:
+            self.vars[name] = value
+            return
+        self.scope()[name] = value
+
+    def read_var(self, name: str, default=None):
+        if self.local_stack and name in self.local_stack[-1]:
+            return True, self.local_stack[-1][name]
+        if self.pkg_stack and self.pkg_stack[-1]:
+            q = f"{self.pkg_stack[-1]}.{name}"
+            if q in self.vars:
+                return True, self.vars[q]
+        if name in self.vars:
+            return True, self.vars[name]
+        return False, default
 
     def resolve_routine(self, name: str) -> Optional[str]:
         """Routine lookup incl. the enclosing package's namespace."""
@@ -1348,12 +1430,15 @@ class HplsqlInterpreter:
         r = self.routines.get(name)
         if r is None:
             raise NameError(f"HPL/SQL: no procedure or function {name!r}")
-        saved = dict(self.vars)
         out_bindings: list[tuple[str, str]] = []  # (param, caller var)
+        frame: dict = {}
         for (mode, pname), aexpr in zip(r.params, arg_exprs):
             if mode in ("out", "inout") and aexpr[0] == "var":
                 out_bindings.append((pname, aexpr[1]))
-            self.vars[pname] = None if mode == "out" else self.eval(aexpr)
+            frame[pname] = None if mode == "out" else self.eval(aexpr)
+        # a fresh LEXICAL scope: the callee sees globals and its own
+        # locals, never the caller's locals (var_scope.sql semantics)
+        self.local_stack.append(frame)
         self.pkg_stack.append(r.pkg)
         ret = None
         try:
@@ -1362,16 +1447,9 @@ class HplsqlInterpreter:
             ret = e.value
         finally:
             self.pkg_stack.pop()
-        out_vals = {p: self.vars.get(p) for p, _ in out_bindings}
-        # package state mutated inside the call survives the local-var
-        # restore (users.add incrementing users.session_count)
-        pkg_updates = {
-            k: v for k, v in self.vars.items() if k in self.pkg_vars
-        }
-        self.vars = saved
-        self.vars.update(pkg_updates)
+            self.local_stack.pop()
         for pname, caller_var in out_bindings:
-            self.vars[caller_var] = out_vals[pname]
+            self.write_var(caller_var, frame.get(pname))
         return ret
 
     # -- expression evaluation
@@ -1392,16 +1470,16 @@ class HplsqlInterpreter:
             return self.eval_cast(self.eval(e[1]), e[2], e[3])
         if kind == "var":
             name = e[1]
-            if name in self.vars:
-                return self.vars[name]
-            if self.pkg_stack:
-                q = f"{self.pkg_stack[-1]}.{name}"
-                if q in self.vars:
-                    return self.vars[q]
+            found, val = self.read_var(name)
+            if found:
+                return val
             rn = self.resolve_routine(name)
             if rn is not None and self.routines[rn].is_func:
                 return self.call_routine(rn, [])
-            raise NameError(f"HPL/SQL: undefined variable {name!r}")
+            # reference semantics: an unresolved identifier evaluates to
+            # NULL (var_scope.out.txt shows 'j: ' for an out-of-scope
+            # local), not an error
+            return None
         if kind == "neg":
             v = self.eval(e[1])
             return None if v is None else -v
@@ -1516,7 +1594,7 @@ class HplsqlInterpreter:
             return None
         if isinstance(a, bool) or isinstance(b, bool):
             a, b = bool(a), bool(b)
-        elif isinstance(a, (int, float)) != isinstance(b, (int, float)):
+        elif isinstance(a, (int, float, Decimal)) != isinstance(b, (int, float, Decimal)):
             # numeric-vs-string comparison coerces to string (Hive loose)
             a, b = str(a), str(b)
         if op in ("=", "=="):
@@ -1717,8 +1795,9 @@ class HplsqlInterpreter:
         # binds known identifiers; we replace whole-word matches only)
         def repl(m: "re.Match[str]") -> str:
             name = m.group(0).lower()
-            if name in self.vars and not isinstance(self.vars[name], (list, tuple)):
-                return self.to_sql_literal(self.vars[name])
+            found, val = self.read_var(name)
+            if found and not isinstance(val, (list, tuple)):
+                return self.to_sql_literal(val)
             return m.group(0)
 
         bound = re.sub(r"\b[A-Za-z_][\w]*\b", repl, text)

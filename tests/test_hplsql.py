@@ -209,13 +209,15 @@ def test_create_function_return_stops_execution():
 
 
 def test_exception_handler():
-    # adapted from queries/local/exception.sql: failing statement inside
-    # BEGIN routes to EXCEPTION WHEN OTHERS THEN
+    # adapted from queries/local/exception.sql: a failing statement
+    # (FETCH on an undeclared cursor, as the reference script uses)
+    # inside BEGIN routes to EXCEPTION WHEN OTHERS THEN
     out = run_script(
         """
+        DECLARE v STRING;
         BEGIN
           PRINT 'Correct';
-          PRINT unknown_variable_name;
+          FETCH no_such_cursor INTO v;
           PRINT 'Incorrect - unreachable';
         EXCEPTION WHEN OTHERS THEN
           PRINT 'Correct - Exception raised';
@@ -223,6 +225,36 @@ def test_exception_handler():
         """
     )
     assert out == ["Correct", "Correct - Exception raised"]
+
+
+def test_undefined_variable_is_null():
+    # reference semantics (var_scope.out.txt): an unresolved identifier
+    # evaluates to NULL, so concat shows an empty tail
+    out = run_script("PRINT 'j: ' || j_not_declared;")
+    assert out == ["j: "]
+
+
+def test_callee_does_not_see_caller_locals():
+    # var_scope.sql semantics: lexical, not dynamic, scoping
+    out = run_script(
+        """
+        DECLARE i INT = 3;
+        CREATE PROCEDURE p1()
+        BEGIN
+          PRINT 'i: ' || i;
+          PRINT 'j: ' || j;
+        END;
+        CREATE PROCEDURE p2()
+        BEGIN
+          DECLARE j INT = 5;
+          PRINT 'j: ' || j;
+          CALL p1();
+        END;
+        CALL p2();
+        PRINT 'j: ' || j;
+        """
+    )
+    assert out == ["j: 5", "i: 3", "j: ", "j: "]
 
 
 def test_decode_and_builtins():
