@@ -1850,3 +1850,31 @@ ORACLES["p52_multimodal_decode_arrow"] = """
           FROM documents
         ) ORDER BY doc_id
     """
+
+
+def p53_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters, sketch-then-recount
+    (pipeline/sketches.py): per-partition MG(200) summaries → bounded
+    candidate union → exact recount of candidates only → top-20 tokens.
+    EXACT above the N/capacity guarantee line (certified in-plan by
+    guarantee_ok), so the DuckDB oracle recomputes the identical top-20
+    from full exact counts — the sketch only bounds what gets
+    recounted, never what is reported."""
+    from apache_hive_2_1_1_src_spark.pipeline.sketches import heavy_hitters
+
+    docs = t(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "text", top_n=20, capacity=200)
+
+
+QUERIES["p53_heavy_hitters"] = p53_heavy_hitters
+
+ORACLES["p53_heavy_hitters"] = """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != '')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS guarantee_ok
+    FROM tok GROUP BY token
+    ORDER BY cnt DESC, token ASC LIMIT 20
+"""

@@ -566,3 +566,41 @@ def test_xxhash_and_md5_minhash_paths_agree(spark, sf_dir):
         for r in jaccard_pairs(docs, cands, threshold=0.4).collect()
     }
     assert xx == md5_verified and len(xx) > 0
+
+
+def test_misra_gries_containment_and_partition_invariance(spark, sf_dir):
+    """MG guarantee (Misra & Gries 1982): the candidate union contains
+    every token with global frequency > N/capacity — checked directly
+    against exact counts — and the final top-20 is identical at 4 and
+    16 input partitions (the summary is per-partition state, the answer
+    must not be)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apache_hive_2_1_1_src_spark.pipeline.sketches import (
+        heavy_hitters,
+        mg_candidates,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokens = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+        ).alias("token")
+    )
+    capacity = 50
+    total = tokens.count()
+    exact = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    frequent = {
+        r.token for r in exact.filter(F.col("cnt") > total / capacity).collect()
+    }
+    cands = {
+        r.token for r in mg_candidates(tokens.repartition(8), "token", capacity).collect()
+    }
+    assert frequent <= cands, frequent - cands
+
+    a = heavy_hitters(docs.repartition(4), "text", top_n=20, capacity=200).collect()
+    b = heavy_hitters(docs.repartition(16), "text", top_n=20, capacity=200).collect()
+    assert [(r.token, r.cnt) for r in a] == [(r.token, r.cnt) for r in b]
+    assert all(r.guarantee_ok for r in a)
