@@ -441,3 +441,28 @@ def test_fetch_unopened_cursor_raises_into_handler(engine):
         engine=engine,
     )
     assert out == ["Correct - Exception raised"]
+
+
+def test_syntax_errors_raise_with_line():
+    import pytest as _pytest
+
+    with _pytest.raises(SyntaxError, match="unexpected end"):
+        run_script("IF 1 = 1 THEN PRINT 'x';")  # unterminated IF
+    with _pytest.raises(SyntaxError):
+        run_script("WHILE 1=1 PRINT 'x'; END LOOP;")  # missing LOOP/DO
+
+
+def test_unknown_procedure_call_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(NameError, match="no_such_proc"):
+        run_script("CALL no_such_proc(1);")
+
+
+def test_exit_unknown_label_propagates():
+    # EXIT lbl with no enclosing <<lbl>> loop must escape, not silently
+    # terminate the wrong loop
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run_script("WHILE 1=1 LOOP EXIT missing_label; END LOOP;")
