@@ -588,3 +588,23 @@ def test_cbo_join_reorder_puts_selective_dims_first(spark, sf_dir):
     finally:
         for name in tables:
             drop_table(spark, name)
+
+
+def test_heavy_hitters_broadcasts_only_candidates(spark, sf_dir):
+    """p53's exact pass may broadcast ONLY the bounded candidate set
+    (≤ capacity × partitions rows) — the token stream side must stay a
+    streamed scan: a LeftSemi broadcast hash join with the candidate
+    aggregation on the build side, no BroadcastNestedLoopJoin, no
+    corpus-side broadcast exchange."""
+    import os
+
+    from apache_hive_2_1_1_src_spark.pipeline.sketches import heavy_hitters
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(heavy_hitters(docs, "text", top_n=20, capacity=200))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    # only ONE join in the whole plan: the semi join whose build side is
+    # the bounded mapInPandas candidate branch
+    assert "BroadcastExchange" in plan and "MapInPandas" in plan
