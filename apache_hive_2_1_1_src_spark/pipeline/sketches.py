@@ -95,3 +95,102 @@ def heavy_hitters(
     return top.withColumn(
         "guarantee_ok", (F.col("cnt") > F.lit(floor)).cast("boolean")
     )
+
+
+# ------------------------------------------------------------ Count-Min
+def _cm_hash(token: str, row: int, width: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{row}:{token}".encode()).digest()
+    return int.from_bytes(h[:8], "big") % width
+
+
+def cm_sketch(
+    tokens: DataFrame, token_col: str, width: int = 1024, depth: int = 4
+) -> list[list[int]]:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): ``depth`` hash
+    rows × ``width`` counters.  Built distributed — each partition emits
+    its non-zero cells via mapInPandas, cells merge with one bounded
+    groupBy (≤ width × depth rows), and only the merged ≤ w×d summary
+    reaches the driver.  Estimates are biased high; the additive error
+    is ≤ (e/width)·N with probability 1 − (1/e)^depth."""
+    import pandas as pd
+
+    def sketch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cells: dict[tuple[int, int], int] = {}
+        for pdf in batches:
+            for tok in pdf[token_col]:
+                if tok is None:
+                    continue
+                for r in range(depth):
+                    key = (r, _cm_hash(tok, r, width))
+                    cells[key] = cells.get(key, 0) + 1
+        if cells:
+            rows, cols, counts = zip(*[(r, c, n) for (r, c), n in cells.items()])
+        else:
+            rows, cols, counts = (), (), ()
+        yield pd.DataFrame({"r": rows, "c": cols, "n": counts})
+
+    merged = (
+        tokens.mapInPandas(sketch, "r int, c int, n long")
+        .groupBy("r", "c")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    table = [[0] * width for _ in range(depth)]
+    for row in merged:
+        table[row.r][row.c] = row.n
+    return table
+
+
+def cm_estimate(table: list[list[int]], token: str) -> int:
+    width, depth = len(table[0]), len(table)
+    return min(table[r][_cm_hash(token, r, width)] for r in range(depth))
+
+
+def cm_point_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 1024,
+    depth: int = 4,
+    n_top: int = 10,
+    n_alpha: int = 10,
+) -> DataFrame:
+    """Certify Count-Min point estimates against exact counts for a
+    deterministic probe set: the exact top-``n_top`` tokens plus the
+    ``n_alpha`` alphabetically-first tokens.  Output columns
+    (token, cnt, over_ok, bound_ok): estimates must never undercount
+    (over_ok) and must sit within the e/width additive bound
+    (bound_ok) — the sketch's published guarantee, checked in-plan."""
+    import math
+
+    spark = docs.sparkSession
+    tokens = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("token")
+    )
+    table = cm_sketch(tokens, "token", width, depth)
+    total = sum(table[0])  # row 0 holds every token once
+    eps_bound = math.ceil(math.e / width * total)
+    exact = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = (
+        exact.orderBy(F.desc("cnt"), F.asc("token")).limit(n_top)
+        .unionByName(exact.orderBy(F.asc("token")).limit(n_alpha))
+        .distinct()
+    )
+    rows = probes.collect()
+    est = {r.token: cm_estimate(table, r.token) for r in rows}
+    est_df = spark.createDataFrame(
+        [(t, int(v)) for t, v in est.items()], "token string, est long"
+    )
+    return (
+        probes.join(est_df, "token")
+        .select(
+            "token",
+            "cnt",
+            (F.col("est") >= F.col("cnt")).alias("over_ok"),
+            (F.col("est") <= F.col("cnt") + F.lit(eps_bound)).alias("bound_ok"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("token"))
+    )

@@ -1878,3 +1878,37 @@ ORACLES["p53_heavy_hitters"] = """
     FROM tok GROUP BY token
     ORDER BY cnt DESC, token ASC LIMIT 20
 """
+
+
+def p54_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates (pipeline/sketches.py,
+    Cormode & Muthukrishnan 2005): distributed cell build → bounded
+    merge → driver-side w×d summary; certified in-plan against exact
+    counts on a deterministic probe set (top-10 ∪ alphabetical-10) —
+    over_ok (estimates never undercount) and bound_ok (within the
+    e/width additive guarantee)."""
+    from apache_hive_2_1_1_src_spark.pipeline.sketches import cm_point_report
+
+    docs = t(spark, sf_dir, "documents")
+    return cm_point_report(docs, "text", width=1024, depth=4)
+
+
+QUERIES["p54_count_min"] = p54_count_min
+
+ORACLES["p54_count_min"] = """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != '')) AS token
+      FROM documents
+    ), exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ), probes AS (
+      SELECT token, cnt FROM
+        (SELECT token, cnt FROM exact ORDER BY cnt DESC, token LIMIT 10)
+      UNION
+      SELECT token, cnt FROM
+        (SELECT token, cnt FROM exact ORDER BY token LIMIT 10)
+    )
+    SELECT token, cnt, TRUE AS over_ok, TRUE AS bound_ok
+    FROM probes ORDER BY cnt DESC, token
+"""

@@ -604,3 +604,37 @@ def test_misra_gries_containment_and_partition_invariance(spark, sf_dir):
     b = heavy_hitters(docs.repartition(16), "text", top_n=20, capacity=200).collect()
     assert [(r.token, r.cnt) for r in a] == [(r.token, r.cnt) for r in b]
     assert all(r.guarantee_ok for r in a)
+
+
+def test_count_min_never_undercounts_and_merges_across_partitions(spark, sf_dir):
+    """CM guarantee: estimates >= true counts for EVERY token probed,
+    and the merged sketch is identical at different partition counts
+    (cell merge is exact addition, not approximation)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apache_hive_2_1_1_src_spark.pipeline.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokens = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+        ).alias("token")
+    )
+    t4 = cm_sketch(tokens.repartition(4), "token", width=256, depth=3)
+    t16 = cm_sketch(tokens.repartition(16), "token", width=256, depth=3)
+    assert t4 == t16  # merge is exact
+    exact = {
+        r.token: r.cnt
+        for r in tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"))
+        .limit(50)
+        .collect()
+    }
+    for tok, cnt in exact.items():
+        assert cm_estimate(t4, tok) >= cnt
