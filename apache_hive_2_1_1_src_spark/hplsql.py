@@ -251,6 +251,29 @@ class Parser:
                     self.eat()
                     names.append(self.eat().text.lower())
             return ("set_multi", list(zip(names, exprs)))
+        if low == "cmp" and self.peek(1).text.lower() in ("row_count", "sum"):
+            self.eat()
+            mode = self.eat().text.lower()
+            t1 = self.parse_cmp_target()
+            self.expect(",")
+            t2 = self.parse_cmp_target()
+            if self.at("at"):
+                self.eat()
+                self.eat()  # named connection — single-engine here
+            return ("cmp", mode, t1, t2)
+        if low == "copy":
+            self.eat()
+            if self.at("("):
+                self.eat()
+                src = self.consume_cursor_sql()
+            else:
+                src = f"SELECT * FROM {self.eat().text}"
+            self.expect("to")
+            dest = self.eat().text.lower()
+            if self.at("at"):
+                self.eat()
+                self.eat()
+            return ("copy", src, dest)
         if low == "host":
             self.eat()
             return ("host", self.parse_expr())
@@ -559,6 +582,22 @@ class Parser:
         self.expect("end")
         self.expect("loop")
         return ("for_range", var, reverse, lo, hi, step, body)
+
+    def parse_cmp_target(self) -> str:
+        """A CMP operand: ``(subquery)`` or ``table [WHERE ...]`` up to
+        the ',' / AT / ';' boundary (cmp_row_count.sql forms)."""
+        if self.at("("):
+            self.eat()
+            return f"SELECT COUNT(*) AS n FROM ({self.consume_cursor_sql()})"
+        parts = [self.eat().text]
+        while (
+            self.peek().kind != "eof"
+            and not self.at(",")
+            and not self.at(";")
+            and not self.at("at")
+        ):
+            parts.append(self.render_token(self.eat()))
+        return "SELECT COUNT(*) AS n FROM " + " ".join(parts)
 
     def consume_cursor_sql(self) -> str:
         parts = []
@@ -1263,6 +1302,17 @@ class HplsqlInterpreter:
                 self.exec_block(handler)
         elif kind == "signal":
             raise _Signal(s[1])
+        elif kind == "cmp":
+            _, mode, q1, q2 = s
+            if mode != "row_count":
+                raise NotImplementedError("CMP SUM is not supported; use row_count")
+            n1 = self.sql(q1).collect()[0][0]
+            n2 = self.sql(q2).collect()[0][0]
+            self.output.append(f"row_count\t{n1}\t{n2}")
+        elif kind == "copy":
+            _, src, dest = s
+            self.sql(f"DROP TABLE IF EXISTS {dest}")
+            self.sql(f"CREATE TABLE {dest} AS {src}")
         elif kind == "host":
             # HOST 'cmd' (seterror.sql): run through the shell; a nonzero
             # exit raises into the surrounding EXCEPTION handler, which is

@@ -466,3 +466,32 @@ def test_exit_unknown_label_propagates():
 
     with _pytest.raises(Exception):
         run_script("WHILE 1=1 LOOP EXIT missing_label; END LOOP;")
+
+
+def test_cmp_row_count(engine):
+    # adapted from queries/db/cmp_row_count.sql: table, WHERE-narrowed,
+    # and subquery operands; the AT <conn> clause maps to this engine
+    out = run_script(
+        """
+        CMP ROW_COUNT region, region AT hive2conn;
+        CMP ROW_COUNT region WHERE 1=1, region;
+        CMP ROW_COUNT (SELECT r_name FROM region), nation WHERE n_regionkey = 0;
+        """,
+        engine=engine,
+    )
+    assert out == ["row_count\t5\t5", "row_count\t5\t5", "row_count\t5\t5"]
+
+
+def test_copy_to_table(engine, spark):
+    # adapted from queries/db/copy_to_table.sql
+    spark.sql("DROP TABLE IF EXISTS hpl_copy_dest")
+    out = run_script(
+        """
+        COPY (SELECT r_regionkey, r_name FROM region) TO hpl_copy_dest;
+        CMP ROW_COUNT region, hpl_copy_dest;
+        """,
+        engine=engine,
+    )
+    assert out == ["row_count\t5\t5"]
+    assert spark.table("hpl_copy_dest").count() == 5
+    spark.sql("DROP TABLE IF EXISTS hpl_copy_dest")
