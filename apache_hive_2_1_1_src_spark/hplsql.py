@@ -1304,11 +1304,34 @@ class HplsqlInterpreter:
             raise _Signal(s[1])
         elif kind == "cmp":
             _, mode, q1, q2 = s
-            if mode != "row_count":
-                raise NotImplementedError("CMP SUM is not supported; use row_count")
-            n1 = self.sql(q1).collect()[0][0]
-            n2 = self.sql(q2).collect()[0][0]
-            self.output.append(f"row_count\t{n1}\t{n2}")
+            if mode == "row_count":
+                n1 = self.sql(q1).collect()[0][0]
+                n2 = self.sql(q2).collect()[0][0]
+                self.output.append(f"row_count\t{n1}\t{n2}")
+            else:  # CMP SUM (Cmp.java): per-column checksum battery —
+                # numeric columns sum directly, strings sum their lengths
+                import re as _re
+
+                def table_of(q: str) -> str:
+                    m = _re.search(r"FROM\s+(.*)$", q, _re.IGNORECASE | _re.DOTALL)
+                    return m.group(1) if m else q
+
+                t1, t2 = table_of(q1), table_of(q2)
+                df1 = self.sql(f"SELECT * FROM {t1} LIMIT 0")
+                for fname, ftype in df1.dtypes:
+                    if ftype in ("string", "varchar", "char"):
+                        expr = f"SUM(LENGTH({fname}))"
+                    elif ftype.startswith(("int", "bigint", "smallint",
+                                           "tinyint", "double", "float",
+                                           "decimal")):
+                        expr = f"SUM({fname})"
+                    else:
+                        continue
+                    v1 = self.sql(f"SELECT {expr} FROM {t1}").collect()[0][0]
+                    v2 = self.sql(f"SELECT {expr} FROM {t2}").collect()[0][0]
+                    self.output.append(
+                        f"{fname}\t{self.fmt(v1)}\t{self.fmt(v2)}"
+                    )
         elif kind == "copy":
             _, src, dest = s
             self.sql(f"DROP TABLE IF EXISTS {dest}")

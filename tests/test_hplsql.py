@@ -495,3 +495,21 @@ def test_copy_to_table(engine, spark):
     assert out == ["row_count\t5\t5"]
     assert spark.table("hpl_copy_dest").count() == 5
     spark.sql("DROP TABLE IF EXISTS hpl_copy_dest")
+
+
+def test_cmp_sum(engine, spark):
+    # adapted from queries/db/cmp_sum.sql: per-column checksum battery —
+    # numeric columns sum, string columns sum their lengths
+    spark.sql("DROP TABLE IF EXISTS hpl_cmp_dest")
+    out = run_script(
+        """
+        COPY (SELECT r_regionkey, r_name FROM region) TO hpl_cmp_dest;
+        CMP SUM region WHERE 1=1, hpl_cmp_dest;
+        """,
+        engine=engine,
+    )
+    assert len(out) == 2  # r_regionkey (numeric sum) + r_name (length sum)
+    for line in out:
+        col, v1, v2 = line.split("\t")
+        assert v1 == v2, line
+    spark.sql("DROP TABLE IF EXISTS hpl_cmp_dest")
