@@ -741,6 +741,51 @@ def q215_alter_concatenate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q216_directory_export_rcfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE DIRECTORY ... STORED AS RCFILE through the SQL
+    entry point (SemanticAnalyzer genFileSinkPlan directory target +
+    RCFileOutputFormat; clientpositive/insert_overwrite_directory.q
+    STORED AS variants): export a query result as real RCFile
+    containers, read back with the schema-on-read reader, digest.  The
+    ``java_ok`` column re-certifies the layout with the stock Java
+    reader on one shipped container."""
+    import glob as _glob
+    import shutil
+
+    from apache_hive_2_1_1_src_spark.rcfile_io import (
+        decode_rcfile,
+        java_rcfile_reader_rows,
+        read_rcfile,
+    )
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    out = os.path.join(_SCRATCH, f"iod_rc_{_PID}")
+    shutil.rmtree(out, ignore_errors=True)
+    eng.sql(
+        f"INSERT OVERWRITE DIRECTORY '{out}' STORED AS RCFILE "
+        "SELECT s_suppkey, s_name, s_acctbal FROM supplier "
+        "WHERE s_suppkey <= 80"
+    )
+    back = read_rcfile(
+        spark, out, "s_suppkey bigint, s_name string, s_acctbal double"
+    )
+    part = sorted(_glob.glob(os.path.join(out, "*.rc")))[0]
+    with open(part, "rb") as fh:
+        _, py_rows = decode_rcfile(fh.read())
+    java_ok = java_rcfile_reader_rows(spark, part) == py_rows
+    return (
+        back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("s_acctbal"), 2).alias("bal"),
+            F.min("s_name").alias("first_name"),
+            F.max("s_suppkey").alias("max_key"),
+        )
+        .withColumn("java_ok", F.lit(bool(java_ok)))
+    )
+
+
 def q176_show_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW command family (HiveParser.g SHOW grammar;
     DDLSemanticAnalyzer → ShowTablesDesc/ShowColumnsDesc/ShowFunctionsDesc,
@@ -1380,6 +1425,7 @@ def q208_multi_insert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q216_directory_export_rcfile": q216_directory_export_rcfile,
     "q215_alter_concatenate": q215_alter_concatenate,
     "q214_multidelimit_roundtrip": q214_multidelimit_roundtrip,
     "q211_rcfile_roundtrip": q211_rcfile_roundtrip,
@@ -1423,6 +1469,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q216_directory_export_rcfile": """
+        SELECT COUNT(*) AS n,
+               ROUND(SUM(s_acctbal), 2) AS bal,
+               MIN(s_name) AS first_name,
+               MAX(s_suppkey) AS max_key,
+               TRUE AS java_ok
+        FROM supplier WHERE s_suppkey <= 80
+    """,
     "q215_alter_concatenate": """
         SELECT o_orderstatus, COUNT(*) AS n,
                ROUND(SUM(o_totalprice), 2) AS total,

@@ -351,6 +351,8 @@ def read_rcfile(spark: SparkSession, path: str, schema: T.StructType) -> DataFra
     schema-on-read, same convention as the q89 text path)."""
     import pyarrow as pa
 
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
     cols = [f.name for f in schema.fields]
     ncols_expected = len(cols)
 

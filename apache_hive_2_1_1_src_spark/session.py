@@ -205,6 +205,38 @@ class HiveEngine:
         r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+CONCATENATE\s*;?\s*$",
         re.IGNORECASE,
     )
+    _IOD_STORED_AS = re.compile(
+        r"^\s*INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+'([^']+)'\s+"
+        r"STORED\s+AS\s+(RCFILE|SEQUENCEFILE|TEXTFILE)\s+(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _insert_overwrite_directory_stored_as(
+        self, path: str, fmt: str, select_sql: str
+    ):
+        """INSERT OVERWRITE DIRECTORY ... STORED AS <hive format>
+        (SemanticAnalyzer genFileSinkPlan with a directory target +
+        HiveIgnoreKeyTextOutputFormat / RCFileOutputFormat /
+        HiveSequenceFileOutputFormat): export a query result in the
+        requested Hive on-disk format."""
+        import shutil
+
+        df = self.spark.sql(select_sql)
+        shutil.rmtree(path, ignore_errors=True)
+        fmt = fmt.upper()
+        if fmt == "RCFILE":
+            from apache_hive_2_1_1_src_spark.rcfile_io import write_rcfile
+
+            write_rcfile(df, path)
+        elif fmt == "SEQUENCEFILE":
+            from apache_hive_2_1_1_src_spark.io import write_hive_sequencefile
+
+            write_hive_sequencefile(df, path)
+        else:
+            from apache_hive_2_1_1_src_spark.io import write_hive_text
+
+            write_hive_text(df, path)
+        return self.spark.range(0).select()
 
     def _alter_table_concatenate(self, tbl: str):
         """ALTER TABLE ... CONCATENATE (DDLTask.mergeFiles,
@@ -358,6 +390,11 @@ class HiveEngine:
         m = self._CONCATENATE.match(text)
         if m:
             return self._alter_table_concatenate(m.group(1))
+        m = self._IOD_STORED_AS.match(text)
+        if m:
+            return self._insert_overwrite_directory_stored_as(
+                m.group(1), m.group(2), m.group(3)
+            )
         text = self.translate_hints(self._expand_macros(text))
         # StatsOptimizer (ql/.../optimizer/StatsOptimizer.java:97): with
         # hive.compute.query.using.stats=true, pure-aggregate queries
