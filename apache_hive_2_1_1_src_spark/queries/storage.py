@@ -786,6 +786,54 @@ def q216_directory_export_rcfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q217_hive_ddl_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-form physical DDL through the SQL entry point
+    (parse/HiveParser.g createTableStatement; analysis in
+    parse/SemanticAnalyzer.java analyzeCreateTable; exercised by
+    clientpositive/create_like.q / partition_wise_fileformat*.q
+    shapes): ``CREATE EXTERNAL TABLE`` with typed ``PARTITIONED BY``,
+    ``ROW FORMAT DELIMITED``, ``STORED AS ORC`` — the verbatim DDL a
+    migrating user's scripts contain — is translated to Spark's USING
+    form by HiveEngine.translate_hive_ddl, populated per-partition via
+    static-partition INSERTs, and digested per partition.  The declared
+    Hive storage format is remembered (``declared_fmt``) so tooling can
+    surface the original intent."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    tb = f"hive_ddl_demo_{_PID}"
+    eng.sql(f"DROP TABLE IF EXISTS {tb}")
+    eng.sql(
+        f"""CREATE EXTERNAL TABLE {tb} (
+            o_orderkey BIGINT,
+            o_totalprice DOUBLE
+        )
+        PARTITIONED BY (status STRING)
+        ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\001'
+        STORED AS ORC"""
+    )
+    for st in ("F", "O", "P"):
+        eng.sql(
+            f"INSERT INTO {tb} PARTITION (status='{st}') "
+            f"SELECT o_orderkey, o_totalprice FROM orders "
+            f"WHERE o_orderstatus = '{st}' AND o_orderkey <= 8000"
+        )
+    fmt = eng.declared_formats[tb]
+    res = (
+        spark.table(tb)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .withColumn("declared_fmt", F.lit(fmt))
+        .orderBy("status")
+    )
+    return res
+
+
 def q176_show_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW command family (HiveParser.g SHOW grammar;
     DDLSemanticAnalyzer → ShowTablesDesc/ShowColumnsDesc/ShowFunctionsDesc,
@@ -1425,6 +1473,7 @@ def q208_multi_insert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q217_hive_ddl_surface": q217_hive_ddl_surface,
     "q216_directory_export_rcfile": q216_directory_export_rcfile,
     "q215_alter_concatenate": q215_alter_concatenate,
     "q214_multidelimit_roundtrip": q214_multidelimit_roundtrip,
@@ -1469,6 +1518,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q217_hive_ddl_surface": """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               MAX(o_orderkey) AS max_key,
+               'orc' AS declared_fmt
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O', 'P') AND o_orderkey <= 8000
+        GROUP BY o_orderstatus ORDER BY status
+    """,
     "q216_directory_export_rcfile": """
         SELECT COUNT(*) AS n,
                ROUND(SUM(s_acctbal), 2) AS bal,

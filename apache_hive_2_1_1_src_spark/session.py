@@ -147,6 +147,132 @@ class HiveEngine:
             if os.path.exists(path):
                 load_table(self.spark, sf_dir, name).createOrReplaceTempView(name)
 
+    # Hive DDL clauses Spark's non-Hive catalog rejects; translated in
+    # translate_hive_ddl (SemanticAnalyzer analyzeCreateTable surface)
+    _HIVE_CREATE = re.compile(
+        r"^\s*CREATE\s+(EXTERNAL\s+)?(TEMPORARY\s+)?TABLE", re.IGNORECASE
+    )
+    _ROW_FORMAT = re.compile(
+        r"\bROW\s+FORMAT\s+(?:DELIMITED"
+        r"(?:\s+(?:FIELDS\s+TERMINATED|COLLECTION\s+ITEMS\s+TERMINATED"
+        r"|MAP\s+KEYS\s+TERMINATED|LINES\s+TERMINATED|NULL\s+DEFINED"
+        r"|ESCAPED)\s+(?:BY|AS)\s+'(?:[^'\\]|\\.)*')*"
+        r"|SERDE\s+'[^']*'(?:\s+WITH\s+SERDEPROPERTIES\s*\([^)]*\))?)",
+        re.IGNORECASE,
+    )
+    # STORED AS <fmt>, or the long form SHOW CREATE TABLE emits:
+    # STORED AS INPUTFORMAT '...' OUTPUTFORMAT '...'
+    _STORED_AS = re.compile(
+        r"\bSTORED\s+AS\s+(?:INPUTFORMAT\s+'(?P<infmt>[^']*)'"
+        r"\s+OUTPUTFORMAT\s+'[^']*'|(?P<fmt>\w+))",
+        re.IGNORECASE,
+    )
+    # SKEWED BY (c) ON ('v', ...) [STORED AS DIRECTORIES] — list-bucketing
+    # physical hint (HiveParser.g tableSkewed); advisory here, dropped
+    _SKEWED_BY = re.compile(
+        r"\bSKEWED\s+BY\s*\([^)]*\)\s*ON\s*\((?:[^()]|\([^)]*\))*\)"
+        r"(?:\s+STORED\s+AS\s+DIRECTORIES)?",
+        re.IGNORECASE,
+    )
+    _PARTITIONED_TYPED = re.compile(
+        r"\bPARTITIONED\s+BY\s*\(([^)]*)\)", re.IGNORECASE
+    )
+
+    def translate_hive_ddl(self, text: str) -> str:
+        """Translate HiveQL CREATE TABLE surface into Spark's USING form
+        (reference grammar: ``parse/HiveParser.g`` createTableStatement;
+        analyzed by ``parse/SemanticAnalyzer.java`` analyzeCreateTable):
+
+        * ``ROW FORMAT ...`` is dropped — row encoding is the engine's
+          concern; explicit Hive-format IO stays available through the
+          io/rcfile_io writers and INSERT OVERWRITE DIRECTORY STORED AS.
+        * ``STORED AS <fmt>`` maps to ``USING parquet`` (the engine's
+          storage), with the declared Hive format remembered in
+          ``self.declared_formats[table]`` so tooling can surface it.
+        * Hive's typed ``PARTITIONED BY (dt STRING)`` — partition columns
+          OUTSIDE the column list — appends the partition columns to the
+          list and rewrites the clause to Spark's name-only form.
+        * ``CREATE EXTERNAL TABLE`` drops the keyword (Spark infers
+          external-ness from LOCATION).
+        """
+        if not self._HIVE_CREATE.match(text) or re.search(
+            r"\bUSING\s+\w", text, re.IGNORECASE
+        ):
+            return text
+        out = text
+        fmt = None
+        out = self._SKEWED_BY.sub(" ", out)
+        m = self._STORED_AS.search(out)
+        if m:
+            if m.group("fmt"):
+                fmt = m.group("fmt").lower()
+            else:  # classify by the InputFormat class name
+                infmt = m.group("infmt").rsplit(".", 1)[-1].lower()
+                for known in ("orc", "parquet", "avro", "rcfile", "sequence"):
+                    if known in infmt:
+                        fmt = "sequencefile" if known == "sequence" else known
+                        break
+                else:
+                    fmt = "textfile"
+            out = out[: m.start()] + " " + out[m.end():]
+        out = self._ROW_FORMAT.sub(" ", out)
+        # typed partition columns → append to column list, name-only clause
+        pm = self._PARTITIONED_TYPED.search(out)
+        if pm and re.search(r"\w\s+\w", pm.group(1)):  # typed (name TYPE)
+            cols = [c.strip() for c in pm.group(1).split(",") if c.strip()]
+            names = [c.split()[0] for c in cols]
+            close = out.rfind(")", 0, pm.start())
+            if close != -1:
+                out = (
+                    out[:close]
+                    + ", "
+                    + ", ".join(cols)
+                    + out[close:pm.start()]
+                    + f"PARTITIONED BY ({', '.join(names)})"
+                    + out[pm.end():]
+                )
+        if fmt is not None:
+            # Spark's grammar wants USING immediately after the column
+            # list (before PARTITIONED BY/LOCATION/...); for CTAS with no
+            # column list, before AS SELECT.
+            ins = self._column_list_end(out)
+            if ins is None:
+                am = re.search(r"\bAS\b", out, re.IGNORECASE)
+                ins = am.start() if am else len(out)
+                out = out[:ins] + " USING parquet " + out[ins:]
+            else:
+                out = out[:ins] + " USING parquet" + out[ins:]
+            tm = re.search(
+                r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)", out, re.IGNORECASE
+            )
+            if tm is not None:
+                if not hasattr(self, "declared_formats"):
+                    self.declared_formats = {}
+                self.declared_formats[tm.group(1).lower()] = fmt
+        out = re.sub(
+            r"^(\s*CREATE\s+)EXTERNAL\s+", r"\1", out, flags=re.IGNORECASE
+        )
+        return out
+
+    @staticmethod
+    def _column_list_end(out: str) -> int | None:
+        """Offset just past the balanced close paren of the CREATE TABLE
+        column list, or None when the statement has no column list (CTAS)."""
+        tm = re.search(
+            r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*(\()", out, re.IGNORECASE
+        )
+        if tm is None:
+            return None
+        depth = 0
+        for i in range(tm.start(1), len(out)):
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+        return None
+
     @staticmethod
     def translate_hints(text: str) -> str:
         """Hive hint compat (parse/HiveParser.g hintClause):
@@ -396,6 +522,7 @@ class HiveEngine:
                 m.group(1), m.group(2), m.group(3)
             )
         text = self.translate_hints(self._expand_macros(text))
+        text = self.translate_hive_ddl(text)
         # StatsOptimizer (ql/.../optimizer/StatsOptimizer.java:97): with
         # hive.compute.query.using.stats=true, pure-aggregate queries
         # over a bare table answer from catalog ANALYZE stats — a
