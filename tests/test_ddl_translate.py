@@ -155,3 +155,53 @@ def test_multiline_real_world_shape(eng):
     )
     assert eng.declared_formats["ddlt_web"] == "sequencefile"
     _cleanup(eng, "ddlt_web")
+
+
+def test_clustered_by_buckets_retained(eng):
+    """Hive bucketed-table DDL (HiveParser.g tableBuckets; exercised by
+    clientpositive/bucket*.q): CLUSTERED BY / SORTED BY / INTO N BUCKETS
+    survives translation and lands in the catalog as real Spark
+    bucketing metadata — not dropped like the advisory clauses."""
+    _cleanup(eng, "ddlt_buck")
+    eng.sql(
+        "CREATE TABLE ddlt_buck (id INT, v STRING) "
+        "CLUSTERED BY (id) SORTED BY (id ASC) INTO 4 BUCKETS "
+        "STORED AS ORC"
+    )
+    desc = {
+        str(r.col_name): str(r.data_type)
+        for r in eng.spark.sql("DESCRIBE EXTENDED ddlt_buck").collect()
+    }
+    assert desc.get("Num Buckets") == "4"
+    assert desc.get("Bucket Columns") == "[`id`]"
+    assert desc.get("Sort Columns") == "[`id`]"
+    eng.sql("INSERT INTO ddlt_buck VALUES (1, 'a'), (2, 'b')")
+    assert eng.sql("SELECT count(*) AS c FROM ddlt_buck").collect()[0].c == 2
+    _cleanup(eng, "ddlt_buck")
+
+
+def test_kitchen_sink_ddl(eng):
+    """Every major physical clause in one statement: column/table
+    COMMENTs, multi-column typed PARTITIONED BY, CLUSTERED BY,
+    ROW FORMAT DELIMITED with NULL DEFINED AS, STORED AS, TBLPROPERTIES
+    (the composite shape SemanticAnalyzer.analyzeCreateTable accepts)."""
+    _cleanup(eng, "ddlt_ks")
+    eng.sql(
+        """CREATE TABLE IF NOT EXISTS ddlt_ks (
+            id INT COMMENT 'the key', v STRING)
+        COMMENT 'kitchen sink'
+        PARTITIONED BY (dt STRING, region INT)
+        CLUSTERED BY (id) INTO 2 BUCKETS
+        ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' NULL DEFINED AS '\\N'
+        STORED AS TEXTFILE
+        TBLPROPERTIES ('k'='v')"""
+    )
+    eng.sql(
+        "INSERT INTO ddlt_ks PARTITION (dt='d1', region=1) VALUES (1,'a')"
+    )
+    r = eng.sql("SELECT id, v, dt, region FROM ddlt_ks").collect()[0]
+    assert (r.id, r.v, r.dt, r.region) == (1, "a", "d1", 1)
+    assert eng.declared_formats["ddlt_ks"] == "textfile"
+    parts = eng.sql("SHOW PARTITIONS ddlt_ks").collect()
+    assert len(parts) == 1
+    _cleanup(eng, "ddlt_ks")
