@@ -194,3 +194,112 @@ def cm_point_report(
         )
         .orderBy(F.desc("cnt"), F.asc("token"))
     )
+
+
+# ---------------------------------------------------------- HyperLogLog
+def hll_registers(
+    keys: DataFrame, key_col: str, p: int = 12
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) built entirely
+    JVM-side: ``xxhash64(key)`` → low ``p`` bits pick one of m = 2^p
+    registers, the remaining 64−p bits' leading-zero run (+1) is the
+    rank.  The most-significant-bit position is computed EXACTLY with
+    ``length(bin(x))`` — no float log2, so no off-by-one at power-of-two
+    boundaries.  Output: (bucket, M) with one row per non-empty
+    register (≤ m rows total, map-side-combined groupBy — nothing
+    corpus-sized concentrates).
+
+    This is the sharding primitive that makes cardinality counting free
+    at 100 TB: each shard/partition builds its ≤ m-row register table
+    independently, and register-wise MAX merges them losslessly
+    (certified by hll_report's merge_exact_ok)."""
+    m = 1 << p
+    rem_bits = 64 - p
+    h = F.xxhash64(F.col(key_col))
+    bucket = h.bitwiseAND(F.lit(m - 1)).alias("bucket")
+    rem = F.shiftrightunsigned(h, p)
+    # rank = leading zeros of the (64-p)-bit remainder + 1
+    #      = rem_bits - msb(rem) + 1, with msb(0) treated as 0
+    msb = F.when(rem == 0, F.lit(0)).otherwise(F.length(F.bin(rem)))
+    rank = (F.lit(rem_bits) - msb + F.lit(1)).cast("int").alias("rank")
+    return (
+        keys.select(bucket, rank)
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("M"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> float:
+    """Cardinality estimate from a register table: the raw HLL harmonic
+    mean with the small-range linear-counting correction (the two
+    branches of Flajolet et al. 2007 §4; large-range correction is
+    unnecessary with 64-bit hashes).  The input is ≤ 2^p rows, so the
+    driver-side finish is bounded regardless of corpus size."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rows = registers.collect()
+    zeros = m - len(rows)
+    denom = sum(2.0 ** -r.M for r in rows) + zeros  # empty register → 2^0
+    raw = alpha * m * m / denom
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)  # linear counting
+    return raw
+
+
+def hll_report(
+    docs: DataFrame, text_col: str = "text", p: int = 12
+) -> DataFrame:
+    """Distinct-token cardinality with two in-plan certificates:
+
+    * ``merge_exact_ok`` — registers built independently on the
+      even-doc_id and odd-doc_id halves and merged by register-wise MAX
+      are IDENTICAL to the whole-corpus registers (HLL's losslessness
+      under sharding — the property that lets 1000 executors each
+      sketch their shard and union for free).
+    * ``err_ok`` — the merged estimate is within 5% of the exact
+      distinct count (3σ for m=4096 is ~4.9%; linear-counting regime is
+      tighter).
+
+    The reported count itself is the EXACT distinct (one
+    map-side-combined distinct over tokens), so the operator is fully
+    oracle-checkable; the sketch's claims ride along as booleans."""
+    tokens_of = lambda d: d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("token")
+    )
+    full = hll_registers(tokens_of(docs), "token", p)
+    even = hll_registers(
+        tokens_of(docs.filter(F.col("doc_id") % 2 == 0)), "token", p
+    )
+    odd = hll_registers(
+        tokens_of(docs.filter(F.col("doc_id") % 2 == 1)), "token", p
+    )
+    merged = (
+        even.withColumnRenamed("M", "Me")
+        .join(odd.withColumnRenamed("M", "Mo"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.greatest(
+                F.coalesce("Me", F.lit(0)), F.coalesce("Mo", F.lit(0))
+            ).alias("M"),
+        )
+    )
+    mismatches = (
+        full.withColumnRenamed("M", "Mf")
+        .join(merged, "bucket", "full_outer")
+        .filter(
+            F.coalesce("Mf", F.lit(-1)) != F.coalesce("M", F.lit(-1))
+        )
+        .count()
+    )
+    est = hll_estimate(merged, p)
+    spark = docs.sparkSession
+    n_exact = tokens_of(docs).distinct().count()
+    err_ok = abs(est - n_exact) <= 0.05 * n_exact
+    return spark.createDataFrame(
+        [(n_exact, mismatches == 0, bool(err_ok))],
+        "n_distinct_exact long, merge_exact_ok boolean, err_ok boolean",
+    )

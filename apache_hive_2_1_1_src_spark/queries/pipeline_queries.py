@@ -1912,3 +1912,33 @@ ORACLES["p54_count_min"] = """
     SELECT token, cnt, TRUE AS over_ok, TRUE AS bound_ok
     FROM probes ORDER BY cnt DESC, token
 """
+
+
+def p55_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog cardinality (pipeline/sketches.py,
+    Flajolet et al. 2007): register build is pure JVM codegen
+    (xxhash64 → bucket bits + exact msb via bin(); no Python in the
+    per-row path), registers merge losslessly by register-wise MAX.
+    Certified in-plan: merge_exact_ok (even/odd-shard registers merged
+    == whole-corpus registers — the shardability that makes distinct
+    counting free at 100 TB) and err_ok (estimate within 5% of exact;
+    3-sigma for m=4096 is ~4.9%).  The reported count is the exact
+    distinct, so the entry is fully oracle-checkable."""
+    from apache_hive_2_1_1_src_spark.pipeline.sketches import hll_report
+
+    docs = t(spark, sf_dir, "documents")
+    return hll_report(docs, "text", p=12)
+
+
+QUERIES["p55_hyperloglog"] = p55_hyperloglog
+
+ORACLES["p55_hyperloglog"] = """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x != '')) AS token
+      FROM documents
+    )
+    SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_exact,
+           TRUE AS merge_exact_ok, TRUE AS err_ok
+    FROM tok
+"""
