@@ -47,28 +47,27 @@ _FEATURED = [
     "q02_filter_project",
     "q03_shipping_priority",
     "q04_join_inner",
-    "q05_join_left",
     "q07_join_full",
     "q08_join_semi",
     "q09_join_anti",
     "q10_broadcast_region_revenue",
     "q12_union_distinct",
     "q14_order_limit",
-    "q145_intersect",
     "q208_multi_insert_sql",
+    "q217_hive_ddl_surface",
+    "q209_stats_only_answers",
     "q29_grouping_sets",
     "q24_count_distinct",
     "q27_percentile_approx",
-    "q33_histogram_numeric",
+    "p55_hyperloglog",
     "q40_row_number_topk",
-    "q43_running_sum_rows",
     "q138_range_interval_frame",
     "q156_ignore_nulls_windows",
     "q75_in_subquery",
     "q160_merge_cow",
     "q170_acid_snapshot_isolation",
-    "q186_time_travel",
     "q179_acid_merge",
+    "q210_acid_orc_interop",
     "q203_change_data_feed",
     "q204_cdf_replica_maintenance",
     "q200_show_locks",
@@ -76,9 +75,10 @@ _FEATURED = [
     "q169_persistent_metastore",
     "q205_partition_statistics",
     "q197_external_table",
-    "q85_write_partitioned",
     "q87_write_bucketed",
     "q90_orc_roundtrip",
+    "q211_rcfile_roundtrip",
+    "q213_hplsql_procedure",
     "q96_streaming_window_counts",
     "q142_asof_join",
     "q144_time_rollup",
