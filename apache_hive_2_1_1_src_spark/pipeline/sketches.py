@@ -36,31 +36,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _mg_update(summary: dict, item: str, capacity: int) -> None:
-    """One Misra–Gries step: count if tracked, admit if room, else
-    decrement-all (the classic ``k``-way cancellation)."""
-    if item in summary:
-        summary[item] += 1
-    elif len(summary) < capacity:
-        summary[item] = 1
-    else:
-        for key in list(summary):
-            summary[key] -= 1
-            if summary[key] == 0:
-                del summary[key]
+def _mg_merge(summary: dict, counts: dict, capacity: int) -> dict:
+    """Merge exact batch counts into an MG(``capacity``) summary via the
+    mergeable-summaries rule (Agarwal et al. 2012, "Mergeable
+    summaries" §3): pointwise add, then if more than ``capacity`` items
+    remain, subtract the (capacity+1)-th largest count from every item
+    and drop the non-positive ones.  The merged summary keeps the
+    streaming MG error bound (≤ n/(capacity+1) undercount per item), so
+    the containment guarantee heavy_hitters relies on is unchanged —
+    while the per-token Python loop becomes a C-speed value_counts."""
+    for item, cnt in counts.items():
+        summary[item] = summary.get(item, 0) + int(cnt)
+    if len(summary) > capacity:
+        sub = sorted(summary.values(), reverse=True)[capacity]
+        summary = {t: c - sub for t, c in summary.items() if c > sub}
+    return summary
 
 
 def mg_candidates(tokens: DataFrame, token_col: str, capacity: int) -> DataFrame:
     """Pass 1: per-partition Misra–Gries summaries → the unioned
-    candidate token set (≤ capacity rows per partition)."""
+    candidate token set (≤ capacity rows per partition).  Each Arrow
+    batch is reduced with vectorized ``value_counts`` and merged into
+    the running summary with the MG merge rule — O(capacity) state, no
+    per-row Python."""
     import pandas as pd
 
     def sketch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         summary: dict[str, int] = {}
         for pdf in batches:
-            for tok in pdf[token_col]:
-                if tok is not None:
-                    _mg_update(summary, tok, capacity)
+            counts = pdf[token_col].dropna().value_counts().to_dict()
+            summary = _mg_merge(summary, counts, capacity)
         yield pd.DataFrame({token_col: list(summary.keys())})
 
     return tokens.mapInPandas(sketch, f"{token_col} string").distinct()
