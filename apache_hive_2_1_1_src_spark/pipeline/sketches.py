@@ -123,13 +123,21 @@ def cm_sketch(
 
     def sketch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cells: dict[tuple[int, int], int] = {}
+        pos: dict[str, tuple[int, ...]] = {}  # token → its depth cells
         for pdf in batches:
-            for tok in pdf[token_col]:
-                if tok is None:
-                    continue
+            # collapse duplicates first: one hash per UNIQUE token per
+            # batch (+ a memo across batches), counts added in bulk —
+            # the merged table is identical because cell updates are
+            # pure addition
+            for tok, cnt in pdf[token_col].dropna().value_counts().items():
+                cols = pos.get(tok)
+                if cols is None:
+                    cols = tuple(_cm_hash(tok, r, width) for r in range(depth))
+                    pos[tok] = cols
+                n = int(cnt)
                 for r in range(depth):
-                    key = (r, _cm_hash(tok, r, width))
-                    cells[key] = cells.get(key, 0) + 1
+                    key = (r, cols[r])
+                    cells[key] = cells.get(key, 0) + n
         if cells:
             rows, cols, counts = zip(*[(r, c, n) for (r, c), n in cells.items()])
         else:
