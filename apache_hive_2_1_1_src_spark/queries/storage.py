@@ -834,6 +834,64 @@ def q217_hive_ddl_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q218_show_create_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW CREATE TABLE in Hive's output dialect and its closure with
+    the DDL translator (exec/DDLTask.java showCreateTable; grammar
+    consumed back through parse/HiveParser.g createTableStatement):
+    create a partitioned bucketed ORC table via Hive-form DDL, emit its
+    Hive-form SHOW CREATE TABLE, DROP it, re-create it by executing the
+    EMITTED text, repopulate, and digest — proving emit -> parse is a
+    fixed point.  Certificate columns pin that the declared format and
+    the catalog bucketing metadata survive the cycle."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    tb = f"sct_rt_{_PID}"
+    eng.sql(f"DROP TABLE IF EXISTS {tb}")
+    ddl_src = (
+        f"CREATE TABLE {tb} (o_orderkey BIGINT, o_totalprice DOUBLE) "
+        f"PARTITIONED BY (status STRING) "
+        f"CLUSTERED BY (o_orderkey) INTO 4 BUCKETS "
+        f"STORED AS ORC"
+    )
+
+    def populate():
+        for st in ("F", "O"):
+            eng.sql(
+                f"INSERT INTO {tb} PARTITION (status='{st}') "
+                f"SELECT o_orderkey, o_totalprice FROM orders "
+                f"WHERE o_orderstatus = '{st}' AND o_orderkey <= 4000"
+            )
+
+    eng.sql(ddl_src)
+    populate()
+    emitted = eng.sql(f"SHOW CREATE TABLE {tb}").collect()[0].createtab_stmt
+    eng.sql(f"DROP TABLE IF EXISTS {tb}")
+    eng.sql(emitted)  # the emitted Hive-form text must re-create it
+    populate()
+    desc = {
+        str(r.col_name): str(r.data_type)
+        for r in spark.sql(f"DESCRIBE EXTENDED {tb}").collect()
+    }
+    res = (
+        spark.table(tb)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn(
+            "fmt_kept",
+            F.lit(eng.declared_formats.get(tb.lower()) == "orc"),
+        )
+        .withColumn("buckets_kept", F.lit(desc.get("Num Buckets") == "4"))
+        .orderBy("status")
+    )
+    return res
+
+
+
 def q176_show_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW command family (HiveParser.g SHOW grammar;
     DDLSemanticAnalyzer → ShowTablesDesc/ShowColumnsDesc/ShowFunctionsDesc,
@@ -1473,6 +1531,7 @@ def q208_multi_insert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q218_show_create_roundtrip": q218_show_create_roundtrip,
     "q217_hive_ddl_surface": q217_hive_ddl_surface,
     "q216_directory_export_rcfile": q216_directory_export_rcfile,
     "q215_alter_concatenate": q215_alter_concatenate,
@@ -1518,6 +1577,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q218_show_create_roundtrip": """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               TRUE AS fmt_kept,
+               TRUE AS buckets_kept
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O') AND o_orderkey <= 4000
+        GROUP BY o_orderstatus ORDER BY status
+    """,
     "q217_hive_ddl_surface": """
         SELECT o_orderstatus AS status,
                COUNT(*) AS n,

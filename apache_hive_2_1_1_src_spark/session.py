@@ -243,12 +243,13 @@ class HiveEngine:
             else:
                 out = out[:ins] + " USING parquet" + out[ins:]
             tm = re.search(
-                r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)", out, re.IGNORECASE
+                r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)", out, re.IGNORECASE
             )
             if tm is not None:
                 if not hasattr(self, "declared_formats"):
                     self.declared_formats = {}
-                self.declared_formats[tm.group(1).lower()] = fmt
+                name = tm.group(1).replace("`", "").lower()
+                self.declared_formats[name] = fmt
         out = re.sub(
             r"^(\s*CREATE\s+)EXTERNAL\s+", r"\1", out, flags=re.IGNORECASE
         )
@@ -259,7 +260,7 @@ class HiveEngine:
         """Offset just past the balanced close paren of the CREATE TABLE
         column list, or None when the statement has no column list (CTAS)."""
         tm = re.search(
-            r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*(\()", out, re.IGNORECASE
+            r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+\s*(\()", out, re.IGNORECASE
         )
         if tm is None:
             return None
@@ -336,6 +337,97 @@ class HiveEngine:
         r"STORED\s+AS\s+(RCFILE|SEQUENCEFILE|TEXTFILE)\s+(.*)$",
         re.IGNORECASE | re.DOTALL,
     )
+    _SHOW_CREATE = re.compile(
+        r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+    )
+    # Hive storage-format descriptor classes (public constants:
+    # ql/.../io/HiveFileFormatUtils + each format's SerDe; what
+    # DDLTask.showCreateTable prints per format)
+    _FMT_CLASSES = {
+        "textfile": (
+            "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+            "org.apache.hadoop.mapred.TextInputFormat",
+            "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+        ),
+        "sequencefile": (
+            "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+            "org.apache.hadoop.mapred.SequenceFileInputFormat",
+            "org.apache.hadoop.hive.ql.io.HiveSequenceFileOutputFormat",
+        ),
+        "orc": (
+            "org.apache.hadoop.hive.ql.io.orc.OrcSerde",
+            "org.apache.hadoop.hive.ql.io.orc.OrcInputFormat",
+            "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat",
+        ),
+        "parquet": (
+            "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe",
+            "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+            "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+        ),
+        "avro": (
+            "org.apache.hadoop.hive.serde2.avro.AvroSerDe",
+            "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
+            "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat",
+        ),
+        "rcfile": (
+            "org.apache.hadoop.hive.serde2.columnar.LazyBinaryColumnarSerDe",
+            "org.apache.hadoop.hive.ql.io.RCFileInputFormat",
+            "org.apache.hadoop.hive.ql.io.RCFileOutputFormat",
+        ),
+    }
+
+    def show_create_table_hive(self, table: str):
+        """SHOW CREATE TABLE in Hive's output dialect
+        (``ql/.../exec/DDLTask.java`` showCreateTable): backticked
+        column list, typed ``PARTITIONED BY`` outside it, ``ROW FORMAT
+        SERDE`` + ``STORED AS INPUTFORMAT/OUTPUTFORMAT`` class names
+        for the table's declared Hive format (falling back to the
+        engine's parquet storage when none was declared), and
+        ``CLUSTERED BY ... INTO N BUCKETS`` from catalog bucketing
+        metadata.  The emitted text round-trips through
+        translate_hive_ddl — q218 pins the closure."""
+        tbl = table.split(".")[-1].lower()
+        cols = self.spark.catalog.listColumns(table)
+        data_cols = [c for c in cols if not c.isPartition]
+        part_cols = [c for c in cols if c.isPartition]
+        desc = {
+            str(r.col_name): str(r.data_type)
+            for r in self.spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+        }
+        fmt = getattr(self, "declared_formats", {}).get(tbl, "parquet")
+        serde, infmt, outfmt = self._FMT_CLASSES[fmt]
+        lines = [f"CREATE TABLE `{tbl}`("]
+        lines.append(
+            ",\n".join(
+                f"  `{c.name}` {c.dataType}" for c in data_cols
+            )
+        )
+        lines.append(")")
+        if part_cols:
+            plist = ", ".join(f"`{c.name}` {c.dataType}" for c in part_cols)
+            lines.append(f"PARTITIONED BY ({plist})")
+        nb = desc.get("Num Buckets")
+        bcols = desc.get("Bucket Columns", "").strip("[]").replace("`", "")
+        if nb and bcols:
+            lines.append(f"CLUSTERED BY ({bcols})")
+            scols = desc.get("Sort Columns", "").strip("[]").replace("`", "")
+            if scols:
+                lines.append(f"SORTED BY ({scols} ASC)")
+            lines.append(f"INTO {nb} BUCKETS")
+        lines.append("ROW FORMAT SERDE")
+        lines.append(f"  '{serde}'")
+        lines.append("STORED AS INPUTFORMAT")
+        lines.append(f"  '{infmt}'")
+        lines.append("OUTPUTFORMAT")
+        lines.append(f"  '{outfmt}'")
+        loc = desc.get("Location")
+        if loc:
+            lines.append("LOCATION")
+            lines.append(f"  '{loc}'")
+        stmt = "\n".join(lines)
+        return self.spark.createDataFrame(
+            [(stmt,)], "createtab_stmt string"
+        )
 
     def _insert_overwrite_directory_stored_as(
         self, path: str, fmt: str, select_sql: str
@@ -513,6 +605,9 @@ class HiveEngine:
         if m:
             getattr(self, "_macros", {}).pop(m.group(1), None)
             return self.spark.range(0).select()
+        m = self._SHOW_CREATE.match(text)
+        if m:
+            return self.show_create_table_hive(m.group(1))
         m = self._CONCATENATE.match(text)
         if m:
             return self._alter_table_concatenate(m.group(1))

@@ -205,3 +205,30 @@ def test_kitchen_sink_ddl(eng):
     parts = eng.sql("SHOW PARTITIONS ddlt_ks").collect()
     assert len(parts) == 1
     _cleanup(eng, "ddlt_ks")
+
+
+def test_show_create_table_hive_form(eng):
+    """SHOW CREATE TABLE emits Hive's dialect (DDLTask.showCreateTable):
+    backticked columns, typed PARTITIONED BY outside the list, ROW
+    FORMAT SERDE + STORED AS INPUTFORMAT/OUTPUTFORMAT class names — and
+    the emitted text is consumable by the engine's own translator."""
+    _cleanup(eng, "ddlt_sce")
+    eng.sql(
+        "CREATE TABLE ddlt_sce (id INT, v STRING) "
+        "PARTITIONED BY (dt STRING) STORED AS ORC"
+    )
+    ddl = eng.sql("SHOW CREATE TABLE ddlt_sce").collect()[0].createtab_stmt
+    assert "`id` int" in ddl
+    assert "PARTITIONED BY (`dt` string)" in ddl
+    assert "ROW FORMAT SERDE" in ddl
+    assert "'org.apache.hadoop.hive.ql.io.orc.OrcSerde'" in ddl
+    assert "STORED AS INPUTFORMAT" in ddl
+    assert "'org.apache.hadoop.hive.ql.io.orc.OrcInputFormat'" in ddl
+    assert "'org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat'" in ddl
+    # closure: the emitted text parses back through the translator
+    _cleanup(eng, "ddlt_sce")
+    eng.sql(ddl)
+    eng.sql("INSERT INTO ddlt_sce PARTITION (dt='x') VALUES (5, 'z')")
+    assert eng.sql("SELECT id FROM ddlt_sce").collect()[0].id == 5
+    assert eng.declared_formats["ddlt_sce"] == "orc"
+    _cleanup(eng, "ddlt_sce")
