@@ -206,6 +206,20 @@ class HiveEngine:
         if m:
             if m.group("fmt"):
                 fmt = m.group("fmt").lower()
+                if fmt not in (
+                    "textfile",
+                    "sequencefile",
+                    "orc",
+                    "parquet",
+                    "avro",
+                    "rcfile",
+                    "jsonfile",
+                ):
+                    # SemanticAnalyzer rejects unknown formats
+                    # (HiveParser fileFormat | StorageFormat.fillStorageFormat)
+                    raise ValueError(
+                        f"Unrecognized file format in STORED AS clause: {fmt}"
+                    )
             else:  # classify by the InputFormat class name
                 infmt = m.group("infmt").rsplit(".", 1)[-1].lower()
                 for known in ("orc", "parquet", "avro", "rcfile", "sequence"):
@@ -374,6 +388,11 @@ class HiveEngine:
             "org.apache.hadoop.hive.ql.io.RCFileInputFormat",
             "org.apache.hadoop.hive.ql.io.RCFileOutputFormat",
         ),
+        "jsonfile": (
+            "org.apache.hive.hcatalog.data.JsonSerDe",
+            "org.apache.hadoop.mapred.TextInputFormat",
+            "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+        ),
     }
 
     def show_create_table_hive(self, table: str):
@@ -420,8 +439,12 @@ class HiveEngine:
         lines.append(f"  '{infmt}'")
         lines.append("OUTPUTFORMAT")
         lines.append(f"  '{outfmt}'")
+        # Hive prints LOCATION unconditionally; we emit it only for
+        # EXTERNAL tables so that re-executing the emitted DDL for a
+        # managed table yields a managed table again (in Spark a CREATE
+        # with LOCATION is external, and dropping it would strand files)
         loc = desc.get("Location")
-        if loc:
+        if loc and desc.get("Type", "").upper() == "EXTERNAL":
             lines.append("LOCATION")
             lines.append(f"  '{loc}'")
         stmt = "\n".join(lines)

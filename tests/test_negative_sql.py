@@ -135,6 +135,12 @@ CASES = [
         "SELECT o_orderkey FROM orders CLUSTER BY o_orderkey ORDER BY o_orderkey",
         "",
     ),
+    (
+        "unknown_stored_as_format",  # clientnegative/fileformat_bad_class.q
+        # family — SemanticAnalyzer rejects an unrecognized STORED AS
+        "CREATE TABLE negfmt_t (a INT) STORED AS WINGDINGS",
+        "wingdings",
+    ),
 ]
 
 
