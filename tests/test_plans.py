@@ -608,3 +608,30 @@ def test_heavy_hitters_broadcasts_only_candidates(spark, sf_dir):
     # only ONE join in the whole plan: the semi join whose build side is
     # the bounded mapInPandas candidate branch
     assert "BroadcastExchange" in plan and "MapInPandas" in plan
+
+
+def test_hll_registers_plan_is_map_side_combined(spark, sf_dir):
+    """p55's register build must be a pure-codegen two-phase aggregate:
+    partial HashAggregate (max per bucket) BEFORE the exchange, final
+    after — so each task ships at most m=4096 rows regardless of corpus
+    size — with no Python evaluation (the per-row path is xxhash64 +
+    bit ops + bin()), no window, no join."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apache_hive_2_1_1_src_spark.pipeline.sketches import hll_registers
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokens = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+        ).alias("token")
+    )
+    plan = _plan(hll_registers(tokens, "token"))
+    # two-phase agg: a partial max below the shuffle, final above
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_max" in plan, plan
+    assert "Exchange" in plan and "hashpartitioning(bucket" in plan, plan
+    for bad in ("PythonUDF", "MapInPandas", "Window", "Join"):
+        assert bad not in plan, bad
