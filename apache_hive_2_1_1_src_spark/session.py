@@ -199,6 +199,16 @@ class HiveEngine:
             r"\bUSING\s+\w", text, re.IGNORECASE
         ):
             return text
+        sb = re.search(r"\bSTORED\s+BY\s+'([^']*)'", text, re.IGNORECASE)
+        if sb:
+            # non-native storage handlers (HBase/Accumulo —
+            # hbase-handler/, accumulo-handler/) are scoped out; fail
+            # loudly like the unsupported-function registry
+            raise NotImplementedError(
+                f"STORED BY storage handler '{sb.group(1)}' is not "
+                "supported: non-native Hive storage handlers "
+                "(HBase/Accumulo) are out of scope (SURVEY.md §2)"
+            )
         out = text
         fmt = None
         out = self._SKEWED_BY.sub(" ", out)

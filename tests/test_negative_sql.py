@@ -141,6 +141,13 @@ CASES = [
         "CREATE TABLE negfmt_t (a INT) STORED AS WINGDINGS",
         "wingdings",
     ),
+    (
+        "stored_by_handler_unsupported",  # hbase-handler DDL must fail
+        # loudly as scoped-out, not with a bare parser error
+        "CREATE TABLE neghb_t (k STRING, v STRING) STORED BY "
+        "'org.apache.hadoop.hive.hbase.HBaseStorageHandler'",
+        "HBaseStorageHandler",
+    ),
 ]
 
 
