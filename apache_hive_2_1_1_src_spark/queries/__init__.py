@@ -25,6 +25,7 @@ from apache_hive_2_1_1_src_spark.queries import (
     aggregates,
     functions_sql,
     language_surface,
+    masking_queries,
     misc,
     pipeline_queries,
     relational,
@@ -106,6 +107,7 @@ _MODULES = [
     functions_sql,
     subqueries,
     misc,
+    masking_queries,
     tpch_like,
     tpch_full,
 ]
