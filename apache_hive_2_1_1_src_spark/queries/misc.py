@@ -26,6 +26,42 @@ def q94_transform_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("n_nationkey")
 
 
+def q222_mapreduce_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's MAP/REDUCE script-transform STATEMENT syntax — the
+    mapreduce1.q shape (``FROM src MAP expr, … USING 'cat' AS (cols)
+    DISTRIBUTE BY … SORT BY …``; MAP and REDUCE are parser aliases for
+    SELECT TRANSFORM, parse/HiveParser.g trfmClause; executed by
+    exec/ScriptOperator.java:875 with tab/newline framing).  Spark's
+    parser accepts the identical statement text (script transform with
+    the default ROW FORMAT DELIMITED — the same \\t field framing) and
+    plans it as a ScriptTransformation node fed by an Exchange on the
+    DISTRIBUTE BY keys with intra-partition SORT BY — Hive's exact
+    shuffle contract for reducer-side scripts.
+
+    Scale: the script runs once per partition streaming through a
+    pipe — no driver collect; the DISTRIBUTE BY exchange is the only
+    shuffle, keyed exactly as the statement asks.
+    """
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    return eng.sql(
+        """
+        SELECT CAST(k AS INT) AS tkey, CAST(ten AS INT) AS ten,
+               CAST(one AS INT) AS one, name AS tvalue
+        FROM (
+          FROM nation
+          MAP nation.n_nationkey, CAST(nation.n_nationkey / 10 AS INT),
+              CAST(nation.n_nationkey % 10 AS INT), nation.n_name
+          USING 'cat' AS (k STRING, ten STRING, one STRING, name STRING)
+          DISTRIBUTE BY name, k
+          SORT BY ten, one
+        ) t
+        """
+    )
+
+
 def q95_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE COMPUTE STATISTICS → stats-backed row count must match
     reality (ColumnStatsTask/StatsTask persistence)."""
@@ -930,6 +966,7 @@ QUERIES = {
     "q209_stats_only_answers": q209_stats_only_answers,
     "q189_temporary_macro": q189_temporary_macro,
     "q94_transform_script": q94_transform_script,
+    "q222_mapreduce_sql": q222_mapreduce_sql,
     "q115_stateful_user_summary": q115_stateful_user_summary,
     "q104_percentile_array": q104_percentile_array,
     "q105_like_rlike": q105_like_rlike,
@@ -1268,6 +1305,16 @@ ORACLES = {
     "q94_transform_script": """
         SELECT n_nationkey, upper(n_name) AS upper_name
         FROM nation ORDER BY n_nationkey
+    """,
+    "q222_mapreduce_sql": """
+        -- identity script ('cat'): the oracle is the MAP expression list
+        -- itself; FLOOR because Spark CASTs double->int by truncation
+        -- while DuckDB rounds
+        SELECT CAST(n_nationkey AS INT) AS tkey,
+               CAST(FLOOR(n_nationkey / 10) AS INT) AS ten,
+               CAST(n_nationkey % 10 AS INT) AS one,
+               n_name AS tvalue
+        FROM nation
     """,
     "q95_analyze_stats": """
         SELECT COUNT(*) AS n_rows_stats, COUNT(*) AS n_rows_actual FROM customer
