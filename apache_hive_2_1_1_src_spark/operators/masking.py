@@ -125,11 +125,23 @@ def rewrite_with_policies(
     """
     if not policies:
         return text
+    # masking_4.q contract: a CTE whose name equals a policied table
+    # SHADOWS the policy for this statement — references resolve to the
+    # CTE, not the table, so they must not be rewritten (Hive resolves
+    # the name to the CTE first and never asks the authorizer about it).
+    shadowed = {
+        m.group(1).lower()
+        for m in re.finditer(r"(?:\bWITH|,)\s*(\w+)\s+AS\s*\(", text, re.IGNORECASE)
+    }
+    policies = {t: p for t, p in policies.items() if t not in shadowed}
+    if not policies:
+        return text
     names = "|".join(re.escape(t) for t in policies)
     # FROM tab / JOIN tab / ", tab" (from-list comma) — optionally
     # db-qualified (default.tab), optionally aliased ([AS] a)
     pat = re.compile(
         rf"\b(FROM|JOIN|,)\s+(?:(\w+)\.)?({names})\b"
+        rf"(?:\s+(TABLESAMPLE\s*\([^)]*\)))?"
         rf"(?:\s+(?:AS\s+)?(\w+))?",
         re.IGNORECASE,
     )
@@ -138,13 +150,13 @@ def rewrite_with_policies(
     def _sub(m: re.Match) -> str:
         if any(s <= m.start() < e for s, e in spans):
             return m.group(0)
-        kw, db, tab, alias = m.groups()
+        kw, db, tab, sample, alias = m.groups()
         if db and db.lower() not in ("default",):
             return m.group(0)
         trailing_kw = ""
         if alias and alias.lower() in _NOT_ALIAS:
-            # group(4) grabbed a clause keyword (FROM t WHERE ...), not
-            # an alias — re-emit it after the substitution
+            # alias slot grabbed a clause keyword (FROM t WHERE ...),
+            # not an alias — re-emit it after the substitution
             trailing_kw = f" {alias}"
             alias = None
         cols = schema_fn(tab.lower())
@@ -152,6 +164,12 @@ def rewrite_with_policies(
             return m.group(0)
         pol = policies[tab.lower()]
         body = masked_subquery(tab, alias or tab, cols, pol)
+        if sample:
+            # Hive: `tab TABLESAMPLE (...) alias`; on a derived table
+            # Spark wants the sample BEFORE the alias — same semantics
+            # (sample applies above the mask, as in Hive's rewrite)
+            inner, _, al = body.rpartition(") ")
+            body = f"{inner}) {sample} {al}"
         return f"{kw} {body}{trailing_kw}"
 
     return pat.sub(_sub, text)

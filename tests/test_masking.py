@@ -110,6 +110,38 @@ class TestRewriteUnit:
         assert "WHERE" not in out
         assert "CAST(upper(value) AS string) AS value" in out
 
+    def test_cte_shadowing_suppresses_policy(self):
+        """masking_4.q: a CTE named like a policied table shadows the
+        policy — its references must NOT be rewritten (Hive resolves
+        the CTE first and never consults the authorizer for it)."""
+        txt = (
+            "WITH masking_test AS (SELECT 1 AS key, 'x' AS value) "
+            "SELECT * FROM masking_test"
+        )
+        assert rewrite_with_policies(txt, _POL, _schema_fn) == txt
+
+    def test_cte_over_masked_table_still_masks(self):
+        """masking_4.q: a CTE READING a policied table gets the mask
+        inside the CTE body."""
+        out = rewrite_with_policies(
+            "WITH q1 AS (SELECT * FROM masking_test WHERE key = 4) "
+            "SELECT * FROM q1",
+            _POL,
+            _schema_fn,
+        )
+        assert "reverse(value)" in out and "FROM q1" in out
+
+    def test_tablesample_reordered_before_alias(self):
+        """masking_5.q: TABLESAMPLE on a masked table — Hive puts the
+        sample after the table name; on the derived replacement Spark
+        needs it before the alias, same semantics (sample above mask)."""
+        out = rewrite_with_policies(
+            "SELECT * FROM masking_test tablesample (5 rows) s",
+            _POL,
+            _schema_fn,
+        )
+        assert ") tablesample (5 rows) s" in out
+
     def test_reference_policies_match_validator(self):
         pols = reference_test_policies()
         assert pols["masking_test"].row_filter == "key % 2 = 0 and key < 10"
