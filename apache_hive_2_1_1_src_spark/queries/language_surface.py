@@ -154,10 +154,34 @@ def q149_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q223_regex_cols_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regex_col.q + offset_limit.q surfaces: with
+    ``set hive.support.quoted.identifiers=none`` a backticked
+    identifier is a column REGEX (ParseDriver; HiveConf
+    SUPPORT_QUOTED_IDENTIFIERS — Spark's identical switch is
+    spark.sql.parser.quotedRegexColumnNames), and Hive's two-operand
+    ``LIMIT offset, count`` (HiveParser.g limitClause) translates to
+    ANSI LIMIT/OFFSET.  Deterministic: total ORDER BY before the
+    offset window."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    eng.sql("set hive.support.quoted.identifiers=none")
+    try:
+        return eng.sql(
+            "SELECT `o_order(key|status)` FROM orders "
+            "ORDER BY o_orderkey LIMIT 5, 10"
+        )
+    finally:
+        eng.sql("set hive.support.quoted.identifiers=column")
+
+
 QUERIES = {
     "q131_lateral_view_outer": q131_lateral_view_outer,
     "q148_pivot": q148_pivot,
     "q149_unpivot": q149_unpivot,
+    "q223_regex_cols_offset_limit": q223_regex_cols_offset_limit,
     "q132_grouping_id": q132_grouping_id,
     "q133_percent_sample": q133_percent_sample,
     "q134_input_file_name": q134_input_file_name,
@@ -170,6 +194,10 @@ ORACLES = {
                TRUE AS size_positive, TRUE AS offset_nonneg,
                TRUE AS size_consistent
         FROM lineitem
+    """,
+    "q223_regex_cols_offset_limit": """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        ORDER BY o_orderkey LIMIT 10 OFFSET 5
     """,
     "q148_pivot": """
         SELECT o_orderstatus,

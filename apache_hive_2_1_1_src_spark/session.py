@@ -323,6 +323,14 @@ class HiveEngine:
         if not hasattr(self, "_vars"):
             self._vars: dict[str, str] = {}
         self._vars[name] = value
+        if name.lower() == "hive.support.quoted.identifiers":
+            # regex_col.q surface (HiveConf SUPPORT_QUOTED_IDENTIFIERS;
+            # ParseDriver treats `backticked` as a column REGEX when
+            # "none"): Spark ships the identical switch
+            self.spark.conf.set(
+                "spark.sql.parser.quotedRegexColumnNames",
+                "true" if value.strip().lower() == "none" else "false",
+            )
 
     def substitute(self, text: str) -> str:
         """Expand ``${hivevar:x}`` / ``${var:x}`` / bare ``${x}`` from
@@ -716,6 +724,13 @@ class HiveEngine:
                 m.group(1), m.group(2), m.group(3)
             )
         text = self.translate_hints(self._expand_macros(text))
+        # offset_limit.q: Hive's MySQL-style `LIMIT offset, count`
+        # (HiveParser.g limitClause two-operand form) → ANSI
+        # LIMIT count OFFSET offset, which Spark and DuckDB share
+        text = re.sub(
+            r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", text,
+            flags=re.IGNORECASE,
+        )
         text = self.translate_hive_ddl(text)
         text = self._apply_masking(text)
         # StatsOptimizer (ql/.../optimizer/StatsOptimizer.java:97): with
