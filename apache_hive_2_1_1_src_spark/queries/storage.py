@@ -1530,8 +1530,77 @@ def q208_multi_insert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q224_database_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Database (schema) lifecycle — database.q / database_drop.q
+    surface (metastore Thrift Database struct
+    hive_metastore.thrift:247; DDLTask.java createDatabase /
+    switchDatabase / dropDatabase / descDatabase): CREATE DATABASE
+    WITH DBPROPERTIES, USE, db-qualified CTAS + reads, SHOW DATABASES
+    LIKE, DESCRIBE, DROP ... CASCADE.  Result is a certificate table
+    the oracle recomputes from the base data: catalog visibility at
+    each step, current_database() after USE, and the row counts of the
+    table created inside the database.
+
+    Scale: pure catalog metadata ops + one CTAS aggregate — catalog
+    calls are O(1) metastore RPCs regardless of data volume.
+    """
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    db = f"lifecycle_db_{_PID}"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    prev_db = spark.catalog.currentDatabase()
+    try:
+        eng.sql(
+            f"CREATE DATABASE {db} COMMENT 'engine test db' "
+            "WITH DBPROPERTIES ('creator'='hive_engine')"
+        )
+        exists_after_create = spark.catalog.databaseExists(db)
+        shown = (
+            spark.sql(f"SHOW DATABASES LIKE '{db}'").count() == 1
+        )
+        eng.sql(f"USE {db}")
+        cur = spark.catalog.currentDatabase()
+        # CTAS inside the current database; read it back db-qualified
+        eng.sql(
+            f"CREATE TABLE status_counts AS "
+            f"SELECT o_orderstatus AS status, COUNT(*) AS n "
+            f"FROM parquet.`{sf_dir}/orders.parquet` GROUP BY o_orderstatus"
+        )
+        n_groups = spark.sql(f"SELECT * FROM {db}.status_counts").count()
+        total = (
+            spark.sql(f"SELECT SUM(n) AS s FROM {db}.status_counts")
+            .collect()[0]["s"]
+        )
+        # listTables also returns session-scoped temp views; the
+        # database's own tables are the ones whose namespace matches
+        n_tables = len(
+            [tb for tb in spark.catalog.listTables(db) if tb.database == db]
+        )
+    finally:
+        spark.sql(f"USE {prev_db}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    exists_after_drop = spark.catalog.databaseExists(db)
+    return spark.createDataFrame(
+        [
+            (
+                bool(exists_after_create and shown),
+                cur == db,
+                int(n_tables),
+                int(n_groups),
+                int(total),
+                bool(exists_after_drop),
+            )
+        ],
+        "created boolean, use_switched boolean, n_tables int, "
+        "n_status_groups int, n_orders bigint, exists_after_drop boolean",
+    )
+
+
 QUERIES = {
     "q218_show_create_roundtrip": q218_show_create_roundtrip,
+    "q224_database_lifecycle": q224_database_lifecycle,
     "q217_hive_ddl_surface": q217_hive_ddl_surface,
     "q216_directory_export_rcfile": q216_directory_export_rcfile,
     "q215_alter_concatenate": q215_alter_concatenate,
@@ -1577,6 +1646,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q224_database_lifecycle": """
+        SELECT TRUE AS created, TRUE AS use_switched, 1 AS n_tables,
+               CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_status_groups,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               FALSE AS exists_after_drop
+        FROM orders
+    """,
     "q218_show_create_roundtrip": """
         SELECT o_orderstatus AS status,
                COUNT(*) AS n,
