@@ -1598,9 +1598,90 @@ def q224_database_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q225_partition_value_escaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """escape1.q / escape2.q: dynamic-partition values containing
+    filesystem-hostile characters (``/ = : % space #``) must be
+    URL-escaped in the partition DIRECTORY name yet round-trip exactly
+    through reads and SHOW PARTITIONS (Hive FileUtils.escapePathName —
+    common/src/java/org/apache/hadoop/hive/common/FileUtils.java;
+    Spark's ExternalCatalogUtils implements the identical escaping).
+    Static ds partition + dynamic part partition, as escape1.q writes.
+
+    Certificate row: partition count, total rows, exact value
+    round-trip, no raw '/' leaked into a partition dirname (which
+    would silently nest directories and corrupt the layout), and a
+    pruned single-partition point read.
+    """
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    tb = f"escape1_{_PID}"
+    drop_table(spark, tb)
+    vals = ["a/b", "c=d", "e:f", "g h", "i%j", "k#l"]
+    spark.createDataFrame(
+        [(v.upper(), v) for v in vals], "a string, s string"
+    ).createOrReplaceTempView(f"escape_raw_{_PID}")
+    spark.sql(
+        f"CREATE TABLE {tb} (a STRING, ds STRING, part STRING) "
+        "USING parquet PARTITIONED BY (ds, part)"
+    )
+    try:
+        eng.sql(
+            f"INSERT OVERWRITE TABLE {tb} PARTITION (ds='1', part) "
+            f"SELECT a, s AS part FROM escape_raw_{_PID}"
+        )
+        n_parts = spark.sql(f"SHOW PARTITIONS {tb}").count()
+        back = spark.table(tb)
+        n_rows = back.count()
+        roundtrip = sorted(
+            r["part"] for r in back.select("part").collect()
+        ) == sorted(vals)
+        # the physical layout: every partition dir under ds=1 must be a
+        # single level (raw '/' would nest) and escape the hostile chars
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {tb}")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        ).replace("file:", "")
+        ds_dir = os.path.join(loc, "ds=1")
+        part_dirs = sorted(
+            d for d in os.listdir(ds_dir) if d.startswith("part=")
+        )
+        dirs_escaped = len(part_dirs) == len(vals) and all(
+            "/" not in d[len("part="):] and ("%" in d or d == "part=g h")
+            for d in part_dirs
+        )
+        pruned = eng.sql(
+            f"SELECT a FROM {tb} WHERE ds='1' AND part='c=d'"
+        )
+        point = pruned.collect()
+        point_ok = len(point) == 1 and point[0]["a"] == "C=D"
+        # partition pruning must reach the scan (one dir of six)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        prune_ok = "c%3Dd" in plan or "c=d" in plan
+    finally:
+        drop_table(spark, tb)
+        spark.catalog.dropTempView(f"escape_raw_{_PID}")
+    return spark.createDataFrame(
+        [
+            (
+                int(n_parts),
+                int(n_rows),
+                bool(roundtrip),
+                bool(dirs_escaped),
+                bool(point_ok and prune_ok),
+            )
+        ],
+        "n_parts int, n_rows int, values_roundtrip boolean, "
+        "dirs_escaped boolean, point_read_ok boolean",
+    )
+
+
 QUERIES = {
     "q218_show_create_roundtrip": q218_show_create_roundtrip,
     "q224_database_lifecycle": q224_database_lifecycle,
+    "q225_partition_value_escaping": q225_partition_value_escaping,
     "q217_hive_ddl_surface": q217_hive_ddl_surface,
     "q216_directory_export_rcfile": q216_directory_export_rcfile,
     "q215_alter_concatenate": q215_alter_concatenate,
@@ -1646,6 +1727,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q225_partition_value_escaping": """
+        SELECT 6 AS n_parts, 6 AS n_rows, TRUE AS values_roundtrip,
+               TRUE AS dirs_escaped, TRUE AS point_read_ok
+    """,
     "q224_database_lifecycle": """
         SELECT TRUE AS created, TRUE AS use_switched, 1 AS n_tables,
                CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_status_groups,
