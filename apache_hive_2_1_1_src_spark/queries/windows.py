@@ -219,7 +219,38 @@ def q156_ignore_nulls_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q226_windowing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates in windows (HIVE-9534;
+    ql/src/test/queries/clientpositive/windowing_distinct.q —
+    COUNT/SUM/AVG(DISTINCT x) OVER (PARTITION BY ...), whole-partition
+    frame only).  Spark rejects distinct window aggregates, so
+    HiveEngine rewrites them onto collect_set's window form (the
+    per-partition distinct set, sized/folded JVM-side) — one Exchange
+    on the partition keys, no Python.  Includes an expression argument
+    (concat), the NULL-dropping semantics, and Hive's ORDER BY
+    rejection is pinned in tests/test_script_sql.py."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    return eng.sql(
+        """
+        SELECT o_orderkey, o_orderstatus,
+               COUNT(DISTINCT o_orderpriority)
+                 OVER (PARTITION BY o_orderstatus) AS d_prio,
+               COUNT(DISTINCT concat(o_orderpriority, '|', o_orderstatus))
+                 OVER (PARTITION BY o_orderstatus) AS d_prio_tag,
+               ROUND(SUM(DISTINCT o_custkey)
+                 OVER (PARTITION BY o_orderstatus), 2) AS s_cust,
+               ROUND(AVG(DISTINCT o_custkey)
+                 OVER (PARTITION BY o_orderstatus), 6) AS a_cust
+        FROM orders WHERE o_orderkey <= 2000
+        """
+    )
+
+
 QUERIES = {
+    "q226_windowing_distinct": q226_windowing_distinct,
     "q138_range_interval_frame": q138_range_interval_frame,
     "q156_ignore_nulls_windows": q156_ignore_nulls_windows,
     "q40_row_number_topk": q40_row_number_topk,
@@ -235,6 +266,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q226_windowing_distinct": """
+        SELECT o_orderkey, o_orderstatus,
+               COUNT(DISTINCT o_orderpriority)
+                 OVER (PARTITION BY o_orderstatus) AS d_prio,
+               COUNT(DISTINCT concat(o_orderpriority, '|', o_orderstatus))
+                 OVER (PARTITION BY o_orderstatus) AS d_prio_tag,
+               ROUND(CAST(SUM(DISTINCT o_custkey)
+                 OVER (PARTITION BY o_orderstatus) AS DOUBLE), 2) AS s_cust,
+               ROUND(CAST(AVG(DISTINCT o_custkey)
+                 OVER (PARTITION BY o_orderstatus) AS DOUBLE), 6) AS a_cust
+        FROM orders WHERE o_orderkey <= 2000
+    """,
     "q156_ignore_nulls_windows": """
         WITH src AS (
           SELECT o_orderkey, o_custkey,

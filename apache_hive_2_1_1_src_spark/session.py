@@ -627,6 +627,94 @@ class HiveEngine:
                 return text
         return text
 
+    _DW_HEAD = re.compile(r"\b(COUNT|SUM|AVG)\s*\(\s*DISTINCT\b", re.IGNORECASE)
+
+    def _rewrite_distinct_windows(self, text: str) -> str:
+        """DISTINCT aggregates in windows (HIVE-9534, windowing_distinct.q;
+        PTFTranslator/WindowingTableFunction evaluate the UDAF over the
+        de-duplicated partition buffer).  Hive supports COUNT/SUM/AVG
+        (DISTINCT x) OVER (PARTITION BY ...) with no ORDER BY — the
+        whole-partition frame; Spark rejects distinct window aggregates
+        outright, so rewrite onto collect_set's window form: the
+        per-partition distinct set (collect_set drops NULLs — the same
+        NULL semantics distinct aggregation has), then size() for COUNT
+        and a higher-order aggregate() fold for SUM/AVG.  Stays
+        whole-stage-codegen-free only in the fold itself; the window is
+        a single ordinary Exchange on the partition keys."""
+        if not self._DW_HEAD.search(text):
+            return text
+
+        def balanced_end(s: str, open_idx: int) -> int:
+            depth, quote = 0, None
+            for k in range(open_idx, len(s)):
+                ch = s[k]
+                if quote:
+                    if ch == quote:
+                        quote = None
+                elif ch in ("'", '"'):
+                    quote = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return k
+            raise ValueError("unbalanced parentheses in query text")
+
+        out, pos = [], 0
+        while True:
+            m = self._DW_HEAD.search(text, pos)
+            if not m:
+                out.append(text[pos:])
+                break
+            fn = m.group(1).upper()
+            p_open = text.rfind("(", m.start(), m.end())
+            p_close = balanced_end(text, p_open)
+            # argument expression: after DISTINCT keyword up to the close
+            dk = re.compile(r"DISTINCT\b", re.IGNORECASE).search(
+                text, p_open, p_close
+            )
+            expr = text[dk.end() : p_close].strip()
+            over = re.compile(r"\s*OVER\s*\(", re.IGNORECASE).match(
+                text, p_close + 1
+            )
+            if not over:
+                # plain DISTINCT aggregate — Spark handles it natively
+                out.append(text[pos : p_close + 1])
+                pos = p_close + 1
+                continue
+            o_open = text.index("(", over.start())
+            o_close = balanced_end(text, o_open)
+            spec = text[o_open + 1 : o_close].strip()
+            if re.search(r"\b(ORDER|SORT)\s+BY\b", spec, re.IGNORECASE):
+                # Hive: "Distinct windowing is supported only for the
+                # whole-partition frame" (WindowingSpec validation)
+                raise ValueError(
+                    f"{fn}(DISTINCT ...) OVER with ORDER BY is not "
+                    "supported (HIVE-9534 allows only the "
+                    "whole-partition frame)"
+                )
+            set_expr = f"collect_set({expr}) OVER ({spec})"
+            fold = (
+                f"aggregate({set_expr}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE))"
+            )
+            if fn == "COUNT":
+                repl = f"CAST(size({set_expr}) AS BIGINT)"
+            elif fn == "SUM":
+                repl = (
+                    f"IF(size({set_expr}) = 0, CAST(NULL AS DOUBLE), {fold})"
+                )
+            else:  # AVG
+                repl = (
+                    f"IF(size({set_expr}) = 0, CAST(NULL AS DOUBLE), "
+                    f"{fold} / CAST(size({set_expr}) AS DOUBLE))"
+                )
+            out.append(text[pos : m.start()])
+            out.append(repl)
+            pos = o_close + 1
+        return "".join(out)
+
     def set_masking_policy(
         self,
         table: str,
@@ -733,6 +821,7 @@ class HiveEngine:
         )
         text = self.translate_hive_ddl(text)
         text = self._apply_masking(text)
+        text = self._rewrite_distinct_windows(text)
         # StatsOptimizer (ql/.../optimizer/StatsOptimizer.java:97): with
         # hive.compute.query.using.stats=true, pure-aggregate queries
         # over a bare table answer from catalog ANALYZE stats — a

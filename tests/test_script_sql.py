@@ -96,3 +96,66 @@ def test_mapreduce_plan_shape(spark, sf_dir):
     assert "ScriptTransformation" in plan
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(name" in plan
+
+
+def test_distinct_window_rewrite(spark, sf_dir, oracle):
+    """windowing_distinct.q (HIVE-9534): COUNT/SUM/AVG(DISTINCT) OVER a
+    partition-only window, rewritten onto collect_set's window form.
+    Compared against DuckDB's native distinct window aggregates."""
+    eng = _engine(spark, sf_dir)
+    sdf = eng.sql(
+        "SELECT o_orderkey, "
+        "COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_orderstatus) AS c, "
+        "ROUND(SUM(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus), 2) AS s, "
+        "ROUND(AVG(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus), 6) AS a "
+        "FROM orders WHERE o_orderkey <= 500"
+    )
+    _compare(
+        sdf,
+        oracle,
+        "SELECT o_orderkey, "
+        "COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_orderstatus) AS c, "
+        "ROUND(CAST(SUM(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus) AS DOUBLE), 2) AS s, "
+        "ROUND(CAST(AVG(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus) AS DOUBLE), 6) AS a "
+        "FROM orders WHERE o_orderkey <= 500",
+    )
+
+
+def test_distinct_window_null_semantics(spark, sf_dir):
+    """An all-NULL partition: COUNT(DISTINCT)=0, SUM/AVG(DISTINCT)=NULL
+    (collect_set drops NULLs; the size()=0 guard restores NULL)."""
+    eng = _engine(spark, sf_dir)
+    spark.sql(
+        "SELECT * FROM VALUES (1, CAST(NULL AS INT)), (1, CAST(NULL AS INT)), "
+        "(2, 5) AS t(k, v)"
+    ).createOrReplaceTempView("dw_nulls")
+    rows = sorted(
+        tuple(r)
+        for r in eng.sql(
+            "SELECT k, COUNT(DISTINCT v) OVER (PARTITION BY k) AS c, "
+            "SUM(DISTINCT v) OVER (PARTITION BY k) AS s, "
+            "AVG(DISTINCT v) OVER (PARTITION BY k) AS a FROM dw_nulls"
+        ).collect()
+    )
+    assert rows == [(1, 0, None, None), (1, 0, None, None), (2, 1, 5.0, 5.0)]
+
+
+def test_distinct_window_order_by_rejected(spark, sf_dir):
+    """Hive rejects DISTINCT windowing with ORDER BY (whole-partition
+    frame only) — the engine mirrors that instead of silently computing
+    something else."""
+    import pytest
+
+    eng = _engine(spark, sf_dir)
+    with pytest.raises(ValueError, match="HIVE-9534"):
+        eng.sql(
+            "SELECT COUNT(DISTINCT o_custkey) OVER "
+            "(PARTITION BY o_orderstatus ORDER BY o_orderkey) FROM orders"
+        )
+
+
+def test_distinct_window_plain_distinct_untouched(spark, sf_dir):
+    """A non-windowed DISTINCT aggregate must pass through unchanged."""
+    eng = _engine(spark, sf_dir)
+    n = eng.sql("SELECT COUNT(DISTINCT o_orderstatus) AS n FROM orders").collect()
+    assert n[0]["n"] == 3
