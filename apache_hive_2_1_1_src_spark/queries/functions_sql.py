@@ -563,7 +563,27 @@ def q212_reflect_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+def q227_collection_index_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array subscripts and map keys taken from COLUMNS, not constants
+    (clientpositive/array_map_access_nonconstant.q; GenericUDFIndex with
+    a non-constant key child).  element_at is Spark's 1-based access —
+    the same arity Hive's [] operator compiles to; all JVM-side codegen,
+    no shuffle (a pure per-row projection at any scale)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("ci_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               element_at(array('first', 'second', 'third'),
+                          CAST(o_orderkey % 3 AS INT) + 1) AS arr_val,
+               element_at(map('1', 'one', '2', 'two', '3', 'three'),
+                          CAST(o_orderkey % 3 + 1 AS STRING)) AS map_val
+        FROM ci_orders WHERE o_orderkey <= 200
+        """
+    )
+
+
 QUERIES = {
+    "q227_collection_index_by_column": q227_collection_index_by_column,
     "q212_reflect_udf": q212_reflect_udf,
     "q141_python_udtf": q141_python_udtf,
     "q50_string_funcs": q50_string_funcs,
@@ -597,6 +617,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q227_collection_index_by_column": """
+        SELECT o_orderkey,
+               (['first', 'second', 'third'])[CAST(o_orderkey % 3 AS INT) + 1] AS arr_val,
+               (MAP(['1', '2', '3'], ['one', 'two', 'three'])
+                  [CAST(o_orderkey % 3 + 1 AS VARCHAR)])[1] AS map_val
+        FROM orders WHERE o_orderkey <= 200
+    """,
     "q212_reflect_udf": """
         SELECT o_orderkey AS k,
                printf('%x', o_orderkey) AS hex_k,
