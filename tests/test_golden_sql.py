@@ -38,7 +38,23 @@ def _duck_compat(sql: str) -> str:
         flags=re.IGNORECASE,
     )
     # Hive/Spark SPLIT is regex; DuckDB's split/string_split is literal
-    return re.sub(r"\bSPLIT\(", "regexp_split_to_array(", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bSPLIT\(", "regexp_split_to_array(", sql, flags=re.IGNORECASE)
+    # Spark's two-arg DATEDIFF(end, start) — DuckDB only has the
+    # three-arg datediff('day', start, end) form
+    sql = re.sub(
+        r"\bDATEDIFF\(\s*([^(),]+?)\s*,\s*(DATE\s+'[^']+'|[^(),]+?)\s*\)",
+        r"datediff('day', \2, \1)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # Hive/Spark INTERVAL 'y-m' YEAR TO MONTH — DuckDB has no ANSI
+    # year-to-month literal; fold to a month count
+    return re.sub(
+        r"INTERVAL\s+'(-?)(\d+)-(\d+)'\s+YEAR\s+TO\s+MONTH",
+        lambda m: f"INTERVAL '{m.group(1)}{int(m.group(2)) * 12 + int(m.group(3))}' MONTH",
+        sql,
+        flags=re.IGNORECASE,
+    )
 
 
 def _spark_compat(sql: str) -> str:
