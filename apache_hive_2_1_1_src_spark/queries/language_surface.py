@@ -177,8 +177,34 @@ def q223_regex_cols_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng.sql("set hive.support.quoted.identifiers=column")
 
 
+def q228_lateral_view_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained LATERAL VIEWs with predicate pushdown across the UDTF
+    (lateral_view_ppd.q; HIVE-4293 pins that a WHERE *after* the UDTF
+    inside the subquery must not be pushed above it) and the no-alias
+    column form (lateral_view_noalias.q; HIVE-2608 — explode(map)
+    yields the default key/value names).  Catalyst plans each Generate
+    inline in the scan stage — no shuffle; the o_orderkey filter IS
+    pushed to the parquet scan while myCol > 1 stays post-Generate."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("lvc_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, myCol, myCol2, key AS mkey, value AS mval
+        FROM (
+          SELECT o_orderkey, myCol, myCol2, mt.key, mt.value
+          FROM lvc_orders
+          LATERAL VIEW explode(array(1, 2, 3)) myTable AS myCol
+          LATERAL VIEW explode(array(10, 20)) myTable2 AS myCol2
+          LATERAL VIEW explode(map('key1', 100, 'key2', 200)) mt
+          WHERE myCol > 1
+        ) a
+        WHERE o_orderkey <= 100
+        """
+    )
+
+
 QUERIES = {
     "q131_lateral_view_outer": q131_lateral_view_outer,
+    "q228_lateral_view_chain": q228_lateral_view_chain,
     "q148_pivot": q148_pivot,
     "q149_unpivot": q149_unpivot,
     "q223_regex_cols_offset_limit": q223_regex_cols_offset_limit,
@@ -189,6 +215,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q228_lateral_view_chain": """
+        SELECT o_orderkey, myCol, myCol2, mkey, mval
+        FROM orders
+        CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS myCol)
+        CROSS JOIN (SELECT UNNEST([10, 20]) AS myCol2)
+        CROSS JOIN (SELECT 'key1' AS mkey, 100 AS mval
+                    UNION ALL SELECT 'key2', 200)
+        WHERE myCol > 1 AND o_orderkey <= 100
+    """,
     "q199_file_metadata_columns": """
         SELECT 'lineitem.parquet' AS file, COUNT(*) AS n_rows,
                TRUE AS size_positive, TRUE AS offset_nonneg,
