@@ -202,9 +202,39 @@ def q228_lateral_view_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q229_literal_coercion_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive literal and implicit-coercion surface
+    (literal_decimal.q: the BD BigDecimal literal suffix;
+    num_op_type_conv.q: NULL arithmetic propagation and string-numeric
+    modulo; null_cast.q: NULL inside complex-type constructors;
+    parenthesis_star_by.q: parenthesized CLUSTER BY column lists) — all
+    parsed natively by Spark's Hive-compatible grammar through the
+    engine's SQL path; pure literal projection, no scan work."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    return eng.sql(
+        """
+        SELECT o_orderkey,
+               3.14BD AS bd_lit,
+               -99999999999999999BD AS bd_big,
+               NULL + 7 AS null_plus,
+               CAST(1.0 - NULL AS DOUBLE) AS null_minus,
+               CAST(9 % '3' AS DOUBLE) AS str_mod,
+               CAST(CAST(21 AS BIGINT) % CAST(5 AS TINYINT) AS BIGINT) AS mixed_mod,
+               ARRAY(NULL, 0) AS arr_null,
+               SIZE(ARRAY(NULL, ARRAY())) AS arr_nested_n
+        FROM (SELECT o_orderkey FROM orders
+              WHERE o_orderkey <= 50 CLUSTER BY (o_orderkey))
+        """
+    )
+
+
 QUERIES = {
     "q131_lateral_view_outer": q131_lateral_view_outer,
     "q228_lateral_view_chain": q228_lateral_view_chain,
+    "q229_literal_coercion_battery": q229_literal_coercion_battery,
     "q148_pivot": q148_pivot,
     "q149_unpivot": q149_unpivot,
     "q223_regex_cols_offset_limit": q223_regex_cols_offset_limit,
@@ -223,6 +253,18 @@ ORACLES = {
         CROSS JOIN (SELECT 'key1' AS mkey, 100 AS mval
                     UNION ALL SELECT 'key2', 200)
         WHERE myCol > 1 AND o_orderkey <= 100
+    """,
+    "q229_literal_coercion_battery": """
+        SELECT o_orderkey,
+               CAST(3.14 AS DECIMAL(3,2)) AS bd_lit,
+               CAST(-99999999999999999 AS DECIMAL(17,0)) AS bd_big,
+               CAST(NULL AS INT) + 7 AS null_plus,
+               CAST(1.0 - NULL AS DOUBLE) AS null_minus,
+               CAST(0 AS DOUBLE) AS str_mod,
+               CAST(21 % 5 AS BIGINT) AS mixed_mod,
+               [NULL, 0] AS arr_null,
+               2 AS arr_nested_n
+        FROM orders WHERE o_orderkey <= 50
     """,
     "q199_file_metadata_columns": """
         SELECT 'lineitem.parquet' AS file, COUNT(*) AS n_rows,
