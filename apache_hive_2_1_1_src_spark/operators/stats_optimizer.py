@@ -25,9 +25,11 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: SELECT <aggs> FROM <bare table> — no WHERE/GROUP/JOIN/subquery/LIMIT.
+#: SELECT <aggs> FROM <bare table> [WHERE <partition-equality conjuncts>]
+#: — no GROUP/JOIN/subquery/LIMIT.
 _SHAPE = re.compile(
-    r"^\s*SELECT\s+(?P<aggs>.+?)\s+FROM\s+(?P<table>[\w.]+)\s*;?\s*$",
+    r"^\s*SELECT\s+(?P<aggs>.+?)\s+FROM\s+(?P<table>[\w.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _AGG = re.compile(
@@ -72,6 +74,73 @@ def _column_stats(spark: SparkSession, table: str, col: str) -> dict | None:
     return rows
 
 
+def _partition_filtered_count(
+    spark: SparkSession, table: str, where: str
+) -> int | None:
+    """Partition-pruned row count from per-partition catalog stats
+    (metadata_only_queries_with_filters.q; StatsOptimizer consults
+    Partition-level StatsSetupConst.ROW_COUNT when every predicate is an
+    equality on a partition column).  Returns None unless ALL conjuncts
+    are partition-column equalities and EVERY matching partition carries
+    ANALYZE'd numRows — the same all-or-nothing ACCURATE contract as the
+    table path."""
+    from urllib.parse import unquote
+
+    eqs: dict[str, str] = {}
+    for conj in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
+        m = re.match(
+            r"^\s*(\w+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\"|([\w.-]+))\s*$", conj
+        )
+        if not m:
+            return None
+        val = m.group(2) if m.group(2) is not None else (
+            m.group(3) if m.group(3) is not None else m.group(4)
+        )
+        eqs[m.group(1).lower()] = val
+    try:
+        pcols = {
+            c.name.lower()
+            for c in spark.catalog.listColumns(table)
+            if c.isPartition
+        }
+    except Exception:
+        return None
+    if not eqs or not set(eqs) <= pcols:
+        return None
+    try:
+        parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table}").collect()]
+    except Exception:
+        return None
+    total = 0
+    for p in parts:
+        kv = {
+            k.lower(): unquote(v)
+            for k, v in (seg.split("=", 1) for seg in p.split("/"))
+        }
+        if not all(kv.get(k) == v for k, v in eqs.items()):
+            continue
+        spec = ", ".join(f"{k}='{v}'" for k, v in kv.items())
+        try:
+            desc = spark.sql(
+                f"DESCRIBE TABLE EXTENDED {table} PARTITION ({spec})"
+            ).collect()
+        except Exception:
+            return None
+        st = next(
+            (
+                r[1]
+                for r in desc
+                if (r[0] or "").strip() == "Partition Statistics"
+            ),
+            None,
+        )
+        m = re.search(r"(\d+)\s+rows", st or "")
+        if not m:
+            return None
+        total += int(m.group(1))
+    return total
+
+
 def try_stats_only_answer(spark: SparkSession, text: str) -> DataFrame | None:
     """If ``text`` is a pure-aggregate query over one bare table and the
     catalog holds every statistic it needs, return the answer as a
@@ -81,10 +150,34 @@ def try_stats_only_answer(spark: SparkSession, text: str) -> DataFrame | None:
         return None
     table = m.group("table")
     body = m.group("aggs")
+    where = m.group("where")
     if re.search(
         r"\b(WHERE|GROUP|JOIN|HAVING|LIMIT|UNION|DISTINCT|OVER)\b", body, re.IGNORECASE
     ):
         return None
+    if where is not None:
+        # partition-equality filters: only the COUNT(*) family can be
+        # answered (column min/max stats are table-level here)
+        if re.search(
+            r"\b(GROUP|JOIN|HAVING|LIMIT|UNION|OR)\b", where, re.IGNORECASE
+        ):
+            return None
+        parts_b = _split_top_level_commas(body)
+        exprs_f: list[str] = []
+        n_part: int | None = None
+        for i, part in enumerate(parts_b):
+            am = _AGG.match(part)
+            if not am or am.group("fn").upper() != "COUNT" or am.group(
+                "arg"
+            ) not in ("*", "1"):
+                return None
+            if n_part is None:
+                n_part = _partition_filtered_count(spark, table, where)
+            if n_part is None:
+                return None
+            alias = am.group("alias") or f"c{i}"
+            exprs_f.append(f"CAST({n_part} AS BIGINT) AS {alias}")
+        return spark.sql("SELECT " + ", ".join(exprs_f))
     try:
         schema = {f.name.lower(): f.dataType.simpleString() for f in spark.table(table).schema.fields}
     except Exception:

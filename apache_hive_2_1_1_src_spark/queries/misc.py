@@ -848,6 +848,46 @@ def q209_stats_only_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q230_stats_only_partition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-filtered metadata-only answers
+    (metadata_only_queries_with_filters.q; StatsOptimizer consults
+    partition-level ROW_COUNT when every WHERE conjunct is an equality
+    on a partition column).  After ANALYZE TABLE ... PARTITION(...),
+    ``SELECT count(*) FROM t WHERE pcol = 'v'`` is served from the
+    summed per-partition stats with NO scan; a missing partition value
+    answers 0.  Certificates: stats path == scan path per value, and
+    the fast plan contains no file scan."""
+    from apache_hive_2_1_1_src_spark.queries.storage import drop_table
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    tbl = f"statsopt_part_{os.getpid()}"
+    drop_table(spark, tbl)
+    (
+        t(spark, sf_dir, "orders")
+        .write.partitionBy("o_orderstatus")
+        .saveAsTable(tbl)
+    )
+    spark.sql(f"ANALYZE TABLE {tbl} PARTITION (o_orderstatus) COMPUTE STATISTICS")
+    eng.set_var("hive.compute.query.using.stats", "true")
+    rows = []
+    for val in ("F", "O", "P", "ZZ"):
+        q = f"SELECT COUNT(*) AS n FROM {tbl} WHERE o_orderstatus = '{val}'"
+        fast = eng.sql(q)
+        plan = fast._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        no_scan = "FileScan" not in plan and "Scan parquet" not in plan
+        n_fast = fast.first().n
+        eng.set_var("hive.compute.query.using.stats", "false")
+        n_scan = eng.sql(q).first().n
+        eng.set_var("hive.compute.query.using.stats", "true")
+        rows.append((val, int(n_fast), bool(n_fast == n_scan), bool(no_scan)))
+    eng.set_var("hive.compute.query.using.stats", "false")
+    drop_table(spark, tbl)
+    return spark.createDataFrame(
+        rows, "status string, n bigint, stats_equals_scan boolean, plan_has_no_scan boolean"
+    )
+
+
 def q165_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULLS FIRST / NULLS LAST ordering (HiveParser.g:2149-2150 —
     HIVE-12994, new in 2.1; Hive's default NULLS FIRST for ASC matches
@@ -964,6 +1004,7 @@ QUERIES = {
     "q183_column_lineage": q183_column_lineage,
     "q184_explain_analyze": q184_explain_analyze,
     "q209_stats_only_answers": q209_stats_only_answers,
+    "q230_stats_only_partition_filter": q230_stats_only_partition_filter,
     "q189_temporary_macro": q189_temporary_macro,
     "q94_transform_script": q94_transform_script,
     "q222_mapreduce_sql": q222_mapreduce_sql,
@@ -1239,6 +1280,18 @@ ORACLES = {
                  AS taxed
         FROM lineitem WHERE l_orderkey <= 2000
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q230_stats_only_partition_filter": """
+        SELECT status, n, TRUE AS stats_equals_scan, TRUE AS plan_has_no_scan
+        FROM (
+          SELECT s.status,
+                 CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+          FROM (SELECT UNNEST(['F', 'O', 'P', 'ZZ']) AS status) s
+          LEFT JOIN (
+            SELECT o_orderstatus AS status, COUNT(*) AS n
+            FROM orders GROUP BY o_orderstatus
+          ) c ON s.status = c.status
+        )
     """,
     "q209_stats_only_answers": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n,

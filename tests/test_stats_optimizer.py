@@ -84,3 +84,65 @@ def test_engine_flag_gates_the_rewrite(spark, stats_tbl, sf_dir):
     plan_on = fast._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "FileScan" not in plan_on and "Scan parquet" not in plan_on
     assert fast.first().n == 4
+
+
+@pytest.fixture()
+def stats_part_tbl(spark):
+    name = f"statsopt_part_pins_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, None)],
+        "k bigint, p string",
+    ).write.partitionBy("p").saveAsTable(name)
+    spark.sql(f"ANALYZE TABLE {name} PARTITION (p) COMPUTE STATISTICS")
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_partition_filter_count_from_stats(spark, stats_part_tbl):
+    """count(*) with a partition-column equality is summed from
+    per-partition numRows; no scan relation in the plan."""
+    df = try_stats_only_answer(
+        spark, f"SELECT COUNT(*) AS n FROM {stats_part_tbl} WHERE p = 'x'"
+    )
+    assert df is not None and df.first().n == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+
+
+def test_partition_filter_missing_value_counts_zero(spark, stats_part_tbl):
+    df = try_stats_only_answer(
+        spark, f"SELECT COUNT(*) AS n FROM {stats_part_tbl} WHERE p = 'zz'"
+    )
+    assert df is not None and df.first().n == 0
+
+
+def test_partition_filter_non_partition_column_falls_through(spark, stats_part_tbl):
+    assert (
+        try_stats_only_answer(
+            spark, f"SELECT COUNT(*) AS n FROM {stats_part_tbl} WHERE k = 1"
+        )
+        is None
+    )
+
+
+def test_partition_filter_or_falls_through(spark, stats_part_tbl):
+    assert (
+        try_stats_only_answer(
+            spark,
+            f"SELECT COUNT(*) AS n FROM {stats_part_tbl} "
+            "WHERE p = 'x' OR p = 'y'",
+        )
+        is None
+    )
+
+
+def test_partition_filter_min_max_falls_through(spark, stats_part_tbl):
+    """Only the COUNT(*) family is answerable under a partition filter
+    (column min/max stats are table-level)."""
+    assert (
+        try_stats_only_answer(
+            spark, f"SELECT MIN(k) AS m FROM {stats_part_tbl} WHERE p = 'x'"
+        )
+        is None
+    )
