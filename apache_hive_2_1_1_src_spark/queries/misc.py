@@ -62,6 +62,34 @@ def q222_mapreduce_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q231_transform_custom_delimiters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT TRANSFORM with custom ROW FORMAT DELIMITED field
+    delimiters on BOTH sides of the script (HiveParser.g trfmClause
+    inSerde/outSerde; LazySimpleSerDe framing in
+    exec/ScriptOperator.java).  Hive splits script output on the
+    literal delimiter byte while Spark's ScriptTransformation
+    regex-splits — the engine escapes metacharacter delimiters so the
+    verbatim Hive statement (here '|'-framed through tr) round-trips.
+    One pipe per partition, no shuffle."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    return eng.sql(
+        """
+        SELECT CAST(k AS BIGINT) AS o_key, s AS status_uc, p AS prio_uc
+        FROM (
+          SELECT TRANSFORM (o_orderkey, o_orderstatus, o_orderpriority)
+          ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+          USING 'tr a-z A-Z'
+          AS (k STRING, s STRING, p STRING)
+          ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+          FROM orders WHERE o_orderkey <= 300
+        ) t
+        """
+    )
+
+
 def q95_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE COMPUTE STATISTICS → stats-backed row count must match
     reality (ColumnStatsTask/StatsTask persistence)."""
@@ -1004,6 +1032,7 @@ QUERIES = {
     "q183_column_lineage": q183_column_lineage,
     "q184_explain_analyze": q184_explain_analyze,
     "q209_stats_only_answers": q209_stats_only_answers,
+    "q231_transform_custom_delimiters": q231_transform_custom_delimiters,
     "q230_stats_only_partition_filter": q230_stats_only_partition_filter,
     "q189_temporary_macro": q189_temporary_macro,
     "q94_transform_script": q94_transform_script,
@@ -1280,6 +1309,12 @@ ORACLES = {
                  AS taxed
         FROM lineitem WHERE l_orderkey <= 2000
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q231_transform_custom_delimiters": """
+        SELECT o_orderkey AS o_key,
+               UPPER(o_orderstatus) AS status_uc,
+               UPPER(o_orderpriority) AS prio_uc
+        FROM orders WHERE o_orderkey <= 300
     """,
     "q230_stats_only_partition_filter": """
         SELECT status, n, TRUE AS stats_equals_scan, TRUE AS plan_has_no_scan

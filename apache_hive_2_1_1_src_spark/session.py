@@ -627,6 +627,27 @@ class HiveEngine:
                 return text
         return text
 
+    # TRANSFORM output row-format delimiter (after the AS column list):
+    # Hive's ScriptOperator splits script output on the LITERAL byte
+    # (LazySimpleSerDe), but Spark's ScriptTransformation applies
+    # java.lang.String.split — a REGEX — so '|' silently splits between
+    # every character.  Regex-escape metacharacter delimiters so the
+    # Hive statement text behaves identically (input-side framing is
+    # written literally and needs no escaping).
+    _TRF_OUT_DELIM = re.compile(
+        r"(AS\s*\([^)]*\)\s*ROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+"
+        r"TERMINATED\s+BY\s+')([^'\\])(')",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _escape_transform_out_delim(self, text: str) -> str:
+        return self._TRF_OUT_DELIM.sub(
+            lambda m: m.group(1)
+            + ("\\\\" + m.group(2) if m.group(2) in r"|.^$*+?()[]{}" else m.group(2))
+            + m.group(3),
+            text,
+        )
+
     _DW_HEAD = re.compile(r"\b(COUNT|SUM|AVG)\s*\(\s*DISTINCT\b", re.IGNORECASE)
 
     def _rewrite_distinct_windows(self, text: str) -> str:
@@ -822,6 +843,7 @@ class HiveEngine:
         text = self.translate_hive_ddl(text)
         text = self._apply_masking(text)
         text = self._rewrite_distinct_windows(text)
+        text = self._escape_transform_out_delim(text)
         # StatsOptimizer (ql/.../optimizer/StatsOptimizer.java:97): with
         # hive.compute.query.using.stats=true, pure-aggregate queries
         # over a bare table answer from catalog ANALYZE stats — a

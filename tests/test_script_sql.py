@@ -159,3 +159,43 @@ def test_distinct_window_plain_distinct_untouched(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     n = eng.sql("SELECT COUNT(DISTINCT o_orderstatus) AS n FROM orders").collect()
     assert n[0]["n"] == 3
+
+
+def test_transform_custom_output_delimiter_escaped(spark, sf_dir, oracle):
+    """Custom '|' field framing on both sides of the script: Hive splits
+    on the literal byte; Spark regex-splits, so the engine escapes the
+    metacharacter (a bare '|' would split between every character)."""
+    eng = _engine(spark, sf_dir)
+    sdf = eng.sql(
+        "SELECT TRANSFORM (o_orderkey, o_orderstatus) "
+        "ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' "
+        "USING 'cat' "
+        "AS (k STRING, s STRING) "
+        "ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' "
+        "FROM orders WHERE o_orderkey <= 50"
+    )
+    _compare(
+        sdf,
+        oracle,
+        "SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus AS s "
+        "FROM orders WHERE o_orderkey <= 50",
+    )
+
+
+def test_transform_nonmeta_delimiter_untouched(spark, sf_dir, oracle):
+    """A non-metacharacter delimiter ('#') passes through unchanged."""
+    eng = _engine(spark, sf_dir)
+    sdf = eng.sql(
+        "SELECT TRANSFORM (o_orderkey, o_orderstatus) "
+        "ROW FORMAT DELIMITED FIELDS TERMINATED BY '#' "
+        "USING 'cat' "
+        "AS (k STRING, s STRING) "
+        "ROW FORMAT DELIMITED FIELDS TERMINATED BY '#' "
+        "FROM orders WHERE o_orderkey <= 50"
+    )
+    _compare(
+        sdf,
+        oracle,
+        "SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus AS s "
+        "FROM orders WHERE o_orderkey <= 50",
+    )
