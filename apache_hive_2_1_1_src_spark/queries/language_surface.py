@@ -231,10 +231,39 @@ def q229_literal_coercion_battery(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q232_quoted_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted identifiers with hostile characters (quotedid_basic.q;
+    hive.support.quoted.identifiers=column, HIVE-6013 — backticked names
+    like `x+1` and `!@#$%^&*()_q` flow through SELECT / WHERE / GROUP
+    BY / HAVING / window PARTITION BY, resolved case-insensitively).
+    Spark's backtick quoting is the same surface; outputs re-aliased to
+    plain names for the oracle compare."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    spark.sql(
+        "SELECT o_orderkey AS `x+1`, o_orderstatus AS `y&y`, "
+        "o_orderpriority AS `!@#$%^&*()_q` "
+        "FROM orders WHERE o_orderkey <= 2000"
+    ).createOrReplaceTempView("qid_t1")
+    return eng.sql(
+        """
+        SELECT `X+1` AS xp1, `Y&y` AS yy, `!@#$%^&*()_Q` AS prio,
+               CAST(rank() OVER (PARTITION BY `!@#$%^&*()_q`
+                    ORDER BY `y&y`, `x+1`) AS INT) AS r
+        FROM qid_t1 WHERE `!@#$%^&*()_q` LIKE '1%'
+        GROUP BY `x+1`, `y&Y`, `!@#$%^&*()_q`
+        HAVING `!@#$%^&*()_Q` LIKE '%URGENT%'
+        """
+    )
+
+
 QUERIES = {
     "q131_lateral_view_outer": q131_lateral_view_outer,
     "q228_lateral_view_chain": q228_lateral_view_chain,
     "q229_literal_coercion_battery": q229_literal_coercion_battery,
+    "q232_quoted_identifiers": q232_quoted_identifiers,
     "q148_pivot": q148_pivot,
     "q149_unpivot": q149_unpivot,
     "q223_regex_cols_offset_limit": q223_regex_cols_offset_limit,
@@ -253,6 +282,15 @@ ORACLES = {
         CROSS JOIN (SELECT 'key1' AS mkey, 100 AS mval
                     UNION ALL SELECT 'key2', 200)
         WHERE myCol > 1 AND o_orderkey <= 100
+    """,
+    "q232_quoted_identifiers": """
+        SELECT o_orderkey AS xp1, o_orderstatus AS yy,
+               o_orderpriority AS prio,
+               CAST(rank() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_orderstatus, o_orderkey) AS INT) AS r
+        FROM orders
+        WHERE o_orderkey <= 2000 AND o_orderpriority LIKE '1%'
+          AND o_orderpriority LIKE '%URGENT%'
     """,
     "q229_literal_coercion_battery": """
         SELECT o_orderkey,

@@ -37,6 +37,8 @@ def _duck_compat(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+    # Hive/Spark backtick-quoted identifiers are ANSI double-quoted in DuckDB
+    sql = re.sub(r"`([^`]*)`", r'"\1"', sql)
     # Hive/Spark SPLIT is regex; DuckDB's split/string_split is literal
     sql = re.sub(r"\bSPLIT\(", "regexp_split_to_array(", sql, flags=re.IGNORECASE)
     # Spark's two-arg DATEDIFF(end, start) — DuckDB only has the
