@@ -49,11 +49,11 @@ _FEATURED = [
     "q03_shipping_priority",
     "q04_join_inner",
     "q07_join_full",
-    "q08_join_semi",
+    "q228_lateral_view_chain",
     "q09_join_anti",
     "q10_broadcast_region_revenue",
-    "q12_union_distinct",
-    "q14_order_limit",
+    "q230_stats_only_partition_filter",
+    "q226_windowing_distinct",
     "q208_multi_insert_sql",
     "q217_hive_ddl_surface",
     "q209_stats_only_answers",
@@ -71,10 +71,10 @@ _FEATURED = [
     "q210_acid_orc_interop",
     "q203_change_data_feed",
     "q204_cdf_replica_maintenance",
-    "q200_show_locks",
+    "q231_transform_custom_delimiters",
     "q202_sql_std_authorization",
     "q169_persistent_metastore",
-    "q205_partition_statistics",
+    "q232_quoted_identifiers",
     "q197_external_table",
     "q87_write_bucketed",
     "q90_orc_roundtrip",
