@@ -148,6 +148,20 @@ CASES = [
         "'org.apache.hadoop.hive.hbase.HBaseStorageHandler'",
         "HBaseStorageHandler",
     ),
+    (
+        "distinct_window_order_by",  # HIVE-9534: distinct windowing is
+        # whole-partition-frame only; ORDER BY must be rejected, not
+        # silently mis-evaluated
+        "SELECT COUNT(DISTINCT o_custkey) OVER "
+        "(PARTITION BY o_orderstatus ORDER BY o_orderkey) FROM orders",
+        "HIVE-9534",
+    ),
+    (
+        "order_by_position_out_of_range",  # clientnegative/orderbysortby
+        # family — ordinal beyond the select list
+        "SELECT o_orderkey FROM orders ORDER BY 5",
+        "5",
+    ),
 ]
 
 

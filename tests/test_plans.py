@@ -635,3 +635,27 @@ def test_hll_registers_plan_is_map_side_combined(spark, sf_dir):
     assert "Exchange" in plan and "hashpartitioning(bucket" in plan, plan
     for bad in ("PythonUDF", "MapInPandas", "Window", "Join"):
         assert bad not in plan, bad
+
+
+def test_distinct_window_plan_single_exchange_no_python(spark, sf_dir):
+    """q226's collect_set rewrite must plan ONE Window over ONE Exchange
+    on the partition keys — the same single-shuffle shape Hive's PTF
+    gives distinct windowing — with the size()/aggregate() folds staying
+    JVM-side (no Python, no join, no extra shuffle)."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    df = eng.sql(
+        "SELECT COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_orderstatus) AS c, "
+        "SUM(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus) AS s "
+        "FROM orders"
+    )
+    import re
+
+    plan = _plan(df)
+    assert len(set(re.findall(r"Window \((\d+)\)", plan))) == 1, plan
+    assert len(set(re.findall(r"Exchange \((\d+)\)", plan))) == 1, plan
+    assert "hashpartitioning(o_orderstatus" in plan, plan
+    for bad in ("PythonUDF", "MapInPandas", "Join"):
+        assert bad not in plan, bad
