@@ -97,6 +97,28 @@ def hive_hash(*cols: Column) -> Column:
     return h
 
 
+def hive_greatest(*cols: Column) -> Column:
+    """Hive 2.1 ``greatest`` (GenericUDFGreatest.java via
+    GenericUDFBaseNwayCompare.evaluate — udf_greatest.q pins it):
+    returns NULL if ANY argument is NULL, else the maximum.  Spark's
+    builtin ``greatest`` SKIPS nulls (largest non-null), so this
+    null-propagating form is a genuine compat divergence; pure Column
+    composition, codegen-side."""
+    any_null: Column = F.lit(False)
+    for c in cols:
+        any_null = any_null | c.isNull()
+    return F.when(any_null, F.lit(None)).otherwise(F.greatest(*cols))
+
+
+def hive_least(*cols: Column) -> Column:
+    """Hive 2.1 ``least`` (GenericUDFLeast.java) — NULL if any argument
+    is NULL, else the minimum; see hive_greatest."""
+    any_null: Column = F.lit(False)
+    for c in cols:
+        any_null = any_null | c.isNull()
+    return F.when(any_null, F.lit(None)).otherwise(F.least(*cols))
+
+
 def str_to_map(col: Column, pair_delim: str = ",", kv_delim: str = ":") -> Column:
     """Hive ``str_to_map`` — ql/.../udf/generic/GenericUDFStringToMap.java.
     Spark builtin exists; re-exported with Hive's default delimiters."""

@@ -188,3 +188,33 @@ def test_hive_multijoin_single_on_form(spark, sf_dir):
     a = sorted(tuple(r) for r in hive_form.collect())
     b = sorted(tuple(r) for r in ansi_form.collect())
     assert a == b and len(a) > 0
+
+
+def test_hive_greatest_least_null_propagation(spark):
+    """udf_greatest.q / udf_least.q (GenericUDFBaseNwayCompare): any NULL
+    argument makes the result NULL — unlike Spark's null-skipping
+    builtins, whose divergent value is asserted alongside."""
+    from apache_hive_2_1_1_src_spark.functions.compat import (
+        hive_greatest,
+        hive_least,
+    )
+
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "('a', 'b', 'c'), (NULL, 'b', 'c'), ('a', NULL, NULL) AS t(x, y, z)"
+    )
+    rows = df.select(
+        hive_greatest(F.col("x"), F.col("y"), F.col("z")).alias("hg"),
+        hive_least(F.col("x"), F.col("y"), F.col("z")).alias("hl"),
+        F.greatest(F.col("x"), F.col("y"), F.col("z")).alias("sg"),
+    ).collect()
+    assert [(r.hg, r.hl) for r in rows] == [("c", "a"), (None, None), (None, None)]
+    # Spark's builtin diverges: it skips nulls
+    assert [r.sg for r in rows] == ["c", "c", "a"]
+    # numeric form, udf_greatest.q second block
+    nrow = spark.range(1).select(
+        hive_greatest(F.lit(1), F.lit(13), F.lit(2)).alias("a"),
+        hive_greatest(F.lit(None).cast("int"), F.lit(1), F.lit(2)).alias("b"),
+        hive_least(F.lit(-11), F.lit(-13), F.lit(-12)).alias("c"),
+    ).first()
+    assert (nrow.a, nrow.b, nrow.c) == (13, None, -13)
