@@ -37,6 +37,12 @@ def _duck_compat(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+    # statement-level CLUSTER BY / DISTRIBUTE BY only redistribute rows —
+    # no DuckDB counterpart and no effect on the (order-insensitively
+    # compared) result set; strip the trailing clause
+    sql = re.sub(
+        r"\b(CLUSTER|DISTRIBUTE)\s+BY\b[^;)]*", "", sql, flags=re.IGNORECASE
+    )
     # Hive/Spark backtick-quoted identifiers are ANSI double-quoted in DuckDB
     sql = re.sub(r"`([^`]*)`", r'"\1"', sql)
     # Hive/Spark SPLIT is regex; DuckDB's split/string_split is literal
