@@ -1530,6 +1530,62 @@ def q208_multi_insert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q233_mixed_format_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition storage formats (metastore Partition.sd;
+    diff_part_input_formats.q, partition_wise_fileformat*.q,
+    alter_file_format.q): partition F written as TEXTFILE, then ALTER
+    TABLE SET FILEFORMAT PARQUET so O/P land as parquet — one table,
+    three partitions, two formats, each read by its own native reader
+    (union per FORMAT, pruned point reads).  Certificates in-result:
+    the on-disk formats actually differ (parquet files only under O/P),
+    and a single-partition read returns exactly that partition."""
+    import glob as _glob
+
+    from apache_hive_2_1_1_src_spark.operators.mixed_format import (
+        MixedFormatTable,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"mixed_fmt_{_PID}_{os.path.basename(sf_dir)}"
+    )
+    if os.path.exists(root):
+        import shutil
+
+        shutil.rmtree(root)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    mt = MixedFormatTable(
+        root, "o_orderstatus",
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+    )
+    mt.write_partition(orders.filter(F.col("o_orderstatus") == "F"), "F")
+    mt.set_fileformat("parquet")  # ALTER TABLE ... SET FILEFORMAT
+    mt.write_partition(orders.filter(F.col("o_orderstatus") == "O"), "O")
+    mt.write_partition(orders.filter(F.col("o_orderstatus") == "P"), "P")
+    fmt_ok = (
+        mt.partition_format("F") == "textfile"
+        and mt.partition_format("O") == "parquet"
+        and not _glob.glob(os.path.join(root, "o_orderstatus=F", "*.parquet"))
+        and bool(_glob.glob(os.path.join(root, "o_orderstatus=O", "*.parquet")))
+    )
+    point = mt.read_partition(spark, "F")
+    point_ok = point.select(
+        (F.countDistinct("o_orderstatus") == 1).alias("ok")
+    ).first().ok
+    return (
+        mt.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("formats_differ", F.lit(bool(fmt_ok)))
+        .withColumn("point_read_ok", F.lit(bool(point_ok)))
+        .orderBy("o_orderstatus")
+    )
+
+
 def q224_database_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Database (schema) lifecycle — database.q / database_drop.q
     surface (metastore Thrift Database struct
@@ -1681,6 +1737,7 @@ def q225_partition_value_escaping(spark: SparkSession, sf_dir: str) -> DataFrame
 QUERIES = {
     "q218_show_create_roundtrip": q218_show_create_roundtrip,
     "q224_database_lifecycle": q224_database_lifecycle,
+    "q233_mixed_format_partitions": q233_mixed_format_partitions,
     "q225_partition_value_escaping": q225_partition_value_escaping,
     "q217_hive_ddl_surface": q217_hive_ddl_surface,
     "q216_directory_export_rcfile": q216_directory_export_rcfile,
@@ -1730,6 +1787,16 @@ ORACLES = {
     "q225_partition_value_escaping": """
         SELECT 6 AS n_parts, 6 AS n_rows, TRUE AS values_roundtrip,
                TRUE AS dirs_escaped, TRUE AS point_read_ok
+    """,
+    "q233_mixed_format_partitions": """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               TRUE AS formats_differ,
+               TRUE AS point_read_ok
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
     """,
     "q224_database_lifecycle": """
         SELECT TRUE AS created, TRUE AS use_switched, 1 AS n_tables,
