@@ -81,17 +81,30 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-def write_hive_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Write as Hive default text (^A-delimited, \\N nulls) —
-    HiveIgnoreKeyTextOutputFormat equivalent (ql/.../io/HiveIgnoreKeyTextOutputFormat.java)."""
-    df.write.mode(mode).options(**HIVE_TEXT_OPTIONS).csv(path)
+def write_hive_text(
+    df: DataFrame, path: str, mode: str = "overwrite", null_str: str = "\\N"
+) -> None:
+    """Write as Hive text (^A-delimited) —
+    HiveIgnoreKeyTextOutputFormat equivalent
+    (ql/.../io/HiveIgnoreKeyTextOutputFormat.java).  ``null_str`` is
+    LazySimpleSerDe's serialization.null.format (default the two chars
+    "\\N"; ``NULL DEFINED AS '...'`` / SET SERDEPROPERTIES override it —
+    nullformat.q)."""
+    opts = dict(HIVE_TEXT_OPTIONS, nullValue=null_str)
+    df.write.mode(mode).options(**opts).csv(path)
 
 
-def read_hive_text(spark: SparkSession, path: str, schema) -> DataFrame:
-    """Read Hive default text with an explicit schema (schema-on-read —
-    the catalog supplies column types, the serde parses bytes:
-    serde/src/java/org/apache/hadoop/hive/serde2/AbstractSerDe.java)."""
-    return spark.read.options(**HIVE_TEXT_OPTIONS).schema(schema).csv(path)
+def read_hive_text(
+    spark: SparkSession, path: str, schema, null_str: str = "\\N"
+) -> DataFrame:
+    """Read Hive text with an explicit schema (schema-on-read — the
+    catalog supplies column types, the serde parses bytes:
+    serde/src/java/org/apache/hadoop/hive/serde2/AbstractSerDe.java).
+    ``null_str`` mirrors serialization.null.format: bytes equal to it
+    parse as NULL; after an ALTER changes it, previously-written tokens
+    come back as literal strings (nullformat.q's contract)."""
+    opts = dict(HIVE_TEXT_OPTIONS, nullValue=null_str)
+    return spark.read.options(**opts).schema(schema).csv(path)
 
 
 def write_hive_sequencefile(df: DataFrame, path: str) -> None:

@@ -1586,6 +1586,48 @@ def q233_mixed_format_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q234_null_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom NULL serialization in text tables (nullformat.q /
+    nullformatCTAS.q; ``ROW FORMAT DELIMITED NULL DEFINED AS 'fooNull'``
+    → LazySimpleSerDe serialization.null.format): NULLs written as the
+    custom token, the raw file bytes carry it (in-result certificate),
+    the same-format read restores real NULLs, and a reader with a
+    DIFFERENT null format sees the old tokens as literal strings — the
+    ALTER SET SERDEPROPERTIES behavior the .q pins."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"nullfmt_{_PID}_{os.path.basename(sf_dir)}"
+    )
+    src = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 3 == 0, None)
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status_n"),
+        )
+        .filter(F.col("o_orderkey") <= 300)
+    )
+    write_hive_text(src, out, null_str="fooNull")
+    raw = spark.read.text(out)
+    token_rows = raw.filter(F.col("value").contains("fooNull")).count()
+    schema = "o_orderkey bigint, status_n string"
+    back = read_hive_text(spark, out, schema, null_str="fooNull")
+    n_null = back.filter(F.col("status_n").isNull()).count()
+    # a reader configured with a different null format must see the old
+    # tokens as plain strings, not NULLs
+    other = read_hive_text(spark, out, schema, null_str="foo")
+    n_literal = other.filter(F.col("status_n") == "fooNull").count()
+    return (
+        back.groupBy(F.col("status_n").isNull().alias("is_null"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("token_in_file", F.lit(token_rows > 0))
+        .withColumn(
+            "alter_reveals_literals", F.lit(bool(n_literal == n_null))
+        )
+        .orderBy("is_null")
+    )
+
+
 def q224_database_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Database (schema) lifecycle — database.q / database_drop.q
     surface (metastore Thrift Database struct
@@ -1738,6 +1780,7 @@ QUERIES = {
     "q218_show_create_roundtrip": q218_show_create_roundtrip,
     "q224_database_lifecycle": q224_database_lifecycle,
     "q233_mixed_format_partitions": q233_mixed_format_partitions,
+    "q234_null_format": q234_null_format,
     "q225_partition_value_escaping": q225_partition_value_escaping,
     "q217_hive_ddl_surface": q217_hive_ddl_surface,
     "q216_directory_export_rcfile": q216_directory_export_rcfile,
@@ -1787,6 +1830,15 @@ ORACLES = {
     "q225_partition_value_escaping": """
         SELECT 6 AS n_parts, 6 AS n_rows, TRUE AS values_roundtrip,
                TRUE AS dirs_escaped, TRUE AS point_read_ok
+    """,
+    "q234_null_format": """
+        SELECT (o_orderkey % 3 = 0) AS is_null,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               TRUE AS token_in_file,
+               TRUE AS alter_reveals_literals
+        FROM orders WHERE o_orderkey <= 300
+        GROUP BY (o_orderkey % 3 = 0)
+        ORDER BY is_null
     """,
     "q233_mixed_format_partitions": """
         SELECT o_orderstatus,
