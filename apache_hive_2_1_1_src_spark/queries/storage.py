@@ -1628,6 +1628,40 @@ def q234_null_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q235_binary_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY column surface (ba_table1/2.q, ba_table_udfs.q;
+    serde2.objectinspector BytesWritable handling): string→binary cast,
+    a binary column stored to parquet and read back, hex/length/string
+    round-trip UDFs over it, GROUP BY on the binary value."""
+    tbl = f"ba_tab_{_PID}"
+    drop_table(spark, tbl)
+    (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").cast("binary").alias("bin"),
+        )
+        .write.saveAsTable(tbl)
+    )
+    back = spark.table(tbl)
+    res = (
+        back.groupBy(
+            F.hex(F.col("bin")).alias("hx"),
+            F.length(F.col("bin")).alias("n_bytes"),
+            F.col("bin").cast("string").alias("s"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+        .orderBy("hx")
+    )
+    rows = res.collect()
+    drop_table(spark, tbl)
+    return spark.createDataFrame(rows, res.schema)
+
+
 def q224_database_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Database (schema) lifecycle — database.q / database_drop.q
     surface (metastore Thrift Database struct
@@ -1781,6 +1815,7 @@ QUERIES = {
     "q224_database_lifecycle": q224_database_lifecycle,
     "q233_mixed_format_partitions": q233_mixed_format_partitions,
     "q234_null_format": q234_null_format,
+    "q235_binary_type": q235_binary_type,
     "q225_partition_value_escaping": q225_partition_value_escaping,
     "q217_hive_ddl_surface": q217_hive_ddl_surface,
     "q216_directory_export_rcfile": q216_directory_export_rcfile,
@@ -1830,6 +1865,16 @@ ORACLES = {
     "q225_partition_value_escaping": """
         SELECT 6 AS n_parts, 6 AS n_rows, TRUE AS values_roundtrip,
                TRUE AS dirs_escaped, TRUE AS point_read_ok
+    """,
+    "q235_binary_type": """
+        SELECT hex(encode(o_orderpriority)) AS hx,
+               CAST(octet_length(encode(o_orderpriority)) AS INT) AS n_bytes,
+               o_orderpriority AS s,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_orderkey) AS first_key
+        FROM orders WHERE o_orderkey <= 500
+        GROUP BY 1, 2, 3
+        ORDER BY hx
     """,
     "q234_null_format": """
         SELECT (o_orderkey % 3 = 0) AS is_null,
