@@ -824,6 +824,14 @@ class HiveEngine:
         m = self._SHOW_CREATE.match(text)
         if m:
             return self.show_create_table_hive(m.group(1))
+        m = re.match(r"^\s*EXPLAIN\s+FORMATTED\s+(.+)$", text, re.IGNORECASE | re.S)
+        if m:
+            import json as _json
+
+            doc = self.explain_formatted(m.group(1))
+            return self.spark.createDataFrame(
+                [(_json.dumps(doc),)], "plan_json string"
+            )
         m = self._CONCATENATE.match(text)
         if m:
             return self._alter_table_concatenate(m.group(1))
@@ -897,6 +905,43 @@ class HiveEngine:
         for s in self.split_statements(script):
             result = self.sql(s)
         return result
+
+    def explain_formatted(self, text: str) -> dict:
+        """EXPLAIN FORMATTED (HiveParser KW_FORMATTED;
+        ExplainTask.getJSONPlan renders the plan as one JSON document
+        with STAGE DEPENDENCIES / STAGE PLANS over MR stages).  Here the
+        whole query is ONE Spark stage-DAG, so the document carries a
+        single root stage whose plan is Catalyst's own JSON operator
+        tree (class + children per node) plus the formatted physical
+        plan text — machine-readable like Hive's, honest about the
+        different execution substrate."""
+        import json as _json
+
+        df = self.sql(text)
+        qe = df._jdf.queryExecution()  # noqa: SLF001
+        nodes = _json.loads(qe.optimizedPlan().toJSON())
+        ops = [
+            {
+                "operator": n.get("class", "").rsplit(".", 1)[-1],
+                "num-children": n.get("num-children", 0),
+            }
+            for n in nodes
+        ]
+        physical = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            qe, "formatted"
+        )
+        return {
+            "QUERY": " ".join(text.split()),
+            "STAGE DEPENDENCIES": {"Stage-1": {"ROOT STAGE": "TRUE"}},
+            "STAGE PLANS": {
+                "Stage-1": {
+                    "Spark": {
+                        "operator-tree": ops,
+                        "physical-plan": physical,
+                    }
+                }
+            },
+        }
 
     def explain_dependency(self, text: str) -> list[str]:
         """EXPLAIN DEPENDENCY equivalent (ExplainTask.java

@@ -659,3 +659,32 @@ def test_distinct_window_plan_single_exchange_no_python(spark, sf_dir):
     assert "hashpartitioning(o_orderstatus" in plan, plan
     for bad in ("PythonUDF", "MapInPandas", "Join"):
         assert bad not in plan, bad
+
+
+def test_explain_formatted_json_document(spark, sf_dir):
+    """EXPLAIN FORMATTED (ExplainTask.getJSONPlan): a parseable JSON
+    document with Hive's STAGE DEPENDENCIES / STAGE PLANS keys, the
+    Catalyst operator tree, and the physical plan text."""
+    import json
+
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    row = eng.sql(
+        "EXPLAIN FORMATTED SELECT o_orderstatus, COUNT(*) FROM orders "
+        "WHERE o_orderkey < 100 GROUP BY o_orderstatus"
+    ).first()
+    doc = json.loads(row.plan_json)
+    assert doc["STAGE DEPENDENCIES"]["Stage-1"]["ROOT STAGE"] == "TRUE"
+    stage = doc["STAGE PLANS"]["Stage-1"]["Spark"]
+    ops = [o["operator"] for o in stage["operator-tree"]]
+    assert "Aggregate" in ops
+    assert any("Relation" in o for o in ops), ops
+    assert "HashAggregate" in stage["physical-plan"]
+    # the direct API returns the same document
+    doc2 = eng.explain_formatted(
+        "SELECT o_orderstatus, COUNT(*) FROM orders "
+        "WHERE o_orderkey < 100 GROUP BY o_orderstatus"
+    )
+    assert [o["operator"] for o in doc2["STAGE PLANS"]["Stage-1"]["Spark"]["operator-tree"]] == ops
