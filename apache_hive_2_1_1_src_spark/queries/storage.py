@@ -1662,6 +1662,33 @@ def q235_binary_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, res.schema)
 
 
+def q236_insert_column_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT with an explicit target column list (HIVE-9481,
+    insert_into_with_schema.q: ``INSERT INTO t (z, x) ...`` — named
+    columns receive the select list positionally, unnamed columns
+    NULL).  Both the VALUES and SELECT source forms, plus a reordered
+    column list."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    tbl = f"ins_cols_{_PID}"
+    drop_table(spark, tbl)
+    spark.sql(
+        f"CREATE TABLE {tbl} (a BIGINT, b STRING, c DOUBLE) USING parquet"
+    )
+    eng.sql(f"INSERT INTO {tbl} (b, a) VALUES ('v1', 1), ('v2', 2)")
+    eng.sql(
+        f"INSERT INTO {tbl} (a, c) "
+        "SELECT o_orderkey, ROUND(o_totalprice, 2) FROM orders "
+        "WHERE o_orderkey <= 3"
+    )
+    res = spark.table(tbl).orderBy("a", "b")
+    rows = res.collect()
+    drop_table(spark, tbl)
+    return spark.createDataFrame(rows, res.schema)
+
+
 def q224_database_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Database (schema) lifecycle — database.q / database_drop.q
     surface (metastore Thrift Database struct
@@ -1816,6 +1843,7 @@ QUERIES = {
     "q233_mixed_format_partitions": q233_mixed_format_partitions,
     "q234_null_format": q234_null_format,
     "q235_binary_type": q235_binary_type,
+    "q236_insert_column_list": q236_insert_column_list,
     "q225_partition_value_escaping": q225_partition_value_escaping,
     "q217_hive_ddl_surface": q217_hive_ddl_surface,
     "q216_directory_export_rcfile": q216_directory_export_rcfile,
@@ -1865,6 +1893,15 @@ ORACLES = {
     "q225_partition_value_escaping": """
         SELECT 6 AS n_parts, 6 AS n_rows, TRUE AS values_roundtrip,
                TRUE AS dirs_escaped, TRUE AS point_read_ok
+    """,
+    "q236_insert_column_list": """
+        SELECT a, b, c FROM (
+          SELECT 1 AS a, 'v1' AS b, CAST(NULL AS DOUBLE) AS c
+          UNION ALL SELECT 2, 'v2', NULL
+          UNION ALL
+          SELECT o_orderkey, CAST(NULL AS VARCHAR), ROUND(o_totalprice, 2)
+          FROM orders WHERE o_orderkey <= 3
+        ) ORDER BY a, b
     """,
     "q235_binary_type": """
         SELECT hex(encode(o_orderpriority)) AS hx,
