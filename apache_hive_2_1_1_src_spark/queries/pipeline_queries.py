@@ -1942,3 +1942,62 @@ ORACLES["p55_hyperloglog"] = """
            TRUE AS merge_exact_ok, TRUE AS err_ok
     FROM tok
 """
+
+
+def p56_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout clustering for multi-dimensional
+    data skipping (operators/layout.py) — the lakehouse OPTIMIZE
+    ZORDER idea; the 100 TB lever is that a 2-D range predicate over a
+    Z-clustered table touches only the files whose hyper-rectangle
+    intersects the query box, while a round-robin layout touches all of
+    them.  In-result certificates: files_zorder < files_roundrobin for
+    the same (user_id, ts-hour) box, and the query answer itself is
+    layout-invariant (oracle-checked aggregate)."""
+    import os as _os
+    import tempfile as _tf
+
+    from apache_hive_2_1_1_src_spark.operators.layout import (
+        files_touched,
+        write_zordered,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_hour", F.hour("ts") + F.dayofyear("ts") * 24
+    )
+    base = _os.path.join(
+        _tf.gettempdir(), f"zorder_{_os.getpid()}_{_os.path.basename(sf_dir)}"
+    )
+    zpath, rpath = base + "_z", base + "_r"
+    write_zordered(ev, zpath, ["user_id", "ts_hour"], num_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(rpath)
+    pred = "user_id <= 3 AND ts_hour BETWEEN 120 AND 264"
+    fz = files_touched(spark, zpath, pred)
+    fr = files_touched(spark, rpath, pred)
+    return (
+        spark.read.parquet(zpath)
+        .filter(pred)
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.col("user_id")).alias("n_users_col"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .withColumn("skipping_wins", F.lit(bool(fz < fr)))
+    )
+
+
+QUERIES["p56_zorder_layout"] = p56_zorder_layout
+
+ORACLES["p56_zorder_layout"] = """
+    WITH ev AS (
+      SELECT *, EXTRACT(hour FROM ts) + EXTRACT(doy FROM ts) * 24 AS ts_hour
+      FROM events
+    ), hit AS (
+      SELECT * FROM ev
+      WHERE user_id <= 3 AND ts_hour BETWEEN 120 AND 264
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(user_id) AS BIGINT) AS n_users_col,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value,
+           TRUE AS skipping_wins
+    FROM hit
+"""
