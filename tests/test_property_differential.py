@@ -366,3 +366,49 @@ def test_rollup_on_empty_input_divergence_pinned(spark, sf_dir, oracle):
     eng.register_tables()
     assert eng.sql(sql).collect() == []
     assert oracle.execute(sql).fetchall() == [(None, 0)]
+
+
+dw_agg = st.sampled_from(["COUNT", "SUM", "AVG"])
+dw_arg = st.sampled_from(
+    ["o_custkey", "o_orderkey % 50", "o_custkey % 13"]
+)
+dw_part = st.sampled_from(GROUP_KEYS)
+
+
+@st.composite
+def distinct_window_query(draw):
+    fn = draw(dw_agg)
+    arg = draw(dw_arg)
+    part = draw(dw_part)
+    p = draw(pred)
+    expr = f"{fn}(DISTINCT {arg}) OVER (PARTITION BY {part})"
+    if fn != "COUNT":
+        expr = f"ROUND(CAST({expr} AS DOUBLE), 4)"
+    return (
+        f"SELECT o_orderkey AS k, {expr} AS a1 "
+        f"FROM orders WHERE {p} AND o_orderkey <= 2000"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=distinct_window_query())
+def test_random_distinct_window_matches_duckdb(sql, spark, sf_dir, oracle):
+    """Generative differential for the HIVE-9534 collect_set rewrite:
+    any (agg, expression arg, partition key, predicate) combination must
+    agree with DuckDB's native distinct window aggregates."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    sdf = eng.sql(sql)
+    scols = [c.lower() for c in sdf.columns]
+    srows = sdf.collect()
+    rel = oracle.execute(sql)
+    ocols = [d[0].lower() for d in rel.description]
+    orows = rel.fetchall()
+    assert sorted(scols) == sorted(ocols), sql
+    assert _canon(srows, scols) == _canon(orows, ocols), sql
