@@ -155,6 +155,111 @@ def read_hive_sequencefile(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.options(**opts).schema(schema).csv(values)
 
 
+def write_text_with_header_footer(
+    df: DataFrame,
+    path: str,
+    header_lines: list[str],
+    footer_lines: list[str],
+    sep: str = "\x01",
+    null_str: str = "\\N",
+) -> int:
+    """Write text files that each carry per-FILE header and trailer lines
+    (the on-disk shape ``skip.header.line.count`` / ``skip.footer.line.count``
+    tables consume — data/files/header_footer_table_1 in the reference).
+    One file per partition via mapInPandas (same distributed per-file write
+    pattern as rcfile_io.write_rcfile); returns the data-row count."""
+    import uuid
+
+    import pandas as pd  # noqa: F401
+
+    os.makedirs(path, exist_ok=True)
+    cols = df.columns
+
+    def write_partition(pdfs):
+        import pandas as pd
+
+        rows: list[str] = []
+        for pdf in pdfs:
+            for tup in pdf[cols].itertuples(index=False):
+                rows.append(
+                    sep.join(
+                        null_str if v is None or v != v else str(v) for v in tup
+                    )
+                )
+        out = os.path.join(path, f"part-{uuid.uuid4().hex}.txt")
+        with open(out, "w", encoding="utf-8") as fh:
+            for line in header_lines:
+                fh.write(line + "\n")
+            for line in rows:
+                fh.write(line + "\n")
+            for line in footer_lines:
+                fh.write(line + "\n")
+        yield pd.DataFrame({"path": [out], "n_records": [len(rows)]})
+
+    manifest = df.mapInPandas(write_partition, "path string, n_records long")
+    return sum(r.n_records for r in manifest.collect())
+
+
+def read_hive_text_skips(
+    spark: SparkSession,
+    path: str,
+    schema,
+    skip_header: int = 0,
+    skip_footer: int = 0,
+    sep: str = "\x01",
+    null_str: str = "\\N",
+) -> DataFrame:
+    """Text read honoring ``skip.header.line.count`` / ``skip.footer.line.count``
+    table properties (HIVE-5795, file_with_header_footer.q;
+    HiveContextAwareRecordReader.java's doNext header skip + FooterBuffer).
+
+    The skips apply per FILE, not per table — exactly Hive's contract —
+    so each file is trimmed whole: binaryFile lists/distributes the files,
+    a mapInArrow kernel drops the first ``skip_header`` and last
+    ``skip_footer`` lines of each (a file with <= header+footer lines
+    yields zero rows, the reference's ``emptytable`` case), and the
+    declared schema is applied JVM-side by split/cast, the same
+    schema-on-read convention as the other text paths.  Hive likewise
+    reads header/footer files unsplit (footer skipping needs whole-file
+    buffering), so per-file tasks are the faithful scale shape: parallelism
+    comes from the file count, as in the reference."""
+    import re as _re
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    h, f_skip = int(skip_header), int(skip_footer)
+
+    def trim(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            for content in batch.column("content"):
+                lines = bytes(content.as_py()).decode("utf-8").splitlines()
+                end = len(lines) - f_skip
+                kept = lines[h:end] if end > h else []
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(kept, type=pa.string())], names=["value"]
+                )
+
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(path)
+    raw = files.select("content").mapInArrow(trim, "value string")
+    parts = F.split(F.col("value"), _re.escape(sep))
+    return raw.select(
+        [
+            F.when(parts.getItem(i) == null_str, None)
+            .otherwise(parts.getItem(i))
+            .cast(fld.dataType)
+            .alias(fld.name)
+            for i, fld in enumerate(schema.fields)
+        ]
+    )
+
+
 def write_multidelimit_text(df: DataFrame, path: str, delim: str) -> None:
     """MultiDelimitSerDe write equivalent (contrib/.../serde2/
     MultiDelimitSerDe.java — FIELDS TERMINATED BY a multi-character

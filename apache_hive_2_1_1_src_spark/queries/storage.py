@@ -1837,7 +1837,61 @@ def q225_partition_value_escaping(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q237_header_footer_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skip.header.line.count / skip.footer.line.count table properties
+    (HIVE-5795; file_with_header_footer.q; HiveContextAwareRecordReader.java
+    header skip + FooterBuffer).
+
+    nation is written as THREE tab-delimited text files, each carrying one
+    header line and two trailer lines whose fields parse as valid rows
+    (numeric keys 997–999) — so if the skips were not applied, or were
+    applied per-TABLE instead of Hive's per-FILE contract, poison rows
+    would leak into the result and flip the count/sum.  A fourth file
+    holding ONLY a header and two footers (the reference's ``emptytable``
+    case) must contribute zero rows.  Read back with skips=(1,2) and
+    an id<50-style filter, as the .q does."""
+    from apache_hive_2_1_1_src_spark.io import (
+        read_hive_text_skips,
+        write_text_with_header_footer,
+    )
+
+    out = os.path.join(_SCRATCH, "header_footer_nation")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    header = ["999\tHEADER_POISON\t999"]
+    footers = ["998\tFOOTER_POISON\t998", "997\tTRAILER_POISON\t997"]
+    write_text_with_header_footer(
+        nation.repartition(3), out, header, footers, sep="\t"
+    )
+    # the emptytable case: a file that is nothing but header+footers
+    with open(os.path.join(out, "part-empty.txt"), "w", encoding="utf-8") as fh:
+        fh.write("\n".join(header + footers) + "\n")
+    back = read_hive_text_skips(
+        spark,
+        out,
+        "n_nationkey int, n_name string, n_regionkey int",
+        skip_header=1,
+        skip_footer=2,
+        sep="\t",
+    )
+    return (
+        back.filter(F.col("n_nationkey") < 50)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 QUERIES = {
+    "q237_header_footer_skip": q237_header_footer_skip,
     "q218_show_create_roundtrip": q218_show_create_roundtrip,
     "q224_database_lifecycle": q224_database_lifecycle,
     "q233_mixed_format_partitions": q233_mixed_format_partitions,
@@ -1890,6 +1944,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q237_header_footer_skip": """
+        SELECT n_regionkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+               MIN(n_name) AS first_name
+        FROM nation
+        WHERE n_nationkey < 50
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
     "q225_partition_value_escaping": """
         SELECT 6 AS n_parts, 6 AS n_rows, TRUE AS values_roundtrip,
                TRUE AS dirs_escaped, TRUE AS point_read_ok
