@@ -328,6 +328,51 @@ def q152_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q239_alter_view_as_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER VIEW ... AS SELECT (alter_view_as_select.q;
+    DDLSemanticAnalyzer → DDLTask alterView replaces the stored view
+    text): the view's definition is swapped twice — wildcard over a
+    join, then a filtered projection, then a LIMITed ordered form — and
+    every read reflects the CURRENT definition, including a reader view
+    stacked on top (Catalyst re-expands the chain per query, exactly
+    Hive's view expansion).  The result unions a tagged probe of each
+    stage so the oracle can verify all three definitions took effect."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView(f"av_orders_{_PID}")
+    v = f"test_view_{_PID}"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {v} AS "
+        f"SELECT * FROM av_orders_{_PID}"
+    )
+    stage1 = spark.sql(
+        f"SELECT 's1_wildcard' AS stage, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(MIN(o_orderkey) AS BIGINT) AS lo FROM {v}"
+    )
+    spark.sql(
+        f"ALTER VIEW {v} AS SELECT o_orderkey, o_totalprice "
+        f"FROM av_orders_{_PID} WHERE o_orderkey % 86 = 0"
+    )
+    stage2 = spark.sql(
+        f"SELECT 's2_filtered' AS stage, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(MIN(o_orderkey) AS BIGINT) AS lo FROM {v}"
+    )
+    spark.sql(
+        f"""ALTER VIEW {v} AS
+        SELECT o_orderkey, o_totalprice FROM av_orders_{_PID}
+        WHERE o_orderkey > 80 AND o_orderkey < 1000
+        ORDER BY o_orderkey LIMIT 10"""
+    )
+    # a stacked reader view sees the NEW definition on every query
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {v}_reader AS "
+        f"SELECT o_orderkey FROM {v}"
+    )
+    stage3 = spark.sql(
+        f"SELECT 's3_limited' AS stage, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(MIN(o_orderkey) AS BIGINT) AS lo FROM {v}_reader"
+    )
+    return stage1.unionByName(stage2).unionByName(stage3).orderBy("stage")
+
+
 def q158_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW PARTITIONS (DDLTask.java showPartitions path → Spark native
     SHOW PARTITIONS on a catalog table): dynamic-partition write, then the
@@ -1891,6 +1936,7 @@ def q237_header_footer_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q239_alter_view_as_select": q239_alter_view_as_select,
     "q237_header_footer_skip": q237_header_footer_skip,
     "q218_show_create_roundtrip": q218_show_create_roundtrip,
     "q224_database_lifecycle": q224_database_lifecycle,
@@ -1944,6 +1990,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q239_alter_view_as_select": """
+        SELECT 's1_wildcard' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(o_orderkey) AS BIGINT) AS lo FROM orders
+        UNION ALL
+        SELECT 's2_filtered', CAST(COUNT(*) AS BIGINT),
+               CAST(MIN(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_orderkey % 86 = 0
+        UNION ALL
+        SELECT 's3_limited', CAST(COUNT(*) AS BIGINT),
+               CAST(MIN(o_orderkey) AS BIGINT)
+        FROM (SELECT o_orderkey FROM orders
+              WHERE o_orderkey > 80 AND o_orderkey < 1000
+              ORDER BY o_orderkey LIMIT 10)
+        ORDER BY stage
+    """,
     "q237_header_footer_skip": """
         SELECT n_regionkey,
                CAST(COUNT(*) AS BIGINT) AS n,

@@ -234,7 +234,44 @@ def q160_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q238_cte_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE materialization (HIVE-11752, cte_mat_1–5.q;
+    SemanticAnalyzer.java:1840-1850 marks a CTE for materialization when
+    hive.optimize.cte.materialize.threshold >= 0 and its reference count
+    reaches the threshold; materializeCTE at SemanticAnalyzer.java:1235
+    writes it to a scratch temp table the main query then scans).
+
+    The engine's Spark-first equivalent evaluates the CTE subtree ONCE
+    into an eager localCheckpoint and rewrites both references onto it —
+    the executed plan contains NO parquet scan (certified in
+    tests/test_cte_materialize.py).  The query is cte_mat_1.q's shape —
+    a CTE self-join — over orders; the oracle inlines the CTE, proving
+    materialization is plan-only, never semantics."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    eng.set_var("hive.optimize.cte.materialize.threshold", "2")
+    return eng.sql(
+        """
+        WITH q1 AS (
+          SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT a.o_custkey AS cust,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(SUM(a.o_totalprice + b.o_totalprice), 2) AS pair_total
+        FROM q1 a JOIN q1 b
+          ON a.o_custkey = b.o_custkey AND a.o_totalprice < b.o_totalprice
+        GROUP BY a.o_custkey
+        HAVING COUNT(*) >= 3
+        ORDER BY cust
+        LIMIT 200
+        """
+    )
+
+
 QUERIES = {
+    "q238_cte_materialization": q238_cte_materialization,
     "q160_merge_cow": q160_merge_cow,
     "q157_recursive_cte": q157_recursive_cte,
     "q75_in_subquery": q75_in_subquery,
@@ -248,6 +285,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q238_cte_materialization": """
+        WITH q1 AS (
+          SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT a.o_custkey AS cust,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(SUM(a.o_totalprice + b.o_totalprice), 2) AS pair_total
+        FROM q1 a JOIN q1 b
+          ON a.o_custkey = b.o_custkey AND a.o_totalprice < b.o_totalprice
+        GROUP BY a.o_custkey
+        HAVING COUNT(*) >= 3
+        ORDER BY cust
+        LIMIT 200
+    """,
     "q160_merge_cow": """
         WITH mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
         src AS (

@@ -736,6 +736,137 @@ class HiveEngine:
             pos = o_close + 1
         return "".join(out)
 
+    # ---------------------------------------------------- CTE materialization
+    _CTE_MAT_SEQ = 0
+
+    def _materialize_ctes(self, text: str) -> str:
+        """HIVE-11752 (cte_mat_*.q): with
+        ``hive.optimize.cte.materialize.threshold`` >= 0, any WITH-clause
+        CTE referenced at least *threshold* times is materialized before
+        the main query instead of being inlined at each use
+        (SemanticAnalyzer.java:1840-1850 sets cte.materialize when
+        ``threshold >= 0 && cte.reference >= threshold``; materializeCTE
+        at SemanticAnalyzer.java:1235 writes it to a scratch temp table).
+
+        Spark-first materialization: the CTE body is evaluated ONCE into
+        an eager ``localCheckpoint`` (executor-memory blocks — the moral
+        equivalent of Hive's temp table, minus the filesystem round trip)
+        registered under a scratch view name; references are rewritten to
+        that name so the main plan scans the checkpoint instead of
+        recomputing the subtree per reference.  The scratch name never
+        collides with user temp tables, preserving cte_mat_4.q's contract
+        that a same-named temp table survives the query untouched.
+        Reference counts are textual word matches outside string literals
+        (the same convention as the macro expander); RECURSIVE CTEs and
+        unparseable WITH clauses fall through untouched."""
+        try:
+            thr = int(
+                getattr(self, "_vars", {}).get(
+                    "hive.optimize.cte.materialize.threshold", "-1"
+                )
+            )
+        except (TypeError, ValueError):
+            return text
+        if thr < 0:
+            return text
+        head = re.match(r"^\s*WITH\s+", text, re.IGNORECASE)
+        if not head or re.match(r"^\s*WITH\s+RECURSIVE\b", text, re.IGNORECASE):
+            return text
+
+        def _scan_parens(s: str, i: int) -> int:
+            """Index just past the ')' matching the '(' at s[i-1]."""
+            depth, quote = 1, None
+            while i < len(s) and depth:
+                ch = s[i]
+                if quote:
+                    if ch == quote:
+                        quote = None
+                elif ch in ("'", '"'):
+                    quote = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                i += 1
+            return i if not depth else -1
+
+        pos = head.end()
+        ctes: list[list[str]] = []  # [name, column-list ('' if none), body]
+        while True:
+            nm = re.match(
+                r"([A-Za-z_]\w*|`[^`]+`)\s*(\([^()]*\))?\s*AS\s*\(",
+                text[pos:],
+                re.IGNORECASE,
+            )
+            if not nm:
+                return text
+            end = _scan_parens(text, pos + nm.end())
+            if end < 0:
+                return text
+            ctes.append(
+                [
+                    nm.group(1).strip("`"),
+                    nm.group(2) or "",
+                    text[pos + nm.end() : end - 1],
+                ]
+            )
+            comma = re.match(r"\s*,\s*", text[end:])
+            if comma:
+                pos = end + comma.end()
+            else:
+                main = text[end:]
+                break
+
+        def _count_refs(name: str, s: str) -> int:
+            n, pat = 0, re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+            for seg in re.split(r"'[^']*'|\"[^\"]*\"", s):
+                n += len(pat.findall(seg))
+            return n
+
+        def _replace(name: str, new: str, s: str) -> str:
+            pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+            parts = re.split(r"('[^']*'|\"[^\"]*\")", s)
+            return "".join(
+                p if i % 2 else pat.sub(new, p)
+                for i, p in enumerate(parts)
+            )
+
+        kept: list[list[str]] = []
+        for idx, (name, collist, body) in enumerate(ctes):
+            later = [c[2] for c in ctes[idx + 1 :]]
+            refs = _count_refs(name, main) + sum(
+                _count_refs(name, b) for b in later
+            )
+            if refs < thr:
+                kept.append([name, collist, body])
+                continue
+            HiveEngine._CTE_MAT_SEQ += 1
+            mat = f"cte_mat_{name}_{os.getpid()}_{HiveEngine._CTE_MAT_SEQ}"
+            stmt = body
+            if kept:
+                stmt = (
+                    "WITH "
+                    + ", ".join(f"{n} {cl} AS ({b})" for n, cl, b in kept)
+                    + " "
+                    + body
+                )
+            df = self.spark.sql(stmt)
+            if collist:
+                df = df.toDF(*[c.strip() for c in collist.strip("() ").split(",")])
+            df = df.localCheckpoint(eager=True)
+            df.createOrReplaceTempView(mat)
+            for c in ctes[idx + 1 :]:
+                c[2] = _replace(name, mat, c[2])
+            main = _replace(name, mat, main)
+        if kept:
+            return (
+                "WITH "
+                + ", ".join(f"{n} {cl} AS ({b})" for n, cl, b in kept)
+                + " "
+                + main
+            )
+        return main
+
     def set_masking_policy(
         self,
         table: str,
@@ -851,6 +982,7 @@ class HiveEngine:
         text = self.translate_hive_ddl(text)
         text = self._apply_masking(text)
         text = self._rewrite_distinct_windows(text)
+        text = self._materialize_ctes(text)
         text = self._escape_transform_out_delim(text)
         # StatsOptimizer (ql/.../optimizer/StatsOptimizer.java:97): with
         # hive.compute.query.using.stats=true, pure-aggregate queries

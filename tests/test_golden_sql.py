@@ -47,6 +47,15 @@ def _duck_compat(sql: str) -> str:
     sql = re.sub(r"`([^`]*)`", r'"\1"', sql)
     # Hive/Spark SPLIT is regex; DuckDB's split/string_split is literal
     sql = re.sub(r"\bSPLIT\(", "regexp_split_to_array(", sql, flags=re.IGNORECASE)
+    # Hive/Spark allow an ON-less inner JOIN whose predicate lives in
+    # WHERE (constant_prop_1.q tail shapes); DuckDB requires ON/USING on
+    # JOIN, but CROSS JOIN + WHERE is the identical relation
+    sql = re.sub(
+        r"\bJOIN\s+(\w+)\s+(\w+)\s+WHERE\b",
+        r"CROSS JOIN \1 \2 WHERE",
+        sql,
+        flags=re.IGNORECASE,
+    )
     # Spark's two-arg DATEDIFF(end, start) — DuckDB only has the
     # three-arg datediff('day', start, end) form
     sql = re.sub(
