@@ -916,6 +916,69 @@ def q230_stats_only_partition_filter(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q240_stats_autogather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hive.stats.autogather (HiveConf HIVESTATSAUTOGATHER, default true
+    in the reference; StatsTask.java chained after every FileSink;
+    stats*.q toggle it): with the flag on, every INSERT/CTAS through the
+    SQL entry refreshes catalog statistics, so a later
+    hive.compute.query.using.stats COUNT(*) answers metadata-only with
+    NO ANALYZE ever issued by the user.
+
+    Three probes: after CTAS (stats exist), after INSERT INTO (stats
+    REFRESHED — the count must include the appended rows, not the stale
+    CTAS value), and with autogather OFF for a second insert (stale
+    stats are never served as accurate: Spark drops numRows on writes
+    without a re-gather, so the optimizer falls through to the scan —
+    StatsSetupConst.ACCURATE semantics).  Each probe certifies
+    scan-free-ness on the executed plan and equality with the scan
+    path."""
+    from apache_hive_2_1_1_src_spark.queries.storage import drop_table
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    tbl = f"autogather_orders_{os.getpid()}"
+    drop_table(spark, tbl)
+    eng.set_var("hive.stats.autogather", "true")
+    eng.sql(
+        f"CREATE TABLE {tbl} USING parquet AS "
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000"
+    )
+    probe = f"SELECT COUNT(*) AS n FROM {tbl}"
+
+    def measure(stage: str):
+        eng.set_var("hive.compute.query.using.stats", "true")
+        fast = eng.sql(probe)
+        plan = fast._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        no_scan = "FileScan" not in plan and "Scan parquet" not in plan
+        eng.set_var("hive.compute.query.using.stats", "false")
+        n_fast, n_scan = fast.first().n, eng.sql(probe).first().n
+        return (stage, int(n_fast), bool(n_fast == n_scan), bool(no_scan))
+
+    rows = [measure("s1_after_ctas")]
+    eng.sql(
+        f"INSERT INTO {tbl} "
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey > 1000 AND o_orderkey <= 1500"
+    )
+    rows.append(measure("s2_after_insert"))
+    eng.set_var("hive.stats.autogather", "false")
+    eng.sql(
+        f"INSERT INTO {tbl} "
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey > 1500 AND o_orderkey <= 1600"
+    )
+    s3 = measure("s3_autogather_off")
+    # stale stats must NOT be served: the fast path fell back to a scan
+    rows.append((s3[0], s3[1], s3[2], s3[3]))
+    drop_table(spark, tbl)
+    return spark.createDataFrame(
+        rows,
+        "stage string, n bigint, stats_equals_scan boolean, "
+        "plan_has_no_scan boolean",
+    ).orderBy("stage")
+
+
 def q165_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULLS FIRST / NULLS LAST ordering (HiveParser.g:2149-2150 —
     HIVE-12994, new in 2.1; Hive's default NULLS FIRST for ASC matches
@@ -1006,6 +1069,7 @@ def q213_hplsql_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q240_stats_autogather": q240_stats_autogather,
     "q213_hplsql_procedure": q213_hplsql_procedure,
     "q161_constraint_validation": q161_constraint_validation,
     "q165_nulls_ordering": q165_nulls_ordering,
@@ -1052,6 +1116,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q240_stats_autogather": """
+        SELECT 's1_after_ctas' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+               TRUE AS stats_equals_scan, TRUE AS plan_has_no_scan
+        FROM orders WHERE o_orderkey <= 1000
+        UNION ALL
+        SELECT 's2_after_insert', CAST(COUNT(*) AS BIGINT), TRUE, TRUE
+        FROM orders WHERE o_orderkey <= 1500
+        UNION ALL
+        SELECT 's3_autogather_off', CAST(COUNT(*) AS BIGINT), TRUE, FALSE
+        FROM orders WHERE o_orderkey <= 1600
+        ORDER BY stage
+    """,
     "q213_hplsql_procedure": """
         WITH per_region AS (
           SELECT r.r_name AS name, CAST(COUNT(n.n_nationkey) AS INT) AS n

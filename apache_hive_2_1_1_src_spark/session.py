@@ -999,7 +999,45 @@ class HiveEngine:
             hit = try_stats_only_answer(self.spark, text)
             if hit is not None:
                 return hit
-        return self.spark.sql(text)
+        res = self.spark.sql(text)
+        self._stats_autogather(text)
+        return res
+
+    def _stats_autogather(self, text: str) -> None:
+        """hive.stats.autogather (HiveConf.java HIVESTATSAUTOGATHER; the
+        StatsTask chained after every FileSink —
+        ql/.../exec/StatsTask.java:1 aggregates per-writer counters into
+        metastore numRows/totalSize): after an INSERT or CTAS through the
+        SQL entry point, refresh the target's catalog statistics so
+        StatsOptimizer (hive.compute.query.using.stats) can answer
+        metadata-only queries with no intervening ANALYZE, exactly the
+        Hive loop.  Spark has no in-write counter hook, so the gather is
+        an explicit post-write ANALYZE pass — one extra metadata-cheap
+        scan per DML, which is why the engine defaults the flag OFF
+        (deliberate deviation from Hive's true default; stats.q tests
+        SET it explicitly either way)."""
+        if getattr(self, "_vars", {}).get(
+            "hive.stats.autogather", "false"
+        ).lower() != "true":
+            return
+        m = re.match(
+            r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)",
+            text,
+            re.IGNORECASE,
+        ) or re.match(
+            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)[\s\S]*?\bAS\b",
+            text,
+            re.IGNORECASE,
+        )
+        if not m:
+            return
+        target = m.group(1)
+        try:
+            self.spark.sql(f"ANALYZE TABLE {target} COMPUTE STATISTICS")
+        except Exception:
+            # non-table sinks (temp views, directories) have no catalog
+            # stats slot — StatsTask likewise silently skips them
+            pass
 
     @staticmethod
     def split_statements(script: str) -> list[str]:
