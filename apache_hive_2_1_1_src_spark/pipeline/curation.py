@@ -535,3 +535,73 @@ def length_bucketed_batching(
         )
     )
     return per.orderBy("bucket_size")
+
+
+def temperature_rebalance(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    temperature: float = 2.0,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual sampling
+    rule from the mBERT/XLM-R line of work): languages are sampled with
+    probability proportional to n_l^(1/T) instead of n_l, flattening the
+    head and up-weighting the tail as T grows; T=1 keeps the natural
+    distribution.
+
+    Per-group keep probability: with weights w_l = n_l^(1/T) / Z and a
+    corpus budget of ``target_frac * N`` documents, group l keeps
+    p_l = min(1, w_l * target_frac * N / n_l), rounded to 6 dp so the
+    SQL oracle reproduces the float exactly.  Each doc keeps
+    deterministically iff md5(doc_id)'s first 32 bits, as a fraction,
+    fall under p_l — no RNG state, reproducible across runs/engines.
+
+    Scale shape: one map-side-combined count per group (tiny result),
+    per-group plan broadcast back onto the corpus, then pure-codegen
+    hash compare — a single wide pass over the data, no shuffle of the
+    corpus itself.
+
+    Returns per-group (group, n_before, keep_p, n_kept), ordered.
+    """
+    stats = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    tot = stats.agg(
+        F.sum("n_l").alias("n_total"),
+        F.sum(F.pow(F.col("n_l").cast("double"), 1.0 / temperature)).alias("z"),
+    )
+    plan = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "keep_p",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.pow(F.col("n_l").cast("double"), 1.0 / temperature) / F.col("z"))
+                    * (F.lit(float(target_frac)) * F.col("n_total"))
+                    / F.col("n_l"),
+                ),
+                6,
+            ),
+        )
+        .select("grp", "n_l", "keep_p")
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    kept = (
+        docs.select(F.col(group_col).alias("grp"), F.col(id_col))
+        .join(F.broadcast(plan), "grp")
+        .withColumn("keep", frac < F.col("keep_p"))
+        .groupBy("grp", "n_l", "keep_p")
+        .agg(F.sum(F.col("keep").cast("long")).alias("n_kept"))
+    )
+    return kept.select(
+        F.col("grp").alias(group_col),
+        F.col("n_l").alias("n_before"),
+        "keep_p",
+        "n_kept",
+    ).orderBy(group_col)

@@ -845,3 +845,46 @@ def canonical_by_quality(
     return comp.withColumn(
         "is_canonical", F.row_number().over(w) == 1
     ).select("id", "component", "quality", "is_canonical")
+
+
+def leakage_safe_split(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    val_hex: tuple[str, ...] = ("0", "1", "2"),
+) -> DataFrame:
+    """Leakage-free train/validation split: assign every document a side
+    such that all members of a near-dup cluster land on the SAME side —
+    the split a training pipeline needs so eval examples are never
+    near-duplicates of training examples (train/test contamination via
+    duplication).
+
+    Assignment is cluster-deterministic: side = f(md5(component)), with
+    the first hex digit of the component id's md5 tested against
+    ``val_hex`` (3 of 16 digits ≈ 18.75% validation).  Deterministic
+    across runs, layouts and engines; no RNG state, no driver decisions.
+
+    Scale shape: connected_components is the bounded-iteration
+    propagate/jump loop (linear shuffles in |edges|); the side column is
+    pure codegen; the purity certificate is one window partitioned by
+    component — task state bounded by cluster size, never corpus size.
+
+    Returns (id, component, side, cluster_pure) for every node;
+    ``cluster_pure`` must be uniformly true (pinned by the p57 oracle).
+    """
+    from pyspark.sql import Window
+
+    labels = connected_components(pairs)
+    comp = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("id")))
+    )
+    digit = F.substring(F.md5(F.col("component").cast("string")), 1, 1)
+    sided = comp.withColumn(
+        "side", F.when(digit.isin(*val_hex), F.lit("val")).otherwise(F.lit("train"))
+    )
+    w = Window.partitionBy("component")
+    return sided.withColumn(
+        "cluster_pure", F.size(F.collect_set("side").over(w)) == 1
+    ).select("id", "component", "side", "cluster_pure")

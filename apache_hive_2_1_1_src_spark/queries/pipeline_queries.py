@@ -2001,3 +2001,110 @@ ORACLES["p56_zorder_layout"] = """
            TRUE AS skipping_wins
     FROM hit
 """
+
+
+def p57_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val split (dedup.leakage_safe_split): near-dup
+    cluster members never straddle the split — the contamination guard a
+    training pipeline runs between dedup and sharding.  Cluster-
+    deterministic md5 side assignment; the cluster_pure certificate is
+    in-result and the full oracle recomputes components via recursive-CTE
+    reachability plus the identical md5 rule."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import (
+        embedding_near_dups,
+        leakage_safe_split,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.40, sign_bits=4)
+    return leakage_safe_split(emb, pairs).orderBy("id")
+
+
+QUERIES["p57_leakage_safe_split"] = p57_leakage_safe_split
+
+ORACLES["p57_leakage_safe_split"] = """
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.40
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (
+      SELECT v.vec_id AS id,
+             COALESCE(c.component, v.vec_id) AS component
+      FROM v LEFT JOIN (SELECT id, MIN(r) AS component
+                        FROM reach GROUP BY id) c
+        ON v.vec_id = c.id
+    )
+    SELECT id, component,
+           CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 1)
+                     IN ('0', '1', '2')
+                THEN 'val' ELSE 'train' END AS side,
+           TRUE AS cluster_pure
+    FROM comp
+    ORDER BY id
+"""
+
+
+def p58_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture rebalancing (curation.temperature_rebalance,
+    T=2, budget 50%): per-language keep probabilities ~ n^(1/T),
+    deterministic md5-Bernoulli membership; full oracle recomputes the
+    probabilities and the exact kept counts."""
+    from apache_hive_2_1_1_src_spark.pipeline.curation import (
+        temperature_rebalance,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return temperature_rebalance(
+        docs, group_col="lang", id_col="doc_id", temperature=2.0,
+        target_frac=0.5,
+    )
+
+
+QUERIES["p58_temperature_rebalance"] = p58_temperature_rebalance
+
+ORACLES["p58_temperature_rebalance"] = """
+    WITH stats AS (
+      SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n_l
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_l) AS DOUBLE) AS n_total,
+             SUM(POWER(CAST(n_l AS DOUBLE), 0.5)) AS z
+      FROM stats
+    ),
+    plan AS (
+      SELECT grp, n_l,
+             ROUND(LEAST(1.0,
+               (POWER(CAST(n_l AS DOUBLE), 0.5) / z)
+               * (0.5 * n_total) / n_l), 6) AS keep_p
+      FROM stats, tot
+    )
+    SELECT d.lang, p.n_l AS n_before, p.keep_p,
+           CAST(SUM(CASE WHEN
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) / 4294967296.0 < p.keep_p
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN plan p ON d.lang = p.grp
+    GROUP BY d.lang, p.n_l, p.keep_p
+    ORDER BY d.lang
+"""

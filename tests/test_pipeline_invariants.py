@@ -687,3 +687,66 @@ def test_hll_registers_exact_msb_and_mergeability(spark, sf_dir):
         for r in hll_registers(ids.limit(200), "k").collect()
     }
     assert got == expect
+
+
+def test_leakage_safe_split_purity_on_chain_cluster(spark, sf_dir):
+    """A long chain (1-2, 2-3, ..., 9-10) is ONE component: every member
+    must land on the same side even though pairwise hashes differ."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import leakage_safe_split
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 61)], "vec_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(nodes, pairs).collect()
+    sides = {r["id"]: r["side"] for r in out}
+    assert len({sides[i] for i in range(1, 11)}) == 1, "chain cluster split!"
+    assert all(r["cluster_pure"] for r in out)
+    # singletons (11..60) got their own deterministic assignment
+    comp = {r["id"]: r["component"] for r in out}
+    assert all(comp[i] == i for i in range(11, 61))
+    # both sides are populated across the id range (not a constant fn)
+    assert len(set(sides.values())) == 2
+
+
+def test_leakage_safe_split_deterministic(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import leakage_safe_split
+
+    nodes = spark.createDataFrame([(i,) for i in range(200)], "vec_id long")
+    pairs = spark.createDataFrame([(0, 1), (5, 6)], "id_a long, id_b long")
+    a = sorted(map(tuple, leakage_safe_split(nodes, pairs).collect()))
+    b = sorted(map(tuple, leakage_safe_split(nodes, pairs).collect()))
+    assert a == b
+
+
+def test_temperature_rebalance_t1_is_natural_and_flattening_monotone(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.pipeline.curation import (
+        temperature_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # T=1: keep_p identical for every language (natural distribution,
+    # uniform thinning to the budget)
+    t1 = temperature_rebalance(docs, temperature=1.0, target_frac=0.5).collect()
+    assert len({r["keep_p"] for r in t1}) == 1
+    # T=2 flattens: rarer languages keep a HIGHER fraction
+    t2 = temperature_rebalance(docs, temperature=2.0, target_frac=0.5).collect()
+    by_n = sorted(t2, key=lambda r: r["n_before"])
+    ps = [r["keep_p"] for r in by_n]
+    assert all(ps[i] >= ps[i + 1] - 1e-12 for i in range(len(ps) - 1)), ps
+    # kept counts track the probabilities: total ≈ budget
+    total = sum(r["n_before"] for r in t2)
+    kept = sum(r["n_kept"] for r in t2)
+    assert 0.35 * total <= kept <= 0.65 * total, (kept, total)
+
+
+def test_temperature_rebalance_keep_p_capped_at_one(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.pipeline.curation import (
+        temperature_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # extreme temperature up-weights the tail far past its size: cap at 1
+    out = temperature_rebalance(docs, temperature=100.0, target_frac=0.9).collect()
+    assert all(r["keep_p"] <= 1.0 for r in out)
+    assert all(r["n_kept"] <= r["n_before"] for r in out)
