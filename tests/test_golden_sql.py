@@ -47,6 +47,11 @@ def _duck_compat(sql: str) -> str:
     sql = re.sub(r"`([^`]*)`", r'"\1"', sql)
     # Hive/Spark SPLIT is regex; DuckDB's split/string_split is literal
     sql = re.sub(r"\bSPLIT\(", "regexp_split_to_array(", sql, flags=re.IGNORECASE)
+    # Hive/Spark's null-safe equality operator — DuckDB spells it
+    # IS NOT DISTINCT FROM
+    sql = re.sub(
+        r"([\w.]+)\s*<=>\s*([\w.]+)", r"\1 IS NOT DISTINCT FROM \2", sql
+    )
     # Hive/Spark allow an ON-less inner JOIN whose predicate lives in
     # WHERE (constant_prop_1.q tail shapes); DuckDB requires ON/USING on
     # JOIN, but CROSS JOIN + WHERE is the identical relation

@@ -162,6 +162,53 @@ CASES = [
         "SELECT o_orderkey FROM orders ORDER BY 5",
         "5",
     ),
+    (
+        "having_nonagg_column",  # clientnegative/having1.q — HAVING over
+        # a column that is neither grouped nor aggregated
+        "SELECT o_orderstatus, COUNT(*) FROM orders "
+        "GROUP BY o_orderstatus HAVING o_totalprice > 5",
+        "o_totalprice",
+    ),
+    (
+        "udtf_alias_count_mismatch",  # clientnegative/udtf_explode_not_supported /
+        # udtf_invalid_place family — two aliases for a one-column UDTF
+        "SELECT explode(array(1,2)) AS (a, b) FROM orders LIMIT 1",
+        "alias",
+    ),
+    (
+        "limit_negative",  # clientnegative/limit_partition_stats-adjacent:
+        # negative LIMIT is rejected at analysis
+        "SELECT * FROM orders LIMIT -1",
+        "-1",
+    ),
+    (
+        "insert_into_view",  # clientnegative/insert_view_failure.q
+        "INSERT INTO region VALUES (99, 'X', 'c')",
+        "region",
+    ),
+    (
+        "view_duplicate_columns",  # clientnegative/create_view_failure3.q —
+        # duplicate names in the view column list
+        "CREATE OR REPLACE TEMPORARY VIEW dup_v (a, a) AS SELECT 1, 2",
+        "a",
+    ),
+    (
+        "cast_binary_to_int",  # clientnegative/invalid_cast_from_binary_1.q
+        "SELECT CAST(CAST('x' AS BINARY) AS INT) FROM orders LIMIT 1",
+        "cast",
+    ),
+    (
+        "date_plus_date",  # clientnegative/invalid_t_alter family — date
+        # arithmetic with two dates has no addition rule
+        "SELECT DATE '2020-01-01' + DATE '2020-01-02'",
+        "date",
+    ),
+    (
+        "udtf_in_where",  # clientnegative/udtf_not_supported2.q — a
+        # generator outside the SELECT list
+        "SELECT 1 FROM orders WHERE explode(array(true))",
+        "generator",
+    ),
 ]
 
 
