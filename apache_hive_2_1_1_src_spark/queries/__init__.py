@@ -52,17 +52,17 @@ _FEATURED = [
     "q228_lateral_view_chain",
     "q09_join_anti",
     "q10_broadcast_region_revenue",
-    "q230_stats_only_partition_filter",
+    "q240_stats_autogather",
     "q226_windowing_distinct",
     "q208_multi_insert_sql",
     "q217_hive_ddl_surface",
     "q209_stats_only_answers",
     "q29_grouping_sets",
     "q24_count_distinct",
-    "q27_percentile_approx",
+    "p58_temperature_rebalance",
     "p55_hyperloglog",
     "q40_row_number_topk",
-    "q138_range_interval_frame",
+    "q238_cte_materialization",
     "q156_ignore_nulls_windows",
     "q75_in_subquery",
     "q160_merge_cow",
@@ -82,10 +82,10 @@ _FEATURED = [
     "q213_hplsql_procedure",
     "q96_streaming_window_counts",
     "q142_asof_join",
-    "q144_time_rollup",
+    "q237_header_footer_skip",
     "p01_dedup_exact",
     "p02_dedup_minhash_lsh",
-    "p04_dedup_simhash",
+    "p57_leakage_safe_split",
     "p23_ann_ivf",
     "p49_ann_ivfadc",
     "p35_connected_components",

@@ -582,7 +582,37 @@ def q227_collection_index_by_column(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q242_allcolref_in_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-column references inside UDF arguments (allcolref_in_udf.q,
+    HIVE-4181: ``concat(*)``, ``array(*)``, qualified ``concat(a.*)`` and
+    UDTF ``explode(*)`` — TOK_ALLCOLREF/TOK_FUNCTIONSTAR expansion in
+    SemanticAnalyzer).  Spark's analyzer performs the identical star
+    expansion in function arguments; this certifies the whole family
+    through the SQL entry, with the oracle spelling every column out
+    explicitly."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).createOrReplaceTempView("acr_nation")
+    t(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    ).createOrReplaceTempView("acr_region")
+    return eng.sql(
+        """
+        SELECT a.n_nationkey AS k,
+               concat(a.*) AS cat_a,
+               concat(a.*, b.r_name) AS cat_ab,
+               array(a.*) AS arr_a
+        FROM acr_nation a JOIN acr_region b ON a.n_regionkey = b.r_regionkey
+        ORDER BY k
+        """
+    )
+
+
 QUERIES = {
+    "q242_allcolref_in_udf": q242_allcolref_in_udf,
     "q227_collection_index_by_column": q227_collection_index_by_column,
     "q212_reflect_udf": q212_reflect_udf,
     "q141_python_udtf": q141_python_udtf,
@@ -617,6 +647,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q242_allcolref_in_udf": """
+        SELECT n.n_nationkey AS k,
+               CAST(n.n_nationkey AS VARCHAR) || n.n_name
+                 || CAST(n.n_regionkey AS VARCHAR) AS cat_a,
+               CAST(n.n_nationkey AS VARCHAR) || n.n_name
+                 || CAST(n.n_regionkey AS VARCHAR) || r.r_name AS cat_ab,
+               [CAST(n.n_nationkey AS VARCHAR), n.n_name,
+                CAST(n.n_regionkey AS VARCHAR)] AS arr_a
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        ORDER BY k
+    """,
     "q227_collection_index_by_column": """
         SELECT o_orderkey,
                (['first', 'second', 'third'])[CAST(o_orderkey % 3 AS INT) + 1] AS arr_val,

@@ -373,6 +373,34 @@ def q239_alter_view_as_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage1.unionByName(stage2).unionByName(stage3).orderBy("stage")
 
 
+def q241_autogen_column_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-generated CTAS column aliases (autogen_colalias.q;
+    SemanticAnalyzer.getColumnInternalName — unaliased select expressions
+    become ``_c<position>``): the engine renames Spark's expression-text
+    column names to Hive's positional labels, so a migrated script's
+    later ``SELECT _c0, _c3 FROM t`` works verbatim.  The created table's
+    full column-name list rides along as a certificate column; aliased
+    and plain columns keep their names."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    tbl = f"autogen_cols_{_PID}"
+    drop_table(spark, tbl)
+    eng.sql(
+        f"""CREATE TABLE {tbl} AS
+        SELECT 1+1, o_orderstatus AS zz, o_orderstatus,
+               COUNT(*), ROUND(SUM(o_totalprice), 2)
+        FROM orders GROUP BY o_orderstatus"""
+    )
+    colnames = ",".join(spark.table(tbl).columns)
+    out = eng.sql(
+        f"""SELECT zz, _c0 AS two, _c3 AS n, _c4 AS total
+        FROM {tbl} ORDER BY zz"""
+    ).withColumn("colnames", F.lit(colnames))
+    return out
+
+
 def q158_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW PARTITIONS (DDLTask.java showPartitions path → Spark native
     SHOW PARTITIONS on a catalog table): dynamic-partition write, then the
@@ -1936,6 +1964,7 @@ def q237_header_footer_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q241_autogen_column_aliases": q241_autogen_column_aliases,
     "q239_alter_view_as_select": q239_alter_view_as_select,
     "q237_header_footer_skip": q237_header_footer_skip,
     "q218_show_create_roundtrip": q218_show_create_roundtrip,
@@ -1990,6 +2019,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q241_autogen_column_aliases": """
+        SELECT o_orderstatus AS zz, 2 AS two,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               '_c0,zz,o_orderstatus,_c3,_c4' AS colnames
+        FROM orders GROUP BY o_orderstatus ORDER BY zz
+    """,
     "q239_alter_view_as_select": """
         SELECT 's1_wildcard' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(MIN(o_orderkey) AS BIGINT) AS lo FROM orders

@@ -736,6 +736,66 @@ class HiveEngine:
             pos = o_close + 1
         return "".join(out)
 
+    # ------------------------------------------------ autogen column aliases
+    _AUTOGEN_SEQ = 0
+    _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+    def _autogen_ctas_aliases(self, text: str) -> str:
+        """Hive's auto-generated column aliases for unaliased CTAS
+        expressions (autogen_colalias.q; SemanticAnalyzer.getColumnInternalName
+        + ParseUtils — default ``_c<position>``, 0-based select-list
+        position; ``hive.autogen.columnalias.prefix.label`` overrides the
+        prefix and ``hive.autogen.columnalias.prefix.includefuncname``
+        splices the top-level function name in).  Spark instead names the
+        column after the expression text (``(1 + 1)``, ``count(1)``), so a
+        migrated script's later ``SELECT _c0 FROM t`` breaks.
+
+        Re-expression: plan the CTAS's SELECT once, rename any output
+        whose generated name is not a plain identifier to the Hive
+        autogen name (positional via toDF, so duplicate generated names
+        are safe), park it in a scratch temp view, and point the CTAS at
+        it.  User-aliased and plain-column outputs keep their names, as
+        in Hive."""
+        m = re.match(
+            r"^(?P<head>\s*CREATE\s+(?:TEMPORARY\s+)?(?:EXTERNAL\s+)?TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+(?:\s+USING\s+\w+)?"
+            r"(?:\s+TBLPROPERTIES\s*\([^)]*\))?(?:\s+PARTITIONED\s+BY\s*\([^)]*\))?"
+            r"(?:\s+LOCATION\s+'[^']*')?)\s+AS\s+(?P<select>\(?\s*(?:SELECT|WITH|FROM)\b[\s\S]+)$",
+            text,
+            re.IGNORECASE,
+        )
+        if not m:
+            return text
+        select = m.group("select").rstrip().rstrip(";")
+        try:
+            df = self.spark.sql(select)
+        except Exception:
+            return text  # let the original statement surface its own error
+        prefix = getattr(self, "_vars", {}).get(
+            "hive.autogen.columnalias.prefix.label", "_c"
+        )
+        include_fn = getattr(self, "_vars", {}).get(
+            "hive.autogen.columnalias.prefix.includefuncname", "false"
+        ).lower() == "true"
+        new_names, changed = [], False
+        for i, name in enumerate(df.columns):
+            if self._IDENT.match(name):
+                new_names.append(name)
+                continue
+            label = f"{prefix}{i}"
+            if include_fn:
+                fn = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(", name)
+                if fn:
+                    label = f"{prefix}{fn.group(1)}_{i}"
+            new_names.append(label)
+            changed = True
+        if not changed:
+            return text
+        HiveEngine._AUTOGEN_SEQ += 1
+        tmp = f"hive_autogen_{os.getpid()}_{HiveEngine._AUTOGEN_SEQ}"
+        df.toDF(*new_names).createOrReplaceTempView(tmp)
+        return f"{m.group('head')} AS SELECT * FROM {tmp}"
+
     # ---------------------------------------------------- CTE materialization
     _CTE_MAT_SEQ = 0
 
@@ -999,6 +1059,7 @@ class HiveEngine:
             hit = try_stats_only_answer(self.spark, text)
             if hit is not None:
                 return hit
+        text = self._autogen_ctas_aliases(text)
         res = self.spark.sql(text)
         self._stats_autogather(text)
         return res

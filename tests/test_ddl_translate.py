@@ -232,3 +232,58 @@ def test_show_create_table_hive_form(eng):
     assert eng.sql("SELECT id FROM ddlt_sce").collect()[0].id == 5
     assert eng.declared_formats["ddlt_sce"] == "orc"
     _cleanup(eng, "ddlt_sce")
+
+
+def test_autogen_ctas_aliases_default_prefix(spark, sf_dir):
+    """autogen_colalias.q: unaliased CTAS expressions become _c<position>
+    (0-based); aliased and plain columns keep their names."""
+    from apache_hive_2_1_1_src_spark.queries.storage import drop_table
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    drop_table(spark, "ag_default")
+    eng.sql(
+        "CREATE TABLE ag_default AS SELECT 1+1, o_orderkey AS k, "
+        "o_orderstatus, COUNT(*) FROM orders "
+        "GROUP BY o_orderkey, o_orderstatus"
+    )
+    assert spark.table("ag_default").columns == ["_c0", "k", "o_orderstatus", "_c3"]
+    # the Hive-named columns are directly queryable
+    row = eng.sql("SELECT MAX(_c0) AS m, SUM(_c3) AS s FROM ag_default").first()
+    assert row.m == 2 and row.s > 0
+    drop_table(spark, "ag_default")
+
+
+def test_autogen_ctas_custom_prefix_and_funcname(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.queries.storage import drop_table
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    eng.set_var("hive.autogen.columnalias.prefix.label", "column_")
+    eng.set_var("hive.autogen.columnalias.prefix.includefuncname", "true")
+    drop_table(spark, "ag_custom")
+    eng.sql(
+        "CREATE TABLE ag_custom AS SELECT COUNT(*), 5+5, o_orderstatus "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    cols = spark.table("ag_custom").columns
+    # count(1) -> column_count_0; (5 + 5) has no top-level fn -> column_1
+    assert cols == ["column_count_0", "column_1", "o_orderstatus"], cols
+    drop_table(spark, "ag_custom")
+
+
+def test_autogen_ctas_noop_when_all_aliased(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.queries.storage import drop_table
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    drop_table(spark, "ag_aliased")
+    eng.sql(
+        "CREATE TABLE ag_aliased AS SELECT COUNT(*) AS n, o_orderstatus "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    assert spark.table("ag_aliased").columns == ["n", "o_orderstatus"]
+    drop_table(spark, "ag_aliased")
