@@ -401,6 +401,73 @@ def q241_autogen_column_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q243_archive_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... ARCHIVE / UNARCHIVE PARTITION (DDLTask.java
+    archive/unarchive + ArchiveUtils.java; archive_excludeHadoop20.q):
+    cold partition F is coalesced into ONE container, its loose files
+    removed; the table stays fully readable with live partitions on the
+    native parquet path and the archived one through the distributed
+    container kernel; double-archive is refused; UNARCHIVE restores the
+    loose layout with identical contents.  All five certificates ride
+    in-result; the oracle recomputes the per-status aggregates from
+    orders."""
+    import glob as _glob
+
+    from apache_hive_2_1_1_src_spark.operators.archive import (
+        ARCHIVE_NAME,
+        archive_partition,
+        read_mixed_partitioned,
+        unarchive_partition,
+    )
+
+    root = os.path.join(_SCRATCH, "archive_orders")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    orders.repartition(3).write.partitionBy("o_orderstatus").parquet(root)
+    fdir = os.path.join(root, "o_orderstatus=F")
+    n_before = len(_glob.glob(os.path.join(fdir, "*.parquet")))
+    archive_partition(fdir)
+    only_container = sorted(
+        f for f in os.listdir(fdir) if not f.startswith(("_", "."))
+    ) == [ARCHIVE_NAME]
+    try:
+        archive_partition(fdir)
+        double_refused = False
+    except ValueError:
+        double_refused = True
+    mixed = read_mixed_partitioned(spark, root, "o_orderstatus")
+    agg = (
+        mixed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    rows = agg.collect()
+    n_archived_read = sum(r.n for r in rows if r.o_orderstatus == "F")
+    n_restored_files = unarchive_partition(fdir)
+    back = spark.read.parquet(root)
+    n_after_unarchive = back.filter(F.col("o_orderstatus") == "F").count()
+    certs = (
+        bool(n_before >= 1 and n_restored_files == n_before),
+        bool(only_container),
+        bool(double_refused),
+        bool(n_after_unarchive == n_archived_read),
+    )
+    out = spark.createDataFrame(
+        [(r.o_orderstatus, r.n, r.total) + certs for r in rows],
+        "o_orderstatus string, n bigint, total double, layout_restored boolean, "
+        "single_container boolean, double_archive_refused boolean, "
+        "unarchive_roundtrip boolean",
+    )
+    return out.orderBy("o_orderstatus")
+
+
 def q158_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW PARTITIONS (DDLTask.java showPartitions path → Spark native
     SHOW PARTITIONS on a catalog table): dynamic-partition write, then the
@@ -1964,6 +2031,7 @@ def q237_header_footer_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q243_archive_partition": q243_archive_partition,
     "q241_autogen_column_aliases": q241_autogen_column_aliases,
     "q239_alter_view_as_select": q239_alter_view_as_select,
     "q237_header_footer_skip": q237_header_footer_skip,
@@ -2019,6 +2087,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q243_archive_partition": """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               TRUE AS layout_restored,
+               TRUE AS single_container,
+               TRUE AS double_archive_refused,
+               TRUE AS unarchive_roundtrip
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "q241_autogen_column_aliases": """
         SELECT o_orderstatus AS zz, 2 AS two,
                CAST(COUNT(*) AS BIGINT) AS n,
