@@ -74,6 +74,27 @@ OPS = [
         .agg(_F.sum("pos").alias("pos_sum")),
     ),
     ("p51_length_buckets", lambda d: length_bucketed_batching(d)),
+    # near-dup pairs on adjacent ids keep the component graph sparse at
+    # both scales; the op under test is the CC + side-assignment chain
+    (
+        "p57_leakage_split",
+        lambda d: __import__(
+            "apache_hive_2_1_1_src_spark.pipeline.dedup", fromlist=["x"]
+        ).leakage_safe_split(
+            d.select(_F.col("doc_id").alias("vec_id")),
+            d.select(
+                _F.col("doc_id").alias("id_a"),
+                (_F.col("doc_id") + 1).alias("id_b"),
+            ).filter(_F.col("id_a") % 50 == 0),
+            id_col="vec_id",
+        ),
+    ),
+    (
+        "p58_temp_rebalance",
+        lambda d: __import__(
+            "apache_hive_2_1_1_src_spark.pipeline.curation", fromlist=["x"]
+        ).temperature_rebalance(d, temperature=2.0, target_frac=0.5),
+    ),
 ]
 
 
