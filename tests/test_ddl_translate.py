@@ -287,3 +287,26 @@ def test_autogen_ctas_noop_when_all_aliased(spark, sf_dir):
     )
     assert spark.table("ag_aliased").columns == ["n", "o_orderstatus"]
     drop_table(spark, "ag_aliased")
+
+
+def test_column_and_table_comments_roundtrip(spark, sf_dir):
+    """CREATE TABLE with column + table COMMENTs (HiveParser columnNameType
+    COMMENT; describe_comment_indent.q): DESCRIBE returns them verbatim."""
+    from apache_hive_2_1_1_src_spark.queries.storage import drop_table
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    drop_table(spark, "comment_demo")
+    eng.sql(
+        "CREATE TABLE comment_demo (k INT COMMENT 'the key', "
+        "v STRING COMMENT 'the value') USING parquet "
+        "COMMENT 'table level comment'"
+    )
+    desc = {r.col_name: r.comment for r in spark.sql("DESCRIBE comment_demo").collect()}
+    assert desc["k"] == "the key" and desc["v"] == "the value"
+    ext = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED comment_demo").collect()
+    }
+    assert ext.get("Comment") == "table level comment"
+    drop_table(spark, "comment_demo")
