@@ -688,3 +688,25 @@ def test_explain_formatted_json_document(spark, sf_dir):
         "WHERE o_orderkey < 100 GROUP BY o_orderstatus"
     )
     assert [o["operator"] for o in doc2["STAGE PLANS"]["Stage-1"]["Spark"]["operator-tree"]] == ops
+
+
+def test_filter_pushes_through_union_into_both_scans(spark, sf_dir, tmp_path):
+    """union_ppr.q: a WHERE above a UNION ALL must reach BOTH branches'
+    partitioned scans as PartitionFilters (Hive's PPD through UNION;
+    Catalyst PushProjectionThroughUnion + partition pruning).  At 100 TB
+    this is the difference between scanning two full tables and two
+    single partitions."""
+    out = str(tmp_path / "union_ppr")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    a = spark.read.parquet(out).withColumn("src", F.lit("a"))
+    b = spark.read.parquet(out).withColumn("src", F.lit("b"))
+    u = a.unionByName(b).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(u)
+    # two scan detail blocks, and EVERY one carries the partition filter —
+    # no branch reads unpruned
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert len(pf_lines) == 2, plan
+    assert all("isnotnull(o_orderstatus" in l and "= F" in l for l in pf_lines), pf_lines
