@@ -998,6 +998,13 @@ class HiveEngine:
             if m.group(1).lower().startswith("spark."):
                 self.spark.conf.set(m.group(1), m.group(2))
             return self.spark.range(0).select()
+        if re.match(r"^\s*RESET\s*;?\s*$", text, re.IGNORECASE):
+            # SetProcessor.java executeReset: drop every session override
+            # back to defaults (incl. the quoted-identifier parser switch
+            # set_var mirrors into the live Spark conf)
+            self._vars = {}
+            self.spark.conf.set("spark.sql.parser.quotedRegexColumnNames", "false")
+            return self.spark.range(0).select()
         m = self._MACRO_DDL.match(text)
         if m:
             name, params_raw, body = m.group(1), m.group(2), m.group(3)

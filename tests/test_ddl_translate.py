@@ -310,3 +310,24 @@ def test_column_and_table_comments_roundtrip(spark, sf_dir):
     }
     assert ext.get("Comment") == "table level comment"
     drop_table(spark, "comment_demo")
+
+
+def test_reset_clears_session_overrides(spark, sf_dir):
+    """SetProcessor.executeReset (CliDriver RESET command): all SET
+    overrides drop back to defaults."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    eng.sql("SET hive.optimize.cte.materialize.threshold=2")
+    eng.sql("SET hive.stats.autogather=true")
+    assert eng._vars["hive.stats.autogather"] == "true"
+    eng.sql("RESET")
+    assert eng._vars == {}
+    # materialization conf is gone: CTE query plans with the scan again
+    df = eng.sql(
+        "WITH q1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 50) "
+        "SELECT a.o_orderkey AS k FROM q1 a JOIN q1 b ON a.o_orderkey = b.o_orderkey"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()
