@@ -209,6 +209,25 @@ CASES = [
         "SELECT 1 FROM orders WHERE explode(array(true))",
         "generator",
     ),
+    (
+        "distinct_orderby_not_selected",  # clientnegative/
+        # orderbysortby-distinct family: ORDER BY a column SELECT
+        # DISTINCT did not keep
+        "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderkey",
+        "o_orderkey",
+    ),
+    (
+        "aggregate_in_groupby",  # clientnegative/groupby_agg.q-style —
+        # aggregate functions cannot key the grouping
+        "SELECT COUNT(*) FROM orders GROUP BY COUNT(*)",
+        "group by",
+    ),
+    (
+        "window_in_groupby",  # clientnegative windowing misuse family —
+        # a window function cannot appear in GROUP BY
+        "SELECT 1 FROM orders GROUP BY row_number() OVER (ORDER BY o_orderkey)",
+        "window",
+    ),
 ]
 
 
