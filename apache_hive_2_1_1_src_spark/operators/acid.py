@@ -274,6 +274,22 @@ class AcidTable:
     def begin(self) -> "Txn":
         return Txn(self)
 
+    def abort_open_transactions(self) -> int:
+        """ABORT TRANSACTIONS (HiveParser abortTransactionStatement;
+        DDLSemanticAnalyzer.analyzeAbortTxns → TxnHandler.abortTxns;
+        dbtxnmgr .q family): administratively kill every open writer —
+        each staging dir still carrying its ``_OPEN`` marker is removed,
+        so the txn never enters the log and a later ``commit()`` on its
+        handle fails loudly instead of logging a phantom delta.  Returns
+        the number of transactions aborted."""
+        n = 0
+        for d in os.listdir(self.root):
+            full = os.path.join(self.root, d)
+            if os.path.isdir(full) and os.path.exists(os.path.join(full, "_OPEN")):
+                shutil.rmtree(full, ignore_errors=True)
+                n += 1
+        return n
+
     # ------------------------------------------------------ compaction
     def compact_minor(self) -> None:
         """Fold ALL committed deltas into one (Worker.java minor
@@ -700,6 +716,13 @@ class Txn:
         if self._done:
             raise RuntimeError("txn already finished")
         root = self.table.root
+        if not os.path.exists(os.path.join(root, self._staged.dir, "_OPEN")):
+            # administratively killed (ABORT TRANSACTIONS) — the staged
+            # dir is gone; committing now would log a phantom delta
+            self._done = True
+            raise RuntimeError(
+                "transaction was aborted (ABORT TRANSACTIONS) before commit"
+            )
         with _log_mutation(root):
             log = _read_log(root)
             if self._staged.has_tombstones:

@@ -496,3 +496,30 @@ def test_read_changes_empty_window_schema_matches_nonempty(spark, tbl):
         ] == [(f.name, f.dataType.simpleString()) for f in nonempty.schema.fields]
         # the contract the schema exists for: union works
         assert nonempty.unionByName(empty).count() == nonempty.count()
+
+
+def test_abort_transactions_kills_open_writers(spark, tbl):
+    """ABORT TRANSACTIONS (TxnHandler.abortTxns): open writers are
+    administratively killed — their data never lands, and their commit()
+    fails loudly instead of logging a phantom delta."""
+    t1 = tbl.begin()
+    t1.insert(spark.createDataFrame([(100, "z", 1.0)], "k int, grp string, v double"))
+    t2 = tbl.begin()
+    t2.delete(F.col("k") == 1)
+    n = tbl.abort_open_transactions()
+    assert n == 2
+    for t in (t1, t2):
+        with pytest.raises(RuntimeError, match="aborted"):
+            t.commit()
+    # nothing from either txn is visible; table is fully intact
+    assert tbl.read().count() == 20
+    assert tbl.read().filter(F.col("k") == 1).count() == 1
+    # and the table still accepts new transactions afterwards
+    t3 = tbl.begin()
+    t3.insert(spark.createDataFrame([(200, "z", 2.0)], "k int, grp string, v double"))
+    t3.commit()
+    assert tbl.read().count() == 21
+
+
+def test_abort_transactions_noop_when_none_open(spark, tbl):
+    assert tbl.abort_open_transactions() == 0

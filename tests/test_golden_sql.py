@@ -56,7 +56,7 @@ def _duck_compat(sql: str) -> str:
     # WHERE (constant_prop_1.q tail shapes); DuckDB requires ON/USING on
     # JOIN, but CROSS JOIN + WHERE is the identical relation
     sql = re.sub(
-        r"\bJOIN\s+(\w+)\s+(\w+)\s+WHERE\b",
+        r"(?<!CROSS\s)(?<!INNER\s)\bJOIN\s+(\w+)\s+(\w+)\s+WHERE\b",
         r"CROSS JOIN \1 \2 WHERE",
         sql,
         flags=re.IGNORECASE,
