@@ -249,6 +249,68 @@ def q180_show_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, view.schema)
 
 
+def q244_abort_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABORT TRANSACTIONS (HiveParser abortTransactionStatement;
+    DDLSemanticAnalyzer.analyzeAbortTxns → TxnHandler.abortTxns;
+    dbtxnmgr_showlocks/abort .q family): two open writers — one with a
+    staged insert, one with a staged delete — are administratively
+    killed; neither ever lands, both handles refuse commit(), the table
+    is byte-identical to before, and a NEW transaction commits fine
+    afterwards.  Every count is deterministic, so the oracle recomputes
+    the expected states from orders."""
+    root = os.path.join(
+        tempfile.gettempdir(), f"hive_spark_acid_abort_{os.getpid()}"
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    tbl = AcidTable.create(spark, root, base, key_col="o_orderkey")
+    n_base = tbl.read().count()
+
+    t1 = tbl.begin()
+    t1.insert(
+        base.select(
+            (F.col("o_orderkey") + 100000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+    )
+    t2 = tbl.begin()
+    t2.delete(F.col("o_orderkey") % 2 == 0)
+    n_aborted = tbl.abort_open_transactions()
+    commits_refused = 0
+    for handle in (t1, t2):
+        try:
+            handle.commit()
+        except RuntimeError:
+            commits_refused += 1
+    n_after_abort = tbl.read().count()
+
+    t3 = tbl.begin()
+    t3.delete(F.col("o_orderkey") % 10 == 0)
+    t3.commit()
+    n_after_commit = tbl.read().count()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_base),
+                int(n_aborted),
+                int(commits_refused),
+                int(n_after_abort),
+                int(n_after_commit),
+            )
+        ],
+        "n_base bigint, n_aborted int, commits_refused int, "
+        "n_after_abort bigint, n_after_commit bigint",
+    )
+
+
 def q186_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel reads over the MVCC write-id chain
     (AcidUtils.getAcidState with an explicit ValidTxnList — query the
@@ -551,6 +613,7 @@ def q210_acid_orc_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q244_abort_transactions": q244_abort_transactions,
     "q210_acid_orc_interop": q210_acid_orc_interop,
     "q204_cdf_replica_maintenance": q204_cdf_replica_maintenance,
     "q203_change_data_feed": q203_change_data_feed,
@@ -562,6 +625,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q244_abort_transactions": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
+               2 AS n_aborted,
+               2 AS commits_refused,
+               CAST(COUNT(*) AS BIGINT) AS n_after_abort,
+               CAST(SUM(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_after_commit
+        FROM orders WHERE o_orderkey <= 500
+    """,
     "q210_acid_orc_interop": """
         WITH base AS (
           SELECT o_orderkey FROM orders WHERE o_orderkey <= 2000
