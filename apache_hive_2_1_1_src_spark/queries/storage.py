@@ -242,6 +242,75 @@ def q139_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imported.orderBy("n_nationkey")
 
 
+def q245_export_import_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level EXPORT / IMPORT into a renamed target
+    (ExportSemanticAnalyzer partition-spec path +
+    ImportSemanticAnalyzer.java's new-table-name import —
+    exim_06_one_part.q, exim_17_part_managed.q): two partitions exported
+    SEPARATELY, each with its schema manifest and partition spec; both
+    imported additively into one NEW partitioned table whose name
+    differs from the source; the partition values come from the
+    manifests, not the data files.  Certificates: per-partition counts
+    match the source, and a point read of the imported table prunes to
+    one partition (PartitionFilters in the plan)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    base_dir = os.path.join(_SCRATCH, "exim_part")
+    import shutil
+
+    shutil.rmtree(base_dir, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    # EXPORT TABLE orders PARTITION (o_orderstatus=<v>) TO <dir>, twice
+    for status in ("F", "O"):
+        exp = os.path.join(base_dir, f"export_{status}")
+        part = orders.filter(F.col("o_orderstatus") == status).drop("o_orderstatus")
+        part.write.mode("overwrite").parquet(os.path.join(exp, "data"))
+        with open(os.path.join(exp, "_metadata.json"), "w") as fh:
+            json.dump(
+                {
+                    "table": "orders",
+                    "partition_spec": {"o_orderstatus": status},
+                    "schema": part.schema.jsonValue(),
+                },
+                fh,
+            )
+    # IMPORT TABLE orders_imported PARTITION (...) FROM <dir>, additive
+    tgt = f"orders_imported_{_PID}"
+    drop_table(spark, tgt)
+    for status in ("F", "O"):
+        exp = os.path.join(base_dir, f"export_{status}")
+        with open(os.path.join(exp, "_metadata.json")) as fh:
+            manifest = json.load(fh)
+        schema = StructType.fromJson(manifest["schema"])
+        (pcol, pval), = manifest["partition_spec"].items()
+        imported = (
+            spark.read.schema(schema)
+            .parquet(os.path.join(exp, "data"))
+            .withColumn(pcol, F.lit(pval))
+        )
+        imported.write.mode("append").partitionBy(pcol).saveAsTable(tgt)
+    back = spark.table(tgt)
+    point = back.filter(F.col("o_orderstatus") == "F")
+    plan = point._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    pruned_ok = "o_orderstatus" in plan and "PartitionFilters" in plan
+    out = (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("pruned_ok", F.lit(bool(pruned_ok)))
+        .orderBy("o_orderstatus")
+    )
+    rows = out.collect()
+    drop_table(spark, tgt)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q140_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MSCK REPAIR TABLE (DDLTask.java msck path): partitions written
     straight to the filesystem become visible only after repair registers
@@ -2031,6 +2100,7 @@ def q237_header_footer_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q245_export_import_partition": q245_export_import_partition,
     "q243_archive_partition": q243_archive_partition,
     "q241_autogen_column_aliases": q241_autogen_column_aliases,
     "q239_alter_view_as_select": q239_alter_view_as_select,
@@ -2087,6 +2157,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q245_export_import_partition": """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               TRUE AS pruned_ok
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "q243_archive_partition": """
         SELECT o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS n,
