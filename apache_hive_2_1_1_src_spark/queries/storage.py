@@ -311,6 +311,42 @@ def q245_export_import_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q246_truncate_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level TRUNCATE (truncate_table.q partition variants;
+    DDLSemanticAnalyzer analyzeTruncateTable with a partition spec →
+    DDLTask truncates only that partition's location): one partition
+    emptied, siblings byte-intact, the partition still exists in the
+    catalog and accepts a re-insert.  Tagged three-stage probe; the
+    oracle replays each stage from orders."""
+    tbl = f"trunc_part_{_PID}"
+    drop_table(spark, tbl)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    orders.write.partitionBy("o_orderstatus").saveAsTable(tbl)
+
+    def probe(stage: str) -> DataFrame:
+        return spark.sql(
+            f"""SELECT '{stage}' AS stage, o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM {tbl} GROUP BY o_orderstatus"""
+        )
+
+    schema = "stage string, o_orderstatus string, n bigint"
+    out = list(probe("s1_full").collect())  # materialize BEFORE mutating
+    spark.sql(f"TRUNCATE TABLE {tbl} PARTITION (o_orderstatus = 'F')")
+    out += list(probe("s2_truncated").collect())
+    # the partition is still addressable: re-insert a deterministic slice
+    spark.sql(
+        f"""INSERT INTO {tbl} PARTITION (o_orderstatus = 'F')
+        SELECT o_orderkey, o_totalprice FROM {tbl} WHERE o_orderstatus = 'O'
+        AND o_orderkey <= 100"""
+    )
+    out += list(probe("s3_reinserted").collect())
+    drop_table(spark, tbl)
+    return spark.createDataFrame(out, schema).orderBy("stage", "o_orderstatus")
+
+
 def q140_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MSCK REPAIR TABLE (DDLTask.java msck path): partitions written
     straight to the filesystem become visible only after repair registers
@@ -2100,6 +2136,7 @@ def q237_header_footer_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q246_truncate_partition": q246_truncate_partition,
     "q245_export_import_partition": q245_export_import_partition,
     "q243_archive_partition": q243_archive_partition,
     "q241_autogen_column_aliases": q241_autogen_column_aliases,
@@ -2157,6 +2194,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q246_truncate_partition": """
+        WITH c AS (SELECT o_orderstatus, COUNT(*) AS cnt
+                   FROM orders GROUP BY o_orderstatus),
+        f2 AS (SELECT COUNT(*) AS cnt FROM orders
+               WHERE o_orderstatus = 'O' AND o_orderkey <= 100)
+        SELECT 's1_full' AS stage, o_orderstatus, CAST(cnt AS BIGINT) AS n FROM c
+        UNION ALL
+        SELECT 's2_truncated', o_orderstatus, CAST(cnt AS BIGINT)
+        FROM c WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT 's3_reinserted', o_orderstatus, CAST(cnt AS BIGINT)
+        FROM c WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT 's3_reinserted', 'F', CAST(cnt AS BIGINT) FROM f2
+        ORDER BY stage, o_orderstatus
+    """,
     "q245_export_import_partition": """
         SELECT o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS n,
