@@ -736,6 +736,56 @@ class HiveEngine:
             pos = o_close + 1
         return "".join(out)
 
+    #: SHOW CONF catalog: conf → (default, type, description).  Defaults
+    #: are THIS engine's (HiveConf.java parity noted where we deviate).
+    _ENGINE_CONFS = {
+        "hive.optimize.cte.materialize.threshold": (
+            "-1", "INT",
+            "Materialize CTEs referenced at least this many times into a "
+            "once-evaluated checkpoint; <0 disables (HIVE-11752).",
+        ),
+        "hive.stats.autogather": (
+            "false", "BOOLEAN",
+            "Refresh catalog statistics after INSERT/CTAS (StatsTask). "
+            "Hive defaults true; this engine defaults false because the "
+            "gather is an explicit post-write ANALYZE pass.",
+        ),
+        "hive.compute.query.using.stats": (
+            "false", "BOOLEAN",
+            "Answer pure-aggregate queries from catalog statistics with "
+            "no scan (StatsOptimizer).",
+        ),
+        "hive.support.quoted.identifiers": (
+            "column", "STRING",
+            "'none' treats backticked names as column regexes "
+            "(mirrored into spark.sql.parser.quotedRegexColumnNames).",
+        ),
+        "hive.autogen.columnalias.prefix.label": (
+            "_c", "STRING",
+            "Prefix for auto-generated CTAS column aliases.",
+        ),
+        "hive.autogen.columnalias.prefix.includefuncname": (
+            "false", "BOOLEAN",
+            "Splice the top-level function name into autogen aliases.",
+        ),
+        "hive.groupby.skewindata": (
+            "false", "BOOLEAN",
+            "SUBSUMED: Spark's hash aggregate is always two-phase "
+            "(partial/final) with AQE skew handling on top.",
+        ),
+        "hive.auto.convert.join": (
+            "true", "BOOLEAN",
+            "SUBSUMED: Catalyst picks broadcast joins by size "
+            "(spark.sql.autoBroadcastJoinThreshold); MAPJOIN hints "
+            "translate to broadcast() hints.",
+        ),
+        "hive.exec.parallel": (
+            "true", "BOOLEAN",
+            "SUBSUMED: one Spark DAG schedules independent stages "
+            "concurrently; there are no serialized MR jobs to parallelize.",
+        ),
+    }
+
     # ------------------------------------------------ autogen column aliases
     _AUTOGEN_SEQ = 0
     _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -998,6 +1048,22 @@ class HiveEngine:
             if m.group(1).lower().startswith("spark."):
                 self.spark.conf.set(m.group(1), m.group(2))
             return self.spark.range(0).select()
+        m = re.match(r"^\s*SHOW\s+CONF\s+'?([\w.]+)'?\s*;?\s*$", text, re.IGNORECASE)
+        if m:
+            # DDLTask.showConf (HiveParser showStatement KW_CONF): one row
+            # (default, type, description) for a known conf; unknown key
+            # errors, as Hive does.  The catalog lists the confs THIS
+            # engine honors, with honest notes where a Hive default is
+            # deliberately not followed or a knob is subsumed by Spark.
+            key = m.group(1).lower()
+            if key not in self._ENGINE_CONFS:
+                raise ValueError(f"invalid configuration name {m.group(1)}")
+            default, typ, desc = self._ENGINE_CONFS[key]
+            current = getattr(self, "_vars", {}).get(key, default)
+            return self.spark.createDataFrame(
+                [(default, typ, desc, current)],
+                "default string, type string, description string, current string",
+            )
         if re.match(r"^\s*RESET\s*;?\s*$", text, re.IGNORECASE):
             # SetProcessor.java executeReset: drop every session override
             # back to defaults (incl. the quoted-identifier parser switch

@@ -331,3 +331,21 @@ def test_reset_clears_session_overrides(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "parquet" in plan.lower()
+
+
+def test_show_conf_known_and_unknown(spark, sf_dir):
+    """DDLTask.showConf: (default, type, description) for a known conf,
+    current value reflecting SET; unknown key errors as Hive does."""
+    import pytest as _pytest
+
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    row = eng.sql("SHOW CONF 'hive.stats.autogather'").first()
+    assert row.default == "false" and row.type == "BOOLEAN"
+    assert row.current == "false"
+    eng.sql("SET hive.stats.autogather=true")
+    assert eng.sql("SHOW CONF 'hive.stats.autogather'").first().current == "true"
+    eng.sql("RESET")
+    with _pytest.raises(ValueError, match="invalid configuration"):
+        eng.sql("SHOW CONF 'hive.not.a.real.conf'")
