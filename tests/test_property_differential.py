@@ -412,3 +412,51 @@ def test_random_distinct_window_matches_duckdb(sql, spark, sf_dir, oracle):
     orows = rel.fetchall()
     assert sorted(scols) == sorted(ocols), sql
     assert _canon(srows, scols) == _canon(orows, ocols), sql
+
+
+oj_where = st.sampled_from(
+    [
+        "o_custkey IS NULL",      # anti-join-via-outer idiom
+        "c_custkey IS NULL",      # preserved-side-null (FULL/RIGHT only hits)
+        "c_acctbal > 0",
+        "o_totalprice > 100000",
+        "1 = 1",
+    ]
+)
+
+
+@st.composite
+def outer_join_trap_query(draw):
+    """Outer joins with single-side ON conjuncts (match filters, not row
+    filters) and WHERE predicates that may reference the null-producing
+    side — the auto_join21.q / ppd_outer_join trap family, sampled."""
+    how = draw(st.sampled_from(["LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]))
+    on_extra = draw(pred)
+    where = draw(oj_where)
+    return (
+        f"SELECT c_custkey AS ck, COUNT(*) AS a1, "
+        f"CAST(COUNT(o_orderkey) AS BIGINT) AS a2 "
+        f"FROM customer {how} orders ON c_custkey = o_custkey AND {on_extra} "
+        f"WHERE {where} GROUP BY c_custkey ORDER BY ck"
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=outer_join_trap_query())
+def test_random_outer_join_on_where_matches_duckdb(sql, spark, sf_dir, oracle):
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables()
+    sdf = eng.sql(sql)
+    scols = [c.lower() for c in sdf.columns]
+    srows = sdf.collect()
+    rel = oracle.execute(sql)
+    ocols = [d[0].lower() for d in rel.description]
+    orows = rel.fetchall()
+    assert sorted(scols) == sorted(ocols), sql
+    assert _canon(srows, scols) == _canon(orows, ocols), sql
