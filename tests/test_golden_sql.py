@@ -47,6 +47,15 @@ def _duck_compat(sql: str) -> str:
     sql = re.sub(r"`([^`]*)`", r'"\1"', sql)
     # Hive/Spark SPLIT is regex; DuckDB's split/string_split is literal
     sql = re.sub(r"\bSPLIT\(", "regexp_split_to_array(", sql, flags=re.IGNORECASE)
+    # Hive's legacy `GROUP BY a, b WITH ROLLUP/CUBE` suffix form
+    # (HiveParser groupByClause KW_WITH) — DuckDB only has the ANSI
+    # ROLLUP(a, b) form
+    sql = re.sub(
+        r"GROUP\s+BY\s+(.+?)\s+WITH\s+(ROLLUP|CUBE)",
+        lambda m: f"GROUP BY {m.group(2)}({m.group(1)})",
+        sql,
+        flags=re.IGNORECASE,  # deliberately NOT re.S: one-line clause only
+    )
     # Hive/Spark's null-safe equality operator — DuckDB spells it
     # IS NOT DISTINCT FROM
     sql = re.sub(
