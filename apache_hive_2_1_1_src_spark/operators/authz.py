@@ -105,8 +105,32 @@ class Authorizer:
     def revoke(self, privilege: str, obj: str, principal: str) -> None:
         self.grants.get((obj, principal), set()).discard(privilege)
 
+    # -- SET ROLE (set_role_admin/set_role_*.q; HiveAuthorizer.setCurrentRole
+    # via SQLStdHiveAccessController — restricts which of the user's roles
+    # are ACTIVE for privilege checks; 'ALL' restores the full closure,
+    # 'NONE' drops to direct/user/public grants only) --------------------
+    def set_role(self, user: str, role: str) -> None:
+        if role.upper() == "ALL":
+            getattr(self, "_active_roles", {}).pop(user, None)
+            return
+        if not hasattr(self, "_active_roles"):
+            self._active_roles: dict[str, set[str]] = {}
+        if role.upper() == "NONE":
+            self._active_roles[user] = set()
+            return
+        if role not in self._closure(user):
+            raise AuthorizationError(
+                f"Permission denied: user [{user}] does not belong to "
+                f"role [{role}]"
+            )
+        self._active_roles[user] = {role} | self._closure(role)
+
+    def _effective_roles(self, user: str) -> set[str]:
+        active = getattr(self, "_active_roles", {}).get(user)
+        return self._closure(user) if active is None else active
+
     def has_privilege(self, user: str, obj: str, privilege: str) -> bool:
-        closure = self._closure(user)
+        closure = self._effective_roles(user)
         if ADMIN_ROLE in closure:
             return True
         for principal in {user, "public", *closure}:
@@ -129,7 +153,8 @@ class Authorizer:
         return sorted(self.roles)
 
     def show_current_roles(self, user: str) -> list[str]:
-        return sorted(self._closure(user))
+        # reflects SET ROLE: the ACTIVE set, not the full grant closure
+        return sorted(self._effective_roles(user))
 
     def show_grant(self, principal: str | None = None) -> list[tuple]:
         """SHOW GRANT [principal]: (object, principal, privilege) rows."""
