@@ -644,6 +644,55 @@ def q201_explain_authorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, value string").orderBy("item")
 
 
+def q247_authorization_sql_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-TEXT authorization statements (HiveParser grantPrivileges /
+    revokePrivileges / createRoleStatement / setRole; authorization_1.q,
+    set_role_admin.q, grant_* family): the statement forms a migrating
+    user's scripts contain — CREATE ROLE, GRANT ROLE, GRANT/REVOKE
+    privileges, SET ROLE with NONE/ALL, SHOW ROLES/CURRENT ROLES/GRANT —
+    run through HiveEngine.sql against the session Authorizer.  The
+    result is the deterministic privilege matrix at each stage, checked
+    against a VALUES oracle."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.sql("SET hive.session.user=alice")
+    eng.sql("CREATE ROLE analysts")
+    eng.sql("CREATE ROLE loaders")
+    eng.sql("GRANT ROLE analysts TO USER alice")
+    eng.sql("GRANT ROLE loaders TO USER alice")
+    eng.sql("GRANT SELECT ON TABLE orders TO ROLE analysts")
+    eng.sql("GRANT INSERT, DELETE ON TABLE orders TO ROLE loaders")
+    eng.sql("GRANT UPDATE ON TABLE orders TO USER alice")
+
+    def matrix(stage: str) -> list[tuple]:
+        az, u = eng.authz, "alice"
+        return [
+            (
+                stage,
+                bool(az.has_privilege(u, "orders", "SELECT")),
+                bool(az.has_privilege(u, "orders", "INSERT")),
+                bool(az.has_privilege(u, "orders", "UPDATE")),
+                len(eng.sql("SHOW CURRENT ROLES").collect()),
+                len(eng.sql("SHOW ROLES").collect()),
+            )
+        ]
+
+    rows = matrix("s1_all_roles")
+    eng.sql("SET ROLE analysts")
+    rows += matrix("s2_analysts_only")
+    eng.sql("SET ROLE NONE")
+    rows += matrix("s3_none")
+    eng.sql("SET ROLE ALL")
+    eng.sql("REVOKE INSERT ON TABLE orders FROM ROLE loaders")
+    rows += matrix("s4_after_revoke")
+    return spark.createDataFrame(
+        rows,
+        "stage string, can_select boolean, can_insert boolean, "
+        "can_update boolean, n_current_roles int, n_roles int",
+    ).orderBy("stage")
+
+
 def q202_sql_std_authorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-standard authorization surface (SQLStdHiveAccessController /
     SQLStdHiveAuthorizationValidator, ql/.../authorization/plugin/sqlstd/;
@@ -1069,6 +1118,7 @@ def q213_hplsql_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q247_authorization_sql_statements": q247_authorization_sql_statements,
     "q240_stats_autogather": q240_stats_autogather,
     "q213_hplsql_procedure": q213_hplsql_procedure,
     "q161_constraint_validation": q161_constraint_validation,
@@ -1116,6 +1166,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q247_authorization_sql_statements": """
+        SELECT * FROM (VALUES
+          ('s1_all_roles',     TRUE,  TRUE,  TRUE, 2, 4),
+          ('s2_analysts_only', TRUE,  FALSE, TRUE, 1, 4),
+          ('s3_none',          FALSE, FALSE, TRUE, 0, 4),
+          ('s4_after_revoke',  TRUE,  FALSE, TRUE, 2, 4)
+        ) AS t(stage, can_select, can_insert, can_update,
+               n_current_roles, n_roles)
+        ORDER BY stage
+    """,
     "q240_stats_autogather": """
         SELECT 's1_after_ctas' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
                TRUE AS stats_equals_scan, TRUE AS plan_has_no_scan

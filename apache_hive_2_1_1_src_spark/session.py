@@ -736,6 +736,99 @@ class HiveEngine:
             pos = o_close + 1
         return "".join(out)
 
+    # ------------------------------------------- SQL-text authorization
+    @property
+    def authz(self):
+        """Lazy session Authorizer (SQLStdHiveAccessController state)."""
+        if not hasattr(self, "_authz"):
+            from apache_hive_2_1_1_src_spark.operators.authz import Authorizer
+
+            self._authz = Authorizer()
+        return self._authz
+
+    @property
+    def current_user(self) -> str:
+        """The session user for authorization statements (SessionState
+        getUserName; override with SET hive.session.user=...)."""
+        return getattr(self, "_vars", {}).get("hive.session.user", "anonymous")
+
+    def _authz_statement(self, text: str):
+        """SQL-text authorization statements (HiveParser grantPrivileges /
+        revokePrivileges / createRoleStatement / showRoles / showGrants /
+        setRole — exercised by authorization_1.q, set_role_admin.q and
+        the grant_* family), mapped onto operators/authz.Authorizer.
+        Returns a DataFrame for handled statements, None otherwise."""
+        t_ = text.strip().rstrip(";")
+        empty = lambda: self.spark.range(0).select()  # noqa: E731
+
+        m = re.match(r"^CREATE\s+ROLE\s+(\w+)$", t_, re.IGNORECASE)
+        if m:
+            self.authz.create_role(m.group(1))
+            return empty()
+        m = re.match(r"^DROP\s+ROLE\s+(\w+)$", t_, re.IGNORECASE)
+        if m:
+            self.authz.drop_role(m.group(1))
+            return empty()
+        m = re.match(
+            r"^GRANT\s+ROLE\s+(\w+)\s+TO\s+(?:USER|ROLE|GROUP)\s+(\w+)$",
+            t_,
+            re.IGNORECASE,
+        )
+        if m:
+            self.authz.grant_role(m.group(1), m.group(2))
+            return empty()
+        m = re.match(
+            r"^REVOKE\s+ROLE\s+(\w+)\s+FROM\s+(?:USER|ROLE|GROUP)\s+(\w+)$",
+            t_,
+            re.IGNORECASE,
+        )
+        if m:
+            self.authz.revoke_role(m.group(1), m.group(2))
+            return empty()
+        m = re.match(
+            r"^(GRANT|REVOKE)\s+([\w\s,]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+"
+            r"(?:TO|FROM)\s+(?:USER|ROLE|GROUP)\s+(\w+)"
+            r"(?:\s+WITH\s+GRANT\s+OPTION)?$",
+            t_,
+            re.IGNORECASE,
+        )
+        if m:
+            verb, privs, obj, principal = m.groups()
+            for p in privs.split(","):
+                if verb.upper() == "GRANT":
+                    self.authz.grant(p.strip().upper(), obj, principal)
+                else:
+                    self.authz.revoke(p.strip().upper(), obj, principal)
+            return empty()
+        if re.match(r"^SHOW\s+ROLES$", t_, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(r,) for r in self.authz.show_roles()], "role string"
+            )
+        if re.match(r"^SHOW\s+CURRENT\s+ROLES$", t_, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(r,) for r in self.authz.show_current_roles(self.current_user)],
+                "role string",
+            )
+        m = re.match(
+            r"^SHOW\s+GRANT(?:\s+(?:USER|ROLE)\s+(\w+))?(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?$",
+            t_,
+            re.IGNORECASE,
+        )
+        if m:
+            rows = self.authz.show_grant(m.group(1))
+            if m.group(2):
+                rows = [r for r in rows if r[0] == m.group(2)]
+            return self.spark.createDataFrame(
+                rows or [], "object string, principal string, privilege string"
+            ) if rows else self.spark.createDataFrame(
+                [], "object string, principal string, privilege string"
+            )
+        m = re.match(r"^SET\s+ROLE\s+(\w+)$", t_, re.IGNORECASE)
+        if m:
+            self.authz.set_role(self.current_user, m.group(1))
+            return empty()
+        return None
+
     #: SHOW CONF catalog: conf → (default, type, description).  Defaults
     #: are THIS engine's (HiveConf.java parity noted where we deviate).
     _ENGINE_CONFS = {
@@ -1048,6 +1141,9 @@ class HiveEngine:
             if m.group(1).lower().startswith("spark."):
                 self.spark.conf.set(m.group(1), m.group(2))
             return self.spark.range(0).select()
+        authz_df = self._authz_statement(text)
+        if authz_df is not None:
+            return authz_df
         m = re.match(r"^\s*SHOW\s+CONF\s+'?([\w.]+)'?\s*;?\s*$", text, re.IGNORECASE)
         if m:
             # DDLTask.showConf (HiveParser showStatement KW_CONF): one row
