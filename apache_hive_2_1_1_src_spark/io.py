@@ -90,21 +90,62 @@ def write_hive_text(
     LazySimpleSerDe's serialization.null.format (default the two chars
     "\\N"; ``NULL DEFINED AS '...'`` / SET SERDEPROPERTIES override it —
     nullformat.q)."""
-    opts = dict(HIVE_TEXT_OPTIONS, nullValue=null_str)
-    df.write.mode(mode).options(**opts).csv(path)
+    from pyspark.sql import functions as F
+
+    # text sink, not CSV: LazySimpleSerDe never quotes, so a value
+    # containing '"' must be written raw (mirror of the read path)
+    line = F.concat_ws(
+        "\x01",
+        *[F.coalesce(F.col(c).cast("string"), F.lit(null_str)) for c in df.columns],
+    )
+    df.select(line.alias("value")).write.mode(mode).text(path)
 
 
 def read_hive_text(
-    spark: SparkSession, path: str, schema, null_str: str = "\\N"
+    spark: SparkSession, path: str, schema, null_str: str = "\\N", sep: str = "\x01"
 ) -> DataFrame:
     """Read Hive text with an explicit schema (schema-on-read — the
     catalog supplies column types, the serde parses bytes:
     serde/src/java/org/apache/hadoop/hive/serde2/AbstractSerDe.java).
     ``null_str`` mirrors serialization.null.format: bytes equal to it
     parse as NULL; after an ALTER changes it, previously-written tokens
-    come back as literal strings (nullformat.q's contract)."""
-    opts = dict(HIVE_TEXT_OPTIONS, nullValue=null_str)
-    return spark.read.options(**opts).schema(schema).csv(path)
+    come back as literal strings (nullformat.q's contract).
+
+    Parsed via text + split/cast (all JVM-side), NOT the CSV source:
+    LazySimpleSerDe has no quoting and reads an empty field as the empty
+    STRING — CSV would treat '\"' as a quote opener and unquoted-empty as
+    NULL (the join25.q src1 rows with empty values pin this)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    parts = F.split(F.col("value"), _re.escape(sep), -1)
+
+    def field_col(i: int, f: "T.StructField"):
+        raw = parts.getItem(i)
+        cell = F.when(raw == null_str, None).otherwise(raw)
+        # LazySimpleSerDe collection parsing: items split on ^B
+        # (collection.delim), map entries keyed on ^C (mapkey.delim)
+        if isinstance(f.dataType, T.ArrayType):
+            et = f.dataType.elementType.simpleString()
+            return F.transform(
+                F.split(cell, "\x02", -1), lambda x: x.cast(et)
+            ).alias(f.name)
+        if isinstance(f.dataType, T.MapType):
+            kt = f.dataType.keyType.simpleString()
+            vt = f.dataType.valueType.simpleString()
+            entries = F.split(cell, "\x02", -1)
+            return F.map_from_arrays(
+                F.transform(entries, lambda e: F.split(e, "\x03").getItem(0).cast(kt)),
+                F.transform(entries, lambda e: F.split(e, "\x03").getItem(1).cast(vt)),
+            ).alias(f.name)
+        return cell.cast(f.dataType).alias(f.name)
+
+    cols = [field_col(i, f) for i, f in enumerate(schema.fields)]
+    return spark.read.text(path).select(cols)
 
 
 def write_hive_sequencefile(df: DataFrame, path: str) -> None:

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Sweep the reference's SORT_QUERY_RESULTS .q files through the qtest
+verbatim runner and record which pass against their own .q.out goldens.
+
+Eligibility pre-filter (structural, before any execution): the file must
+only need the classic fixtures (src/src1/srcpart) plus tables it creates
+itself, and must avoid surfaces the runner deliberately excludes
+(dfs/jar commands, TRANSFORM scripts with repo-relative paths, fixture
+tables we do not build).  Everything that survives the filter is RUN;
+pass/fail is recorded to qtest_sweep_results.txt.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from apache_hive_2_1_1_src_spark import qtest  # noqa: E402
+from apache_hive_2_1_1_src_spark.session import HiveEngine, build_session  # noqa: E402
+
+EXCLUDE = re.compile(
+    r"\b(dfs\s|add\s+jar|add\s+file|src_thrift|src_json|src_sequencefile|"
+    r"alltypesorc|srcbucket|cbo_t1|cbo_t2|cbo_t3|lineitem|part\b|"
+    r"TRANSFORM|transform\(|MAP\s*\(|REDUCE\s|creat\w+\s+index|"
+    r"src_cbo|druid|import\s|export\s|show\s+locks|msck|"
+    r"change\s+column|replace\s+columns|touch\s|archive\s|unarchive\s|"
+    r"tablesample\s*\(\s*bucket|rand\s*\(|"
+    r"hive\.server2|windowing_windowspec|rollup|cube)\b",
+    re.IGNORECASE,
+)
+#: whole families the runner scopes out (fixture formats / ALTER surfaces
+#: the engine covers through its own gate entries instead)
+EXCLUDE_NAME = re.compile(
+    r"^(avro_|alter_|autoColumnStats_|orc_|parquet_|rcfile_|stats_|"
+    r"encryption_|llap_|vector)"
+)
+
+
+def eligible(name: str, qtext: str) -> bool:
+    if EXCLUDE_NAME.match(name):
+        return False
+    if "SORT_QUERY_RESULTS" not in qtext:
+        return False
+    if EXCLUDE.search(qtext):
+        return False
+    return True
+
+
+def main() -> None:
+    names = []
+    for f in sorted(os.listdir(qtest.Q_DIR)):
+        if not f.endswith(".q"):
+            continue
+        name = f[:-2]
+        if not os.path.exists(os.path.join(qtest.OUT_DIR, f + ".out")):
+            continue
+        try:
+            qtext = open(os.path.join(qtest.Q_DIR, f), encoding="utf-8").read()
+        except Exception:
+            continue
+        if eligible(name, qtext):
+            names.append(name)
+    limit = int(sys.argv[1]) if len(sys.argv) > 1 else len(names)
+    names = names[:limit]
+    print(f"{len(names)} eligible files")
+    spark = build_session(app_name="qtest-sweep", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = HiveEngine(spark, "/root/testdata/sf0.001")
+    qtest.init_classic_tables(eng)
+    out = open("qtest_sweep_results.txt", "w")
+    n_pass = 0
+    for i, name in enumerate(names):
+        try:
+            rep = qtest.run_qfile(eng, name)
+            if rep.ok and rep.compared > 0:
+                status = f"PASS compared={rep.compared}"
+                n_pass += 1
+            elif rep.ok:
+                status = "NO_RESULTS"
+            elif rep.error:
+                status = f"STRUCT {rep.error[:80]}"
+            else:
+                status = f"MISMATCH {rep.mismatches[0][:120]}"
+        except Exception as e:  # noqa: BLE001
+            status = f"ERROR {str(e).splitlines()[0][:120]}"
+        out.write(f"{name}\t{status}\n")
+        out.flush()
+        print(f"[{i + 1}/{len(names)}] {name}: {status.split()[0]}", flush=True)
+    out.write(f"# {n_pass} verbatim-pass of {len(names)} attempted\n")
+    out.close()
+    print(f"{n_pass}/{len(names)} verbatim-pass")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -120,7 +120,10 @@ CASES = [
         "a",
     ),
     (
-        "drop_nonexistent_table",  # clientnegative/drop_table_failure1.q
+        "drop_nonexistent_table",  # clientnegative/drop_table_failure1.q —
+        # which SETs hive.exec.drop.ignorenonexistent=false first; under
+        # Hive's TRUE default a bare drop of a missing table is a no-op
+        "SET hive.exec.drop.ignorenonexistent=false; "
         "DROP TABLE definitely_missing_tbl",
         "definitely_missing_tbl",
     ),
@@ -237,7 +240,7 @@ def test_negative_sql(case_id, sql, needle, spark, sf_dir):
     eng.register_tables()
     with pytest.raises(Exception) as excinfo:
         # .schema forces full analysis even for lazily-planned statements
-        eng.sql(sql).schema
+        (eng.run_script(sql) if ";" in sql else eng.sql(sql)).schema
     if needle:
         assert needle.lower() in str(excinfo.value).lower(), (
             f"{case_id}: error should name '{needle}', got: "

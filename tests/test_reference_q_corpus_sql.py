@@ -1,0 +1,64 @@
+"""Verbatim reference .q corpus — the SQL twin of the HPL/SQL corpus
+test: real clientpositive .q files executed unmodified through
+HiveEngine.sql and compared against the reference's own .q.out goldens
+(QTestUtil protocol; see apache_hive_2_1_1_src_spark/qtest.py).
+
+tests/qtest_verbatim_passing.txt freezes the full 205-file passing set
+certified by scripts/qtest_sweep.py.  Re-running all 205 per pytest
+session costs ~8 minutes, so the default run takes a deterministic
+stratified sample across the .q families; export QTEST_FULL=1 for the
+whole manifest (what the sweep script also does).
+
+Skips cleanly when the reference checkout is absent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from apache_hive_2_1_1_src_spark import qtest
+
+MANIFEST = os.path.join(os.path.dirname(__file__), "qtest_verbatim_passing.txt")
+
+pytestmark = pytest.mark.skipif(
+    not qtest.reference_available(), reason="reference checkout not available"
+)
+
+ALL_NAMES = [
+    line.strip()
+    for line in open(MANIFEST, encoding="utf-8")
+    if line.strip() and not line.startswith("#")
+]
+
+if os.environ.get("QTEST_FULL"):
+    NAMES = ALL_NAMES
+else:
+    # deterministic stratified sample: every 7th file, so each .q family
+    # keeps representatives and the set is identical across runs
+    NAMES = ALL_NAMES[::7]
+
+
+@pytest.fixture(scope="module")
+def qeng(spark, sf_dir):
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    qtest.init_classic_tables(eng)
+    yield eng
+    qtest.cleanup_scratch_tables(eng)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_reference_q_verbatim(name, qeng):
+    rep = qtest.run_qfile(qeng, name)
+    assert rep.error is None, rep.error
+    assert not rep.mismatches, rep.mismatches[:3]
+    assert rep.compared > 0, "file produced nothing to compare"
+
+
+def test_manifest_floor():
+    """The certified verbatim-pass set must not shrink: 205 reference .q
+    files as of round 7 (scripts/qtest_sweep.py regenerates)."""
+    assert len(ALL_NAMES) >= 205
