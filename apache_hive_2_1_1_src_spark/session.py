@@ -53,6 +53,11 @@ HIVE_COMPAT_RUNTIME_CONF: dict[str, str] = {
     # faster on the 100x orders⋈lineitem crossover shape (BASELINE.md):
     # hashing skips both sort passes.  Giant-build joins still get SMJ.
     "spark.sql.join.preferSortMergeJoin": "false",
+    # INSERT OVERWRITE with dynamic partition columns replaces only the
+    # partitions present in the data — Hive's semantics (FileSinkOperator
+    # per-partition MoveTask; load_dyn_part4.q pins that an untouched
+    # static partition survives a later dynamic overwrite).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # Arrow for the pandas-UDF slow path (ngrams UDAF, pipeline ops).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Hive sources are legacy-rebase friendly for parquet timestamps.
@@ -213,8 +218,9 @@ class HiveEngine:
         r"\bROW\s+FORMAT\s+(?:DELIMITED"
         r"(?:\s+(?:FIELDS\s+TERMINATED|COLLECTION\s+ITEMS\s+TERMINATED"
         r"|MAP\s+KEYS\s+TERMINATED|LINES\s+TERMINATED|NULL\s+DEFINED"
-        r"|ESCAPED)\s+(?:BY|AS)\s+'(?:[^'\\]|\\.)*')*"
-        r"|SERDE\s+'[^']*'(?:\s+WITH\s+SERDEPROPERTIES\s*\([^)]*\))?)",
+        r"|ESCAPED)\s+(?:BY|AS)\s+(?:'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"))*"
+        r"|SERDE\s+(?:'[^']*'|\"[^\"]*\")"
+        r"(?:\s+WITH\s+SERDEPROPERTIES\s*\([^)]*\))?)",
         re.IGNORECASE,
     )
     # STORED AS <fmt>, or the long form SHOW CREATE TABLE emits:
@@ -816,6 +822,99 @@ class HiveEngine:
             pos = o_close + 1
         return "".join(out)
 
+    # --------------------------------------------------------- UNIQUEJOIN
+    _UNIQUEJOIN = re.compile(
+        r"^\s*FROM\s+UNIQUEJOIN\s+(?P<list>[\s\S]+?)\s+SELECT\s+(?P<sel>[\s\S]+)$",
+        re.IGNORECASE,
+    )
+    _UJ_ENTRY = re.compile(
+        r"\s*(?P<pre>PRESERVE\s+)?(?P<tbl>[\w.]+)\s+(?P<alias>\w+)\s*"
+        r"\((?P<keys>[^)]*)\)\s*",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_uniquejoin(self, text: str) -> str:
+        """Hive's UNIQUEJOIN (HiveParser uniqueJoinToken; uniquejoin.q;
+        SemanticAnalyzer genUniqueJoinTree → JoinOperator UNIQUE type):
+        an n-way join keyed on per-table expression lists where PRESERVE
+        keeps a table's unmatched keys (full-outer on that side) and a
+        non-PRESERVE table's keys gate the output (inner on that side).
+
+        Re-expression: each table becomes a keyed subquery (__ukN
+        columns), chained FULL OUTER JOINs on COALESCE of the previous
+        keys, then IS NOT NULL filters for every non-PRESERVE table —
+        the standard full-outer decomposition of preserve semantics.
+        Verified verbatim against uniquejoin.q's golden output."""
+        m = self._UNIQUEJOIN.match(text)
+        if not m:
+            return text
+        entries = []
+        for part in self._split_top_level(m.group("list")):
+            em = self._UJ_ENTRY.fullmatch(part)
+            if not em:
+                return text  # unparseable — let Spark raise on the original
+            keys = [k.strip() for k in em.group("keys").split(",") if k.strip()]
+            entries.append(
+                (bool(em.group("pre")), em.group("tbl"), em.group("alias"), keys)
+            )
+        if len({len(e[3]) for e in entries}) != 1:
+            return text  # key arity must agree; Hive errors too
+        nk = len(entries[0][3])
+
+        def sub(e):
+            _pre, tbl, alias, keys = e
+            ks = ", ".join(
+                f"{k} AS __uk{j}" for j, k in enumerate(keys)
+            )
+            return f"(SELECT {ks}, {alias}.* FROM {tbl} {alias}) {alias}"
+
+        sql = [f"SELECT {m.group('sel')} FROM {sub(entries[0])}"]
+        prev = [entries[0][2]]
+        for e in entries[1:]:
+            conds = []
+            for j in range(nk):
+                lhs = (
+                    f"COALESCE({', '.join(f'{p}.__uk{j}' for p in prev)})"
+                    if len(prev) > 1
+                    else f"{prev[0]}.__uk{j}"
+                )
+                conds.append(f"{lhs} = {e[2]}.__uk{j}")
+            sql.append(f"FULL OUTER JOIN {sub(e)} ON {' AND '.join(conds)}")
+            prev.append(e[2])
+        def present(alias: str) -> str:
+            return " AND ".join(f"{alias}.__uk{j} IS NOT NULL" for j in range(nk))
+
+        preserved = [e[2] for e in entries if e[0]]
+        if preserved:
+            # a row survives iff at least one PRESERVE table holds the key
+            # (its own unmatched keys are what PRESERVE keeps; a key seen
+            # only by non-PRESERVE tables is dropped) — uniquejoin.q.out
+            sql.append(
+                "WHERE " + " OR ".join(f"({present(a)})" for a in preserved)
+            )
+        else:
+            # no PRESERVE anywhere: plain inner semantics on the key
+            sql.append(
+                "WHERE " + " AND ".join(f"({present(e[2])})" for e in entries)
+            )
+        return "\n".join(sql)
+
+    @staticmethod
+    def _split_top_level(s: str) -> list[str]:
+        out, buf, depth = [], [], 0
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+        out.append("".join(buf).strip())
+        return [p for p in out if p]
+
     # ---------------------------------------------------------- LOAD DATA
     _LOAD_DATA = re.compile(
         r"^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+['\"](?P<path>[^'\"]+)['\"]\s+"
@@ -1393,6 +1492,7 @@ class HiveEngine:
                 text,
                 flags=re.IGNORECASE,
             )
+        text = self._rewrite_uniquejoin(text)
         text = self._autogen_ctas_aliases(text)
         try:
             res = self.spark.sql(text)
