@@ -279,22 +279,22 @@ class HiveEngine:
         fd = re.search(
             r"FIELDS\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)'", out, re.IGNORECASE
         )
-        if fd:
-            tn = re.search(
-                r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)", out, re.IGNORECASE
-            )
-            if tn:
-                if not hasattr(self, "declared_field_delims"):
-                    self.declared_field_delims: dict[str, str] = {}
+        tn = re.search(
+            r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)", out, re.IGNORECASE
+        )
+        if tn:
+            if not hasattr(self, "declared_field_delims"):
+                self.declared_field_delims: dict[str, str] = {}
+            tkey = tn.group(1).replace("`", "").lower()
+            if fd:
                 raw = fd.group(1)
-                delim = (
-                    raw.encode().decode("unicode_escape")
-                    if "\\" in raw
-                    else raw
+                self.declared_field_delims[tkey] = (
+                    raw.encode().decode("unicode_escape") if "\\" in raw else raw
                 )
-                self.declared_field_delims[
-                    tn.group(1).replace("`", "").lower()
-                ] = delim
+            else:
+                # re-CREATE without ROW FORMAT resets to the ^A default —
+                # a stale remembered delimiter must never outlive its DDL
+                self.declared_field_delims.pop(tkey, None)
         out = self._SKEWED_BY.sub(" ", out)
         m = self._STORED_AS.search(out)
         if m:
@@ -822,6 +822,41 @@ class HiveEngine:
             pos = o_close + 1
         return "".join(out)
 
+    # -------------------------------------------------------- GROUPING__ID
+    def _rewrite_grouping_id(self, text: str) -> str:
+        """Hive 2.1's GROUPING__ID bit convention (GroupByDesc.java /
+        GenericUDFGrouping pre-HIVE-16102): FIRST grouping column in the
+        LEAST-significant bit, bit = 1 when the column is PRESENT in the
+        grouping — the exact inverse of Spark/Hive-3's grouping_id()
+        (first column MSB, 1 = aggregated).  groupby_cube1.q's goldens
+        pin (key,val) → 3 for fully-grouped rows.
+
+        Rewrite: with n grouping columns, GROUPING__ID becomes the
+        bit-reversed complement of grouping_id(), built from shiftrights
+        — pure codegen.  n is parsed from the GROUP BY clause (WITH
+        CUBE/ROLLUP suffix, ROLLUP()/CUBE() call forms, or a plain list
+        with GROUPING SETS); when n cannot be determined the text is
+        left for Spark (whose own grouping__id alias then applies)."""
+        if not re.search(r"\bGROUPING__ID\b", text, re.IGNORECASE):
+            return text
+        m = re.search(
+            r"GROUP\s+BY\s+(.+?)\s+WITH\s+(?:CUBE|ROLLUP)", text, re.IGNORECASE
+        ) or re.search(
+            r"GROUP\s+BY\s+(?:CUBE|ROLLUP)\s*\(([^)]*)\)", text, re.IGNORECASE
+        ) or re.search(
+            r"GROUP\s+BY\s+(.+?)\s+GROUPING\s+SETS", text, re.IGNORECASE
+        )
+        if not m:
+            return text
+        n = len(self._split_top_level(m.group(1)))
+        terms = [
+            f"(1 - pmod(CAST(floor(grouping_id() / {1 << (n - 1 - i)}) AS INT), 2))"
+            f" * {1 << i}"
+            for i in range(n)
+        ]
+        expr = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+        return re.sub(r"\bGROUPING__ID\b", expr, text, flags=re.IGNORECASE)
+
     # --------------------------------------------------------- UNIQUEJOIN
     _UNIQUEJOIN = re.compile(
         r"^\s*FROM\s+UNIQUEJOIN\s+(?P<list>[\s\S]+?)\s+SELECT\s+(?P<sel>[\s\S]+)$",
@@ -953,8 +988,27 @@ class HiveEngine:
 
         data_fields = [f for f in full.schema.fields if f.name not in pcols]
         schema = T.StructType(data_fields)
-        sep = getattr(self, "declared_field_delims", {}).get(tbl.lower(), "\x01")
-        df = read_hive_text(self.spark, path, schema, sep=sep)
+        # LOAD DATA is a file MOVE in Hive — the file arrives in whatever
+        # format it already is.  Detect binary columnar formats by magic
+        # and use the native reader; otherwise parse as Hive text.
+        magic = b""
+        probe = path
+        if os.path.isdir(path):
+            entries = [e for e in sorted(os.listdir(path)) if not e.startswith((".", "_"))]
+            if entries:
+                probe = os.path.join(path, entries[0])
+        try:
+            with open(probe, "rb") as fh:
+                magic = fh.read(4)
+        except OSError:
+            pass
+        if magic[:3] == b"ORC":
+            df = self.spark.read.schema(schema).orc(path)
+        elif magic == b"PAR1":
+            df = self.spark.read.schema(schema).parquet(path)
+        else:
+            sep = getattr(self, "declared_field_delims", {}).get(tbl.lower(), "\x01")
+            df = read_hive_text(self.spark, path, schema, sep=sep)
         for k, v in pvals.items():
             df = df.withColumn(k, F.lit(v).cast(dict(full.dtypes)[k]))
         df = df.select([f.name for f in full.schema.fields])
@@ -1493,6 +1547,7 @@ class HiveEngine:
                 flags=re.IGNORECASE,
             )
         text = self._rewrite_uniquejoin(text)
+        text = self._rewrite_grouping_id(text)
         text = self._autogen_ctas_aliases(text)
         try:
             res = self.spark.sql(text)

@@ -28,14 +28,13 @@ EXCLUDE = re.compile(
     r"src_cbo|druid|import\s|export\s|show\s+locks|msck|"
     r"change\s+column|replace\s+columns|touch\s|archive\s|unarchive\s|"
     r"tablesample\s*\(\s*bucket|rand\s*\(|"
-    r"hive\.server2|windowing_windowspec|rollup|cube)\b",
+    r"hive\.server2|windowing_windowspec)\b",
     re.IGNORECASE,
 )
 #: whole families the runner scopes out (fixture formats / ALTER surfaces
 #: the engine covers through its own gate entries instead)
 EXCLUDE_NAME = re.compile(
-    r"^(avro_|alter_|autoColumnStats_|orc_|parquet_|rcfile_|stats_|"
-    r"encryption_|llap_|vector)"
+    r"^(avro_|alter_|rcfile_|encryption_|llap_|vector)"
 )
 
 
