@@ -178,7 +178,27 @@ def _hive_nested(v) -> str:
 
 
 def hive_rows(df) -> list[str]:
-    return ["\t".join(hive_cell(v) for v in row) for row in df.collect()]
+    # FLOAT columns print with Java Float.toString's shortest-float32
+    # repr ('10022.63'), not the double expansion of the same bits —
+    # numpy's float32 str implements the identical shortest-round-trip
+    from pyspark.sql import types as T
+
+    is_float = [isinstance(f.dataType, T.FloatType) for f in df.schema.fields]
+
+    def cell(v, f32: bool) -> str:
+        if f32 and isinstance(v, float):
+            import numpy as np
+
+            s = str(np.float32(v))
+            if "e" not in s and "E" not in s and "." not in s:
+                s += ".0"
+            return s
+        return hive_cell(v)
+
+    return [
+        "\t".join(cell(v, f32) for v, f32 in zip(row, is_float))
+        for row in df.collect()
+    ]
 
 
 # --------------------------------------------------------------- runner

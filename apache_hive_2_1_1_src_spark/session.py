@@ -341,6 +341,12 @@ class HiveEngine:
                     + f"PARTITIONED BY ({', '.join(names)})"
                     + out[pm.end():]
                 )
+        if fmt is None and not re.search(r"\bLIKE\b", out, re.IGNORECASE):
+            # Hive-form CREATE with no STORED AS clause: the reference's
+            # default format is TEXTFILE (HiveConf hive.default.fileformat)
+            # — without USING, Spark would plan an unsupported Hive
+            # CreateTable (union_date.q, leftsemijoin.q open this way)
+            fmt = "textfile"
         if fmt is not None:
             # Spark's grammar wants USING immediately after the column
             # list (before PARTITIONED BY/LOCATION/...); for CTAS with no
@@ -447,7 +453,8 @@ class HiveEngine:
         re.IGNORECASE,
     )
     _CONCATENATE = re.compile(
-        r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+CONCATENATE\s*;?\s*$",
+        r"^\s*ALTER\s+TABLE\s+([\w.]+)"
+        r"(?:\s+PARTITION\s*\(([^)]*)\))?\s+CONCATENATE\s*;?\s*$",
         re.IGNORECASE,
     )
     _IOD_STORED_AS = re.compile(
@@ -583,7 +590,7 @@ class HiveEngine:
             write_hive_text(df, path)
         return self.spark.range(0).select()
 
-    def _alter_table_concatenate(self, tbl: str):
+    def _alter_table_concatenate(self, tbl: str, partition_spec: str | None = None):
         """ALTER TABLE ... CONCATENATE (DDLTask.mergeFiles,
         ql/.../parse/DDLSemanticAnalyzer.java analyzeAlterTablePartMergeFiles):
         merge a table's small files into ~hive.merge.size.per.task-sized
@@ -616,11 +623,35 @@ class HiveEngine:
         target = max(1, math.ceil(total_bytes / merge_size))
         stage = tempfile.mkdtemp(prefix="concat_stage_")
         try:
-            self.spark.table(tbl).coalesce(target).write.mode("overwrite").parquet(
-                stage
-            )
-            staged = self.spark.read.parquet(stage)
-            staged.write.mode("overwrite").saveAsTable(tbl)
+            if partition_spec:
+                # analyzeAlterTablePartMergeFiles: merge ONE partition's
+                # files; dynamic overwrite swaps only that partition back
+                cond = " AND ".join(
+                    kv.strip() for kv in partition_spec.split(",") if kv.strip()
+                )
+                part = self.spark.table(tbl).filter(cond)
+                part.coalesce(target).write.mode("overwrite").parquet(stage)
+                staged = self.spark.read.parquet(stage).select(
+                    self.spark.table(tbl).columns
+                )
+                prev = self.spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    staged.write.insertInto(tbl, overwrite=True)
+                finally:
+                    self.spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev
+                    )
+            else:
+                self.spark.table(tbl).coalesce(target).write.mode(
+                    "overwrite"
+                ).parquet(stage)
+                staged = self.spark.read.parquet(stage)
+                staged.write.mode("overwrite").saveAsTable(tbl)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         return self.spark.range(0).select()
@@ -1498,9 +1529,17 @@ class HiveEngine:
             return self.spark.createDataFrame(
                 [(_json.dumps(doc),)], "plan_json string"
             )
+        # Hive SHOW ... LIKE accepts a backticked pattern
+        # (show_tables.q family); Spark wants the quoted-string form
+        text = re.sub(
+            r"(\bSHOW\s+[\w\s]*?LIKE\s+)`([^`]*)`",
+            r"\1'\2'",
+            text,
+            flags=re.IGNORECASE,
+        )
         m = self._CONCATENATE.match(text)
         if m:
-            return self._alter_table_concatenate(m.group(1))
+            return self._alter_table_concatenate(m.group(1), m.group(2))
         m = self._IOD_STORED_AS.match(text)
         if m:
             return self._insert_overwrite_directory_stored_as(
@@ -1548,6 +1587,22 @@ class HiveEngine:
             )
         text = self._rewrite_uniquejoin(text)
         text = self._rewrite_grouping_id(text)
+        # Hive TEMPORARY TABLE AS SELECT (HiveParser temporary; session-
+        # scoped materialized table): Spark has no CTAS form for temp
+        # tables, so materialize eagerly into a checkpoint-backed temp
+        # view — same session-scoped read semantics (q195 pins the
+        # shadowing precedence; INSERT into a temp table stays
+        # unsupported, as Spark's catalog cannot express it)
+        m = re.match(
+            r"^\s*CREATE\s+TEMPORARY\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"([\w.]+)[\s\S]*?\bAS\b\s*(\(?\s*(?:SELECT|WITH|FROM)\b[\s\S]+)$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            df = self.spark.sql(m.group(2).rstrip().rstrip(";"))
+            df.localCheckpoint(eager=True).createOrReplaceTempView(m.group(1))
+            return self.spark.range(0).select()
         text = self._autogen_ctas_aliases(text)
         try:
             res = self.spark.sql(text)
