@@ -74,6 +74,55 @@ def init_classic_tables(eng) -> None:
                 f"LOAD DATA LOCAL INPATH '{DATA_DIR}/kv1.txt' OVERWRITE "
                 f"INTO TABLE srcpart PARTITION (ds='{ds}', hr='{hr}')"
             )
+    # the CBO fixture block of q_test_init.sql: cbo_t1-3 (comma-delimited,
+    # partitioned), TPC-H part/lineitem minis, src_cbo
+    for tbl in ("cbo_t1", "cbo_t2", "cbo_t3", "src_cbo", "part", "lineitem"):
+        drop_table(eng.spark, tbl)
+    for tbl, part in (("cbo_t1", True), ("cbo_t2", True), ("cbo_t3", False)):
+        eng.sql(
+            f"create table {tbl}(key string, value string, c_int int, "
+            f"c_float float, c_boolean boolean) "
+            + ("partitioned by (dt string) " if part else "")
+            + "row format delimited fields terminated by ',' STORED AS TEXTFILE"
+        )
+        eng.sql(
+            f"load data local inpath '{DATA_DIR}/{tbl}.txt' into table {tbl}"
+            + (" partition (dt='2014')" if part else "")
+        )
+    eng.sql(
+        "CREATE TABLE part(p_partkey INT, p_name STRING, p_mfgr STRING, "
+        "p_brand STRING, p_type STRING, p_size INT, p_container STRING, "
+        "p_retailprice DOUBLE, p_comment STRING)"
+    )
+    eng.sql(
+        f"LOAD DATA LOCAL INPATH '{DATA_DIR}/part_tiny.txt' "
+        f"overwrite into table part"
+    )
+    eng.sql(
+        "CREATE TABLE lineitem (L_ORDERKEY INT, L_PARTKEY INT, L_SUPPKEY INT, "
+        "L_LINENUMBER INT, L_QUANTITY DOUBLE, L_EXTENDEDPRICE DOUBLE, "
+        "L_DISCOUNT DOUBLE, L_TAX DOUBLE, L_RETURNFLAG STRING, "
+        "L_LINESTATUS STRING, l_shipdate STRING, L_COMMITDATE STRING, "
+        "L_RECEIPTDATE STRING, L_SHIPINSTRUCT STRING, L_SHIPMODE STRING, "
+        "L_COMMENT STRING) ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'"
+    )
+    eng.sql(
+        f"LOAD DATA LOCAL INPATH '{DATA_DIR}/lineitem.txt' "
+        f"OVERWRITE INTO TABLE lineitem"
+    )
+    eng.sql("create table src_cbo as select * from src")
+    for stmt in (
+        "analyze table cbo_t1 partition (dt) compute statistics",
+        "analyze table cbo_t2 partition (dt) compute statistics",
+        "analyze table cbo_t3 compute statistics",
+        "analyze table src_cbo compute statistics",
+        "analyze table part compute statistics",
+        "analyze table lineitem compute statistics",
+    ):
+        try:
+            eng.sql(stmt)
+        except Exception:
+            pass
 
 
 # --------------------------------------------------------- .q.out parse
@@ -224,7 +273,10 @@ def _statements(qtext: str, eng) -> list[str]:
 
 
 #: fixture tables that survive across .q files (QTestUtil's srcTables)
-FIXTURES = {"src", "src1", "srcpart"}
+FIXTURES = {
+    "src", "src1", "srcpart",
+    "cbo_t1", "cbo_t2", "cbo_t3", "src_cbo", "part", "lineitem",
+}
 
 
 def cleanup_scratch_tables(eng) -> None:

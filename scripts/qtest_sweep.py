@@ -23,11 +23,11 @@ from apache_hive_2_1_1_src_spark.session import HiveEngine, build_session  # noq
 
 EXCLUDE = re.compile(
     r"\b(dfs\s|add\s+jar|add\s+file|src_thrift|src_json|src_sequencefile|"
-    r"alltypesorc|srcbucket|cbo_t1|cbo_t2|cbo_t3|lineitem|part\b|"
+    r"alltypesorc|srcbucket|cbo_t4|cbo_t5|cbo_t6|"
     r"creat\w+\s+index|"
     # TRANSFORM is supported; only scripts outside the checkout are not
     r"USING\s+'[^']*\.(py|sh|pl|jar)'|"
-    r"src_cbo|druid|import\s|export\s|show\s+locks|"
+    r"druid|import\s|export\s|show\s+locks|"
     r"change\s+column|replace\s+columns|touch\s|archive\s|unarchive\s|"
     r"tablesample\s*\(\s*bucket|rand\s*\(|"
     r"hive\.server2|windowing_windowspec)\b",
