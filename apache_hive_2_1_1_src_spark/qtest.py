@@ -215,6 +215,14 @@ def hive_cell(v) -> str:
             + ",".join(f"{_hive_nested(k)}:{_hive_nested(x)}" for k, x in v.items())
             + "}"
         )
+    if hasattr(v, "asDict"):  # Row → Hive struct framing {"field":value}
+        return (
+            "{"
+            + ",".join(
+                f'"{k}":{_hive_nested(x)}' for k, x in v.asDict().items()
+            )
+            + "}"
+        )
     return str(v)
 
 
@@ -264,11 +272,16 @@ class QFileReport:
         return self.error is None and not self.mismatches
 
 
-def _statements(qtext: str, eng) -> list[str]:
+def _statements(qtext: str, eng):
     stmts = eng.split_statements(qtext)
     hooked, others = [], []
     for s in stmts:
-        (others if _UNHOOKED.match(s.strip()) else hooked).append(s)
+        # classify on the first non-comment line (a dfs/set behind a
+        # leading comment block is still unhooked)
+        bare = "\n".join(
+            ln for ln in s.splitlines() if not re.match(r"^\s*--", ln)
+        ).strip()
+        (others if _UNHOOKED.match(bare) else hooked).append(s)
     return hooked, others
 
 
@@ -327,9 +340,13 @@ def run_qfile(eng, name: str) -> QFileReport:
         )
         return rep
     # run the unhooked SETs first (they are interleaved in reality, but
-    # every candidate file sets engine knobs up front)
+    # every candidate file sets engine knobs up front); dfs/jar commands
+    # are filesystem-shell noise QTestUtil also executes out-of-band —
+    # their effects (scratch dirs) are irrelevant to the parse-and-load
+    # paths the runner exercises, so they are skipped, not errored
     for s in others:
-        eng.sql(s)
+        if re.match(r"^\s*(set|reset)\b", s.strip(), re.IGNORECASE):
+            eng.sql(s)
     for stmt, block in zip(hooked, blocks):
         rep.statements += 1
         # drop comment-only lines: the engine's statement-form dispatch

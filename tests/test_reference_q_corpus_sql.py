@@ -3,8 +3,8 @@ test: real clientpositive .q files executed unmodified through
 HiveEngine.sql and compared against the reference's own .q.out goldens
 (QTestUtil protocol; see apache_hive_2_1_1_src_spark/qtest.py).
 
-tests/qtest_verbatim_passing.txt freezes the full 254-file passing set
-certified by scripts/qtest_sweep.py.  Re-running all 254 per pytest
+tests/qtest_verbatim_passing.txt freezes the full 255-file passing set
+certified by scripts/qtest_sweep.py.  Re-running all 255 per pytest
 session costs ~8 minutes, so the default run takes a deterministic
 stratified sample across the .q families; export QTEST_FULL=1 for the
 whole manifest (what the sweep script also does).
@@ -59,6 +59,6 @@ def test_reference_q_verbatim(name, qeng):
 
 
 def test_manifest_floor():
-    """The certified verbatim-pass set must not shrink: 254 reference .q
+    """The certified verbatim-pass set must not shrink: 255 reference .q
     files as of round 7 (scripts/qtest_sweep.py regenerates)."""
-    assert len(ALL_NAMES) >= 254
+    assert len(ALL_NAMES) >= 255
