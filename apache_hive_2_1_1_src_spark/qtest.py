@@ -31,6 +31,7 @@ tables (500 rows); nothing here is a data path.
 
 from __future__ import annotations
 
+import datetime
 import math
 import os
 import re
@@ -215,6 +216,13 @@ def hive_cell(v) -> str:
             + ",".join(f"{_hive_nested(k)}:{_hive_nested(x)}" for k, x in v.items())
             + "}"
         )
+    if isinstance(v, datetime.datetime):
+        # TimestampWritable.toString: fraction trimmed of trailing
+        # zeros, omitted entirely when zero (timestamp.q golden)
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        return s
     if hasattr(v, "asDict"):  # Row → Hive struct framing {"field":value}
         return (
             "{"

@@ -344,11 +344,18 @@ def write_rcfile(
     return sum(r.n_records for r in manifest.collect())
 
 
-def read_rcfile(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def read_rcfile(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    glob: str | None = "*.rc",
+) -> DataFrame:
     """Distributed RCFile read: binaryFile lists/splits the containers,
     mapInArrow decodes each row group into text cells, and the declared
     schema is applied JVM-side by cast-from-string (Hive's permissive
-    schema-on-read, same convention as the q89 text path)."""
+    schema-on-read, same convention as the q89 text path).  ``glob=None``
+    reads every file at ``path`` (LOAD DATA hands a single exact file,
+    whatever its extension)."""
     import pyarrow as pa
 
     if isinstance(schema, str):
@@ -380,7 +387,10 @@ def read_rcfile(spark: SparkSession, path: str, schema: T.StructType) -> DataFra
                 yield pa.RecordBatch.from_arrays(arrays, names=cols)
 
     text_schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
-    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.rc").load(path)
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path)
     raw = files.select("content").mapInArrow(decode, text_schema)
     return raw.select(
         [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]

@@ -1037,6 +1037,20 @@ class HiveEngine:
             df = self.spark.read.schema(schema).orc(path)
         elif magic == b"PAR1":
             df = self.spark.read.schema(schema).parquet(path)
+        elif magic[:3] == b"RCF" or (
+            magic[:3] == b"SEQ" and self._seq_is_rcfile(probe)
+        ):
+            # RCFile container (explicit RCF header or the legacy
+            # SEQ\x06 + RCFile$KeyBuffer framing) — RCFile.java:1461.
+            # Falling through to the text parser here parses container
+            # bytes as rows (smb_mapjoin_1-8 goldens pin this path).
+            from apache_hive_2_1_1_src_spark.rcfile_io import read_rcfile
+
+            df = read_rcfile(self.spark, path, schema, glob=None)
+        elif magic[:3] == b"SEQ":
+            from apache_hive_2_1_1_src_spark.io import read_hive_sequencefile
+
+            df = read_hive_sequencefile(self.spark, path, schema)
         else:
             sep = getattr(self, "declared_field_delims", {}).get(tbl.lower(), "\x01")
             df = read_hive_text(self.spark, path, schema, sep=sep)
@@ -1053,6 +1067,21 @@ class HiveEngine:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         self._stats_autogather_target(tbl)
         return self.spark.range(0).select()
+
+    @staticmethod
+    def _seq_is_rcfile(probe: str) -> bool:
+        """Disambiguate a SEQ-magic file: legacy RCFiles are written with
+        a SequenceFile header whose key class is RCFile$KeyBuffer
+        (RCFile.java:1461-1497); real SequenceFiles carry Text/Writable
+        key classes.  Reads only the header key-class name."""
+        try:
+            with open(probe, "rb") as fh:
+                fh.read(4)  # SEQ + version
+                n = fh.read(1)[0]  # vint length of key class name (short names)
+                name = fh.read(n)
+            return b"RCFile" in name
+        except (OSError, IndexError):
+            return False
 
     def _stats_autogather_target(self, tbl: str) -> None:
         """StatsTask chain for non-regex DML entry points (LOAD DATA)."""
