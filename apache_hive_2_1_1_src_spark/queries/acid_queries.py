@@ -612,7 +612,53 @@ def q210_acid_orc_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("write_id")
 
 
+def q248_sql_text_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text ``UPDATE t SET ... WHERE`` and ``DELETE FROM t WHERE``
+    through the engine's primary entry point (HiveParser.g:2554
+    updateStatement / :2577 deleteStatement →
+    UpdateDeleteSemanticAnalyzer.java's INSERT-OVERWRITE rewrite;
+    update_after_multiple_inserts.q is the verbatim golden).  The engine
+    compiles both to a copy-on-write projection — CASE WHEN cond THEN
+    assignment ELSE col END for UPDATE, an anti-filter for DELETE — then
+    a single overwrite of the table; at scale that is one full-width
+    scan + write, no shuffle, the same plan Hive's rewrite produced.
+    The oracle replays both statements as pure SELECT algebra."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    t(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(
+        "sql_dml_orders"
+    )
+    try:
+        eng.sql(
+            "UPDATE sql_dml_orders SET o_totalprice = o_totalprice + 100, "
+            "o_orderpriority = 'X-UPDATED' "
+            "WHERE o_orderstatus = 'O' AND o_orderkey % 5 = 0"
+        )
+        eng.sql(
+            "DELETE FROM sql_dml_orders "
+            "WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0"
+        )
+        out = (
+            spark.table("sql_dml_orders")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+                F.sum(
+                    F.when(F.col("o_orderpriority") == "X-UPDATED", 1).otherwise(0)
+                ).alias("n_updated"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        # materialize before the table drops — the caller collects lazily
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sql_dml_orders")
+
+
 QUERIES = {
+    "q248_sql_text_update_delete": q248_sql_text_update_delete,
     "q244_abort_transactions": q244_abort_transactions,
     "q210_acid_orc_interop": q210_acid_orc_interop,
     "q204_cdf_replica_maintenance": q204_cdf_replica_maintenance,
@@ -625,6 +671,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q248_sql_text_update_delete": """
+        WITH upd AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+                      THEN o_totalprice + 100 ELSE o_totalprice
+                 END AS o_totalprice,
+                 CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+                      THEN 'X-UPDATED' ELSE o_orderpriority
+                 END AS o_orderpriority
+          FROM orders
+        ), kept AS (
+          SELECT * FROM upd
+          WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               CAST(SUM(CASE WHEN o_orderpriority = 'X-UPDATED' THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_updated
+        FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
     "q244_abort_transactions": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
                2 AS n_aborted,

@@ -280,7 +280,7 @@ class HiveEngine:
             r"FIELDS\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)'", out, re.IGNORECASE
         )
         tn = re.search(
-            r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)", out, re.IGNORECASE
+            r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[\w.])+)", out, re.IGNORECASE
         )
         if tn:
             if not hasattr(self, "declared_field_delims"):
@@ -359,7 +359,7 @@ class HiveEngine:
             else:
                 out = out[:ins] + " USING parquet" + out[ins:]
             tm = re.search(
-                r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)", out, re.IGNORECASE
+                r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[\w.])+)", out, re.IGNORECASE
             )
             if tm is not None:
                 if not hasattr(self, "declared_formats"):
@@ -376,7 +376,7 @@ class HiveEngine:
         """Offset just past the balanced close paren of the CREATE TABLE
         column list, or None when the statement has no column list (CTAS)."""
         tm = re.search(
-            r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+\s*(\()", out, re.IGNORECASE
+            r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:`[^`]+`|[\w.])+\s*(\()", out, re.IGNORECASE
         )
         if tm is None:
             return None
@@ -1068,6 +1068,253 @@ class HiveEngine:
         self._stats_autogather_target(tbl)
         return self.spark.range(0).select()
 
+    # ------------------------------------------------- CHAR(n) semantics
+    def _rewrite_char_casts(self, text: str) -> str:
+        """``CAST(x AS CHAR(n))`` truncates to n characters in Hive
+        (GenericUDFToChar → HiveChar enforced length; char_1.q pins
+        'val_0' → char(3) = 'val').  Spark's char cast does not truncate
+        in non-ANSI mode, so rewrite to
+        ``CAST(rpad(substr(x,1,n), n, ' ') AS STRING)`` — truncated AND
+        blank-padded to n, which is exactly HiveChar's padded display
+        value; a downstream char(m) column re-pads on write as Hive
+        does."""
+        pat = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+        out, i = [], 0
+        while True:
+            m = pat.search(text, i)
+            if not m:
+                out.append(text[i:])
+                break
+            out.append(text[i : m.start()])
+            depth, j = 0, m.end() - 1
+            for j in range(m.end() - 1, len(text)):
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            inner = text[m.end() : j]
+            mm = re.match(
+                r"([\s\S]+?)\s+AS\s+CHAR\s*\(\s*(\d+)\s*\)\s*$",
+                inner,
+                re.IGNORECASE,
+            )
+            if mm:
+                n = int(mm.group(2))
+                expr = self._rewrite_char_casts(mm.group(1))
+                out.append(
+                    f"CAST(rpad(substr({expr}, 1, {n}), {n}, ' ') AS STRING)"
+                )
+            else:
+                out.append(text[m.start() : j + 1])
+            i = j + 1
+        return "".join(out)
+
+    _SQL_KEYWORDS = frozenset(
+        "join where on group order left right full inner outer cross union "
+        "limit lateral having sort cluster distribute as select from".split()
+    )
+
+    def _rewrite_char_comparisons(self, text: str) -> str:
+        """Hive compares char(n) against string/varchar by converting the
+        char side to its STRIPPED value (GenericUDFBaseCompare →
+        common-type STRING; HiveCharConverter.getStrippedValue), so
+        ``char(10) 'abc       ' = string 'abc'`` is TRUE.  Spark compares
+        the read-side-padded value and returns false (char_join1.q: 0
+        rows vs 3 golden — a silent wrong answer).  Fix: rtrim-wrap
+        char-typed column references appearing as comparison operands
+        (trailing blanks are insignificant in Hive char comparisons, so
+        rtrim on both sides of a char-char compare is equivalent to the
+        pad-compare).  varchar columns are deliberately untouched."""
+        if not re.search(r"[=<>!]", text):
+            return text
+        refs = re.findall(
+            r"\b(?:FROM|JOIN)\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?",
+            text,
+            re.IGNORECASE,
+        )
+        char_cols: set[str] = set()
+        for tbl, alias in refs:
+            if tbl.lower() in self._SQL_KEYWORDS:
+                continue
+            try:
+                fields = self.spark.table(tbl).schema.fields
+            except Exception:
+                continue
+            for f in fields:
+                try:
+                    raw = (f.metadata or {}).get(
+                        "__CHAR_VARCHAR_TYPE_STRING", ""
+                    )
+                except Exception:
+                    raw = ""
+                is_char = raw.lower().startswith("char(") or (
+                    f.dataType.typeName() == "char"
+                )
+                if not is_char:
+                    continue
+                char_cols.add(f.name.lower())
+                char_cols.add(f"{tbl}.{f.name}".lower())
+                if alias and alias.lower() not in self._SQL_KEYWORDS:
+                    char_cols.add(f"{alias}.{f.name}".lower())
+        if not char_cols:
+            return text
+
+        def wrap(m: re.Match) -> str:
+            lhs, op, rhs = m.group(1), m.group(2), m.group(3)
+            if lhs.lower() in char_cols:
+                lhs = f"rtrim({lhs})"
+            if rhs.lower() in char_cols:
+                rhs = f"rtrim({rhs})"
+            return f"{lhs} {op} {rhs}"
+
+        return re.sub(
+            r"([\w.]+)\s*(<=>|<=|>=|<>|!=|=|<|>)\s*([\w.]+|'[^']*')",
+            wrap,
+            text,
+        )
+
+    # --------------------------------------- hostile quoted identifiers
+    def _sanitize_hostile_identifiers(self, text: str) -> str:
+        """HIVE-6013 quoted identifiers admit characters Spark's catalog
+        and parquet column rules reject outright (`/`, `?`, `*`, space —
+        update_after_multiple_inserts_special_characters.q creates table
+        ``aci/d_u/ami`` with column ``d?*de e``).  Map each hostile
+        backtick-quoted identifier to a deterministic ``_xHH_`` escape and
+        rewrite every occurrence; the alias table keeps SHOW/DESCRIBE
+        round-trips possible.  Queries always spell such identifiers
+        backticked (they cannot parse otherwise), so exact-token text
+        replacement is faithful."""
+        if "`" not in text:
+            return text
+
+        def san(tok: str) -> str:
+            return re.sub(
+                r"[^0-9A-Za-z_]", lambda m: f"_x{ord(m.group(0)):02x}_", tok
+            )
+
+        if not hasattr(self, "_hostile_ids"):
+            self._hostile_ids: dict[str, str] = {}
+        # register NEW hostile ids only from CREATE TABLE statements (a
+        # backticked token elsewhere may be a SHOW ... LIKE pattern or a
+        # quoted-regex column, which must stay untouched); replacement of
+        # already-registered ids applies everywhere
+        if self._HIVE_CREATE.match(text) and getattr(self, "_vars", {}).get(
+            "hive.support.quoted.identifiers", "column"
+        ).lower() != "none":
+            for tok in set(re.findall(r"`([^`]+)`", text)):
+                # a direct-datasource reference (``parquet.`/path/x```) or
+                # URI is a path, not an identifier — leave it alone
+                if tok.startswith(("/", ".", "~")) or "://" in tok:
+                    continue
+                if re.search(r"[^0-9A-Za-z_]", tok):
+                    self._hostile_ids.setdefault(tok, san(tok))
+        for raw, clean in self._hostile_ids.items():
+            text = text.replace(f"`{raw}`", f"`{clean}`")
+        return text
+
+    # ------------------------------------------- SQL-text UPDATE/DELETE
+    # HiveParser.g:2554 (updateStatement) / :2577 (deleteStatement) →
+    # UpdateDeleteSemanticAnalyzer.java, which rewrites both into an
+    # INSERT OVERWRITE of the same table (UPDATE: selected columns with
+    # assignments applied; DELETE: surviving rows only).  This engine
+    # performs the same rewrite as a copy-on-write projection — the
+    # identical final visible state, without the ROW__ID/bucket plumbing
+    # Spark's Catalyst layout already subsumes.  Full ACID MVCC semantics
+    # (snapshots, conflict detection, time travel) live in
+    # operators/acid.py's AcidTable/Txn API for path-based tables; the
+    # catalog-table SQL entry point uses COW, stated openly.
+    _UPDATE_STMT = re.compile(
+        r"^\s*UPDATE\s+(?P<tbl>(?:`[^`]+`|[\w.])+)\s+SET\s+(?P<set>[\s\S]+?)"
+        r"(?:\s+WHERE\s+(?P<where>[\s\S]+?))?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _DELETE_STMT = re.compile(
+        r"^\s*DELETE\s+FROM\s+(?P<tbl>(?:`[^`]+`|[\w.])+)"
+        r"(?:\s+WHERE\s+(?P<where>[\s\S]+?))?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _table_partition_cols(self, tbl: str) -> list[str]:
+        try:
+            rows = self.spark.sql(f"DESCRIBE TABLE {tbl}").collect()
+        except Exception:
+            return []
+        pcols, in_part = [], False
+        for r in rows:
+            name = (r[0] or "").strip()
+            if name.startswith("# Partition"):
+                in_part = True
+                continue
+            if in_part and name and not name.startswith("#"):
+                pcols.append(name.lower())
+        return pcols
+
+    def _cow_overwrite(self, tbl: str, df) -> None:
+        """Materialize fully, then overwrite the source table — the
+        MoveTask half of the UPDATE/DELETE rewrite.  STATIC overwrite on
+        purpose: a partition whose every row was deleted must come back
+        empty, which dynamic mode would silently skip."""
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            df.localCheckpoint(eager=True).write.insertInto(tbl, overwrite=True)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        self.spark.catalog.refreshTable(tbl)
+        self._stats_autogather_target(tbl)
+
+    def _update_table(self, tbl: str, set_clause: str, where: str | None):
+        full = self.spark.table(tbl)
+        pcols = set(self._table_partition_cols(tbl))
+        assigns: dict[str, str] = {}
+        for part in self._split_top_level(set_clause):
+            k, v = part.split("=", 1)
+            k = k.strip().strip("`").lower()
+            if k in pcols:
+                # UpdateDeleteSemanticAnalyzer.validateTargetColumns:
+                # partition (and bucket) columns cannot be updated
+                raise ValueError(
+                    f"UPDATE cannot set partition column '{k}' of {tbl}"
+                )
+            assigns[k] = v.strip()
+        unknown = assigns.keys() - {f.name.lower() for f in full.schema.fields}
+        if unknown:
+            raise ValueError(f"UPDATE {tbl}: unknown column(s) {sorted(unknown)}")
+        cond = F.expr(where.rstrip(";")) if where else F.lit(True)
+        cols = []
+        for f in full.schema.fields:
+            if f.name.lower() in assigns:
+                cols.append(
+                    F.when(
+                        F.coalesce(cond, F.lit(False)),
+                        F.expr(assigns[f.name.lower()]).cast(f.dataType),
+                    )
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        self._cow_overwrite(tbl, full.select(cols))
+        return self.spark.range(0).select()
+
+    def _delete_from_table(self, tbl: str, where: str | None):
+        full = self.spark.table(tbl)
+        if where is None:
+            kept = full.limit(0)
+        else:
+            # DELETE removes rows where the predicate is TRUE; NULL
+            # evaluations keep the row (three-valued logic, same as the
+            # anti-filter Hive's rewrite produces)
+            kept = full.filter(
+                ~F.coalesce(F.expr(where.rstrip(";")), F.lit(False))
+            )
+        self._cow_overwrite(tbl, kept)
+        return self.spark.range(0).select()
+
     @staticmethod
     def _seq_is_rcfile(probe: str) -> bool:
         """Disambiguate a SEQ-magic file: legacy RCFiles are written with
@@ -1487,6 +1734,7 @@ class HiveEngine:
         after variable substitution, macro handling, and Hive-hint
         translation."""
         text = self.substitute(text)
+        text = self._sanitize_hostile_identifiers(text)
         m = re.match(
             r"^\s*SET\s+(?:hivevar:|hiveconf:)?([\w.]+)\s*=\s*(.+?)\s*$",
             text,
@@ -1510,6 +1758,14 @@ class HiveEngine:
                 overwrite=bool(m.group("ovr")),
                 partition_spec=m.group("spec"),
             )
+        m = self._UPDATE_STMT.match(text)
+        if m:
+            return self._update_table(
+                m.group("tbl"), m.group("set"), m.group("where")
+            )
+        m = self._DELETE_STMT.match(text)
+        if m:
+            return self._delete_from_table(m.group("tbl"), m.group("where"))
         m = re.match(r"^\s*SHOW\s+CONF\s+'?([\w.]+)'?\s*;?\s*$", text, re.IGNORECASE)
         if m:
             # DDLTask.showConf (HiveParser showStatement KW_CONF): one row
@@ -1583,6 +1839,8 @@ class HiveEngine:
             flags=re.IGNORECASE,
         )
         text = self.translate_hive_ddl(text)
+        text = self._rewrite_char_casts(text)
+        text = self._rewrite_char_comparisons(text)
         text = self._apply_masking(text)
         text = self._rewrite_distinct_windows(text)
         text = self._materialize_ctes(text)
