@@ -139,8 +139,11 @@ def rewrite_with_policies(
     names = "|".join(re.escape(t) for t in policies)
     # FROM tab / JOIN tab / ", tab" (from-list comma) — optionally
     # db-qualified (default.tab), optionally aliased ([AS] a)
+    # (?!\s*\.) — a qualified COLUMN reference after a select-list or
+    # function-arg comma ("SELECT key, masking_test.value FROM ...")
+    # must not be mistaken for a from-list table reference
     pat = re.compile(
-        rf"\b(FROM|JOIN|,)\s+(?:(\w+)\.)?({names})\b"
+        rf"\b(FROM|JOIN|,)\s+(?:(\w+)\.)?({names})\b(?!\s*\.)"
         rf"(?:\s+(TABLESAMPLE\s*\([^)]*\)))?"
         rf"(?:\s+(?:AS\s+)?(\w+))?",
         re.IGNORECASE,

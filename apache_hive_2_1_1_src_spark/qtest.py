@@ -272,6 +272,10 @@ class QFileReport:
     name: str
     statements: int = 0
     compared: int = 0
+    #: statements that matched only under float tolerance (cross-engine
+    #: double accumulation-order ulps, e.g. windowed SUM over DOUBLE) —
+    #: counted as passing but reported distinctly from byte-matches
+    tol: int = 0
     mismatches: list[str] = field(default_factory=list)
     error: str | None = None
 
@@ -291,6 +295,77 @@ def _statements(qtext: str, eng):
         ).strip()
         (others if _UNHOOKED.match(bare) else hooked).append(s)
     return hooked, others
+
+
+def _statements_ordered(qtext: str, eng):
+    """Like :func:`_statements` but preserving interleave order —
+    QTestUtil runs dfs commands in sequence with queries, and their
+    output (``Found N items`` from ``dfs -ls``) lands in the PRECEDING
+    query's golden block."""
+    out = []
+    for s in eng.split_statements(qtext):
+        bare = "\n".join(
+            ln for ln in s.splitlines() if not re.match(r"^\s*--", ln)
+        ).strip()
+        out.append((not _UNHOOKED.match(bare), s))
+    return out
+
+
+def _emulate_dfs(eng, stmt: str) -> list[str]:
+    """Hadoop-shell dfs commands QTestUtil executes inline
+    (CliDriver → FsShell): emulate the handful the .q corpus uses
+    against the LOCAL fs, returning the output lines that land in the
+    golden block.  ``-ls`` prints ``Found N items`` (per-entry lines are
+    path-masked in goldens and dropped by parse_qout); ``-rmr``/``-rm``
+    and ``-mkdir`` act only under the system tmpdir — a .q file must
+    never be able to delete outside the scratch space."""
+    import shutil
+    import tempfile
+
+    s = eng.substitute(stmt).strip()
+    s = re.sub(r"^dfs\s+", "", s, flags=re.IGNORECASE).strip().rstrip(";")
+    parts = s.split()
+    if not parts:
+        return []
+    cmd, path = parts[0], (parts[-1] if len(parts) > 1 else "")
+    tmp = os.path.realpath(tempfile.gettempdir())
+    inside_tmp = os.path.realpath(path or "/").startswith(tmp)
+    if cmd == "-ls":
+        try:
+            return [f"Found {len(os.listdir(path))} items"]
+        except OSError:
+            return []
+    if cmd in ("-rmr", "-rm") and inside_tmp:
+        shutil.rmtree(path, ignore_errors=True)
+    elif cmd == "-mkdir" and inside_tmp:
+        os.makedirs(path, exist_ok=True)
+    return []
+
+
+def _rows_equal_tol(
+    got: list[str], want: list[str], rel: float = 1e-8, abs_: float = 1e-9
+) -> bool:
+    """Cell-wise comparison allowing relative float tolerance: Hive's
+    streaming window aggregation accumulates DOUBLEs in its reducer's
+    frame order, Spark in Catalyst's — the last-ulp digits legitimately
+    differ cross-engine (windowing.q sum/avg columns).  Non-numeric
+    cells must still match byte-for-byte."""
+    if len(got) != len(want):
+        return False
+    for g, w in zip(got, want):
+        gc, wc = g.split("\t"), w.split("\t")
+        if len(gc) != len(wc):
+            return False
+        for a, b in zip(gc, wc):
+            if a == b:
+                continue
+            try:
+                fa, fb = float(a), float(b)
+            except ValueError:
+                return False
+            if not abs(fa - fb) <= max(abs_, rel * max(abs(fa), abs(fb))):
+                return False
+    return True
 
 
 #: fixture tables that survive across .q files (QTestUtil's srcTables)
@@ -324,6 +399,10 @@ def run_qfile(eng, name: str) -> QFileReport:
 
     rep = QFileReport(name=name)
     cleanup_scratch_tables(eng)
+    # QTestUtil re-initializes the session conf per test file — a SET
+    # from one .q must not leak into the next (cbo_rp_windowing_2's
+    # returnpath flag would otherwise rewrite ptf_decimal's cume_dist)
+    eng.sql("RESET")
     qpath = os.path.join(Q_DIR, f"{name}.q")
     opath = os.path.join(OUT_DIR, f"{name}.q.out")
     qtext = open(qpath, encoding="utf-8", errors="replace").read()
@@ -339,23 +418,58 @@ def run_qfile(eng, name: str) -> QFileReport:
     ):
         if tname.lower() not in FIXTURES:
             drop_table(eng.spark, tname)
-    hooked, others = _statements(qtext, eng)
+    ordered = _statements_ordered(qtext, eng)
     blocks = parse_qout(opath)
-    if len(hooked) != len(blocks):
+    n_hooked = sum(1 for h, _ in ordered if h)
+    if n_hooked != len(blocks):
         rep.error = (
-            f"statement/block count mismatch: {len(hooked)} hooked "
+            f"statement/block count mismatch: {n_hooked} hooked "
             f"statements vs {len(blocks)} PREHOOK blocks"
         )
         return rep
-    # run the unhooked SETs first (they are interleaved in reality, but
-    # every candidate file sets engine knobs up front); dfs/jar commands
-    # are filesystem-shell noise QTestUtil also executes out-of-band —
-    # their effects (scratch dirs) are irrelevant to the parse-and-load
-    # paths the runner exercises, so they are skipped, not errored
-    for s in others:
-        if re.match(r"^\s*(set|reset)\b", s.strip(), re.IGNORECASE):
-            eng.sql(s)
-    for stmt, block in zip(hooked, blocks):
+    # statements run IN ORDER (QTestUtil's CliDriver loop): SET/RESET
+    # mutate session state for what follows; dfs commands are emulated
+    # (their -ls output lands in the PRECEDING query's golden block, so
+    # the compare of a block is deferred until the next hooked statement)
+    pending: dict | None = None
+
+    def _flush() -> None:
+        nonlocal pending
+        if pending is None:
+            return
+        block, got, bare = pending["block"], pending["got"], pending["bare"]
+        pending = None
+        if not block.results:
+            return
+        got = sorted(got)
+        want = sorted(block.results)
+        if got != want and _rows_equal_tol(got, want):
+            rep.tol += 1
+            rep.compared += 1
+            return
+        if got != want:
+            diff_g = [l for l in got if l not in want][:3]
+            diff_w = [l for l in want if l not in got][:3]
+            rep.mismatches.append(
+                f"{bare.splitlines()[0][:60]}: {len(got)} rows vs "
+                f"{len(want)} golden; extra={diff_g} missing={diff_w}"
+            )
+        rep.compared += 1
+
+    bi = 0
+    for is_hooked, stmt in ordered:
+        if not is_hooked:
+            s = stmt.strip()
+            if re.match(r"^(set|reset)\b", s, re.IGNORECASE):
+                eng.sql(stmt)
+            elif re.match(r"^dfs\b", s, re.IGNORECASE):
+                lines = _emulate_dfs(eng, stmt)
+                if pending is not None and lines:
+                    pending["got"].extend(lines)
+            continue
+        _flush()
+        block = blocks[bi]
+        bi += 1
         rep.statements += 1
         # drop comment-only lines: the engine's statement-form dispatch
         # regexes are anchored at ^ (CliDriver strips these too)
@@ -372,18 +486,9 @@ def run_qfile(eng, name: str) -> QFileReport:
             # q218) — execute for side-effect coverage, skip the diff
             df.collect()
             continue
-        if not block.results:
-            if df is not None and df.columns:
-                df.collect()  # force side effects, discard rows
-            continue
-        got = sorted(hive_rows(df))
-        want = sorted(block.results)
-        if got != want:
-            diff_g = [l for l in got if l not in want][:3]
-            diff_w = [l for l in want if l not in got][:3]
-            rep.mismatches.append(
-                f"{bare.splitlines()[0][:60]}: {len(got)} rows vs "
-                f"{len(want)} golden; extra={diff_g} missing={diff_w}"
-            )
-        rep.compared += 1
+        got = (
+            hive_rows(df) if df is not None and df.columns else []
+        )
+        pending = {"block": block, "got": got, "bare": bare}
+    _flush()
     return rep

@@ -240,10 +240,10 @@ def q226_windowing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  OVER (PARTITION BY o_orderstatus) AS d_prio,
                COUNT(DISTINCT concat(o_orderpriority, '|', o_orderstatus))
                  OVER (PARTITION BY o_orderstatus) AS d_prio_tag,
-               ROUND(SUM(DISTINCT o_custkey)
-                 OVER (PARTITION BY o_orderstatus), 2) AS s_cust,
-               ROUND(AVG(DISTINCT o_custkey)
-                 OVER (PARTITION BY o_orderstatus), 6) AS a_cust
+               ROUND(CAST(SUM(DISTINCT o_custkey)
+                 OVER (PARTITION BY o_orderstatus) AS DOUBLE), 2) AS s_cust,
+               ROUND(CAST(AVG(DISTINCT o_custkey)
+                 OVER (PARTITION BY o_orderstatus) AS DOUBLE), 6) AS a_cust
         FROM orders WHERE o_orderkey <= 2000
         """
     )

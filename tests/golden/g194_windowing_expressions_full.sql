@@ -11,7 +11,7 @@ SELECT p_brand, p_name, p_size,
        ntile(3) OVER w AS nt,
        count(p_size) OVER w AS ca,
        ROUND(avg(p_size) OVER w, 4) AS av,
-       ROUND(COALESCE(stddev(p_size) OVER w, -1), 4) AS st,
+       ROUND(COALESCE(stddev_pop(p_size) OVER w, -1), 4) AS st,
        first_value(p_size % 5) OVER w AS fv,
        last_value(p_size) OVER w AS lv,
        first_value(p_size) OVER w1 AS fvw1

@@ -106,16 +106,18 @@ def test_distinct_window_rewrite(spark, sf_dir, oracle):
     sdf = eng.sql(
         "SELECT o_orderkey, "
         "COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_orderstatus) AS c, "
-        "ROUND(SUM(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus), 2) AS s, "
+        "SUM(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus) AS s, "
         "ROUND(AVG(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus), 6) AS a "
         "FROM orders WHERE o_orderkey <= 500"
     )
+    # SUM(DISTINCT bigint) is BIGINT in Hive (GenericUDAFSum) — the fold
+    # must neither widen to DOUBLE nor lose >2^53 precision
     _compare(
         sdf,
         oracle,
         "SELECT o_orderkey, "
         "COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_orderstatus) AS c, "
-        "ROUND(CAST(SUM(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus) AS DOUBLE), 2) AS s, "
+        "CAST(SUM(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS s, "
         "ROUND(CAST(AVG(DISTINCT o_custkey) OVER (PARTITION BY o_orderstatus) AS DOUBLE), 6) AS a "
         "FROM orders WHERE o_orderkey <= 500",
     )
