@@ -216,6 +216,10 @@ def hive_cell(v) -> str:
             + ",".join(f"{_hive_nested(k)}:{_hive_nested(x)}" for k, x in v.items())
             + "}"
         )
+    if isinstance(v, (bytes, bytearray)):
+        # Hive CLI prints BINARY as its raw bytes (LazyBinary → Text),
+        # not a Python repr (ba_table1.q)
+        return bytes(v).decode("utf-8", "replace")
     if isinstance(v, datetime.datetime):
         # TimestampWritable.toString: fraction trimmed of trailing
         # zeros, omitted entirely when zero (timestamp.q golden)
@@ -328,11 +332,17 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
     if not parts:
         return []
     cmd, path = parts[0], (parts[-1] if len(parts) > 1 else "")
+    path = re.sub(r"^file:/*", "/", path)
     tmp = os.path.realpath(tempfile.gettempdir())
     inside_tmp = os.path.realpath(path or "/").startswith(tmp)
     if cmd == "-ls":
+        # Hive table dirs carry only data files (MoveTask); Spark's
+        # _SUCCESS markers and .crc shadows would inflate the count
         try:
-            return [f"Found {len(os.listdir(path))} items"]
+            entries = [
+                e for e in os.listdir(path) if not e.startswith((".", "_"))
+            ]
+            return [f"Found {len(entries)} items"]
         except OSError:
             return []
     if cmd in ("-rmr", "-rm") and inside_tmp:
@@ -412,10 +422,18 @@ def run_qfile(eng, name: str) -> QFileReport:
     # have left a warehouse dir behind without a catalog entry
     for tname in re.findall(
         r"CREATE\s+(?:TEMPORARY\s+)?(?:EXTERNAL\s+)?TABLE\s+"
-        r"(?:IF\s+NOT\s+EXISTS\s+)?`?([\w]+)`?",
+        r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w]+)",
         qtext,
         re.IGNORECASE,
     ):
+        if tname.startswith("`"):
+            # hostile quoted name: the engine stores it under its
+            # sanitized _xHH_ escape — pre-clean that physical table
+            tname = re.sub(
+                r"[^0-9A-Za-z_]",
+                lambda m: f"_x{ord(m.group(0)):02x}_",
+                tname.strip("`"),
+            )
         if tname.lower() not in FIXTURES:
             drop_table(eng.spark, tname)
     ordered = _statements_ordered(qtext, eng)

@@ -652,7 +652,7 @@ def q248_sql_text_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus")
         )
         # materialize before the table drops — the caller collects lazily
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
     finally:
         spark.sql("DROP TABLE IF EXISTS sql_dml_orders")
 

@@ -77,7 +77,11 @@ def main() -> None:
         try:
             rep = qtest.run_qfile(eng, name)
             if rep.ok and rep.compared > 0:
-                status = f"PASS compared={rep.compared}"
+                # tol = statements matching only under float tolerance
+                # (cross-engine double accumulation ulps) — visible, not
+                # hidden inside the byte-match count
+                suffix = f" tol={rep.tol}" if rep.tol else ""
+                status = f"PASS compared={rep.compared}{suffix}"
                 n_pass += 1
             elif rep.ok:
                 status = "NO_RESULTS"

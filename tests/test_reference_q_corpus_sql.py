@@ -3,7 +3,7 @@ test: real clientpositive .q files executed unmodified through
 HiveEngine.sql and compared against the reference's own .q.out goldens
 (QTestUtil protocol; see apache_hive_2_1_1_src_spark/qtest.py).
 
-tests/qtest_verbatim_passing.txt freezes the full 255-file passing set
+tests/qtest_verbatim_passing.txt freezes the full 283-file passing set
 certified by scripts/qtest_sweep.py.  Re-running all 255 per pytest
 session costs ~8 minutes, so the default run takes a deterministic
 stratified sample across the .q families; export QTEST_FULL=1 for the
