@@ -352,6 +352,66 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
     return []
 
 
+def _column_access_lines(df) -> list[str]:
+    """CheckColumnAccessHook emulation (ql/.../hooks/CheckColumnAccessHook
+    + ColumnAccessAnalyzer): per base table, the columns the query
+    actually references — ``Table:db@tbl`` / ``Columns:a,b`` / blank —
+    derived from the OPTIMIZED plan: Hive's ColumnAccessAnalyzer runs
+    after column pruning, so a subquery column the outer query drops is
+    NOT accessed, while a partition filter's column is."""
+    import json
+
+    plan = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+    if plan.getClass().getSimpleName() == "CommandResult":
+        # an eagerly-executed INSERT: the table accesses live in the
+        # command's own logical plan, not the result wrapper
+        plan = plan.commandLogicalPlan()
+    raw = plan.toJSON()
+    nodes = json.loads(raw)
+
+    def _out_ids(p) -> set:
+        seq = p.output()
+        return {
+            (seq.apply(k).exprId().id(), str(seq.apply(k).exprId().jvmId()))
+            for k in range(seq.size())
+        }
+
+    # attributes in the final output are accessed even when the optimizer
+    # collapsed the projection (SELECT * has no Project node to reference
+    # them); a write command's own output is empty — use its query's
+    root_ids = _out_ids(plan)
+    if not root_ids:
+        try:
+            root_ids = _out_ids(plan.query())
+        except Exception:
+            pass
+    lines: list[str] = []
+    per_table: dict[str, set] = {}
+    for n in nodes:
+        ct = n.get("catalogTable")
+        outs = n.get("output")
+        if not ct or not outs:
+            continue
+        ident = ct.get("identifier", {})
+        tname = f"{ident.get('database', 'default')}@{ident.get('table')}"
+        accessed = per_table.setdefault(tname, set())
+        for group in outs:
+            for attr in group:
+                eid = attr.get("exprId", {})
+                sig = f'"id":{eid.get("id")},"jvmId":"{eid.get("jvmId")}"'
+                if (
+                    raw.count(sig) >= 2  # definition + >=1 reference
+                    or (eid.get("id"), str(eid.get("jvmId"))) in root_ids
+                ):
+                    accessed.add(attr["name"])
+    for tname in sorted(per_table):
+        cols = per_table[tname]
+        if not cols:
+            continue
+        lines += [f"Table:{tname}", "Columns:" + ",".join(sorted(cols)), ""]
+    return lines
+
+
 def _rows_equal_tol(
     got: list[str], want: list[str], rel: float = 1e-8, abs_: float = 1e-9
 ) -> bool:
@@ -457,6 +517,8 @@ def run_qfile(eng, name: str) -> QFileReport:
             return
         block, got, bare = pending["block"], pending["got"], pending["bare"]
         pending = None
+        while got and got[-1] == "":
+            got.pop()  # trailing blanks are framing (parse_qout strips too)
         if not block.results:
             return
         got = sorted(got)
@@ -507,6 +569,14 @@ def run_qfile(eng, name: str) -> QFileReport:
         got = (
             hive_rows(df) if df is not None and df.columns else []
         )
+        hooks = getattr(eng, "_vars", {}).get("hive.exec.post.hooks", "")
+        if "CheckColumnAccessHook" in hooks and re.match(
+            r"^(SELECT|FROM|WITH)\b", bare, re.IGNORECASE
+        ):
+            try:
+                got = _column_access_lines(df) + got
+            except Exception:
+                pass
         pending = {"block": block, "got": got, "bare": bare}
     _flush()
     return rep

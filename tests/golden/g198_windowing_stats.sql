@@ -12,7 +12,7 @@
 -- price (sqrt makes it irrational already).  The trailing + 0
 -- normalizes IEEE signed zero (DuckDB ROUND can yield -0.0).
 SELECT p_brand, p_name, p_size,
-       ROUND(COALESCE(stddev(p_retailprice) OVER w1, -1), 4) AS sdev,
+       ROUND(COALESCE(stddev_samp(p_retailprice) OVER w1, -1), 4) AS sdev,
        ROUND(stddev_pop(p_retailprice) OVER w1, 4) AS sdev_pop,
        ROUND(COALESCE(var_samp(LN(p_retailprice)) OVER w1, -1), 4) + 0 AS var,
        ROUND(COALESCE(corr(p_size, LN(p_retailprice)) OVER w1, -2), 4) + 0 AS cor,
