@@ -30,7 +30,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-PRIVILEGES = ("SELECT", "INSERT", "UPDATE", "DELETE")
+#: SQLStdHiveAccessController's object privileges plus the legacy
+#: DefaultHiveAuthorizationProvider set the grant_* corpus exercises
+#: (PrivilegeType.java: ALL/ALTER_DATA/ALTER_METADATA/CREATE/DROP/
+#: INDEX/LOCK/SELECT/SHOW_DATABASE/INSERT/UPDATE/DELETE)
+PRIVILEGES = (
+    "SELECT", "INSERT", "UPDATE", "DELETE",
+    "ALL", "CREATE", "DROP", "ALTER", "INDEX", "LOCK", "SHOW_DATABASE",
+)
 ADMIN_ROLE = "admin"
 
 
@@ -134,7 +141,8 @@ class Authorizer:
         if ADMIN_ROLE in closure:
             return True
         for principal in {user, "public", *closure}:
-            if privilege in self.grants.get((obj, principal), ()):
+            held = self.grants.get((obj, principal), ())
+            if privilege in held or "ALL" in held:
                 return True
         return False
 

@@ -450,8 +450,16 @@ def cleanup_scratch_tables(eng) -> None:
     table (and its warehouse dir) so each .q starts clean."""
     from apache_hive_2_1_1_src_spark.queries.storage import drop_table
 
+    # a prior .q may have left the session in its own database (USE db);
+    # everything below — and the next file — must run against default
+    eng.spark.sql("USE default")
     for row in eng.spark.sql("SHOW TABLES").collect():
-        if row.isTemporary or row.tableName in FIXTURES:
+        if row.tableName in FIXTURES:
+            continue
+        if row.isTemporary:
+            # temp tables/views from a prior .q would SHADOW a later
+            # file's real table of the same name (QTestUtil clears them)
+            eng.spark.sql(f"DROP VIEW IF EXISTS {row.tableName}")
             continue
         try:
             drop_table(eng.spark, row.tableName)
@@ -499,12 +507,35 @@ def run_qfile(eng, name: str) -> QFileReport:
     ordered = _statements_ordered(qtext, eng)
     blocks = parse_qout(opath)
     n_hooked = sum(1 for h, _ in ordered if h)
-    if n_hooked != len(blocks):
-        rep.error = (
-            f"statement/block count mismatch: {n_hooked} hooked "
-            f"statements vs {len(blocks)} PREHOOK blocks"
+    if n_hooked == len(blocks):
+        # counts agree: positional 1:1 pairing (the common case)
+        paired = iter(blocks)
+        pairing = {"mode": "pos", "it": paired}
+    else:
+        # counts disagree: QTestUtil emits no PREHOOK block for some
+        # statement kinds (USE, ...) and merges others — align each
+        # statement to its golden block by the ECHOED QUERY TEXT; a
+        # statement with no matching block executes uncompared, but
+        # every golden block must be consumed or the file errors
+        pairing = {"mode": "text", "bi": 0}
+
+    def _norm(s: str) -> str:
+        s = "\n".join(
+            ln for ln in s.splitlines() if not re.match(r"^\s*--", ln)
         )
-        return rep
+        return " ".join(s.split()).lower().rstrip(";")
+
+    def _next_block(stmt: str):
+        if pairing["mode"] == "pos":
+            return next(pairing["it"])
+        bi = pairing["bi"]
+        if bi >= len(blocks):
+            return None
+        bq, ns = _norm(blocks[bi].query), _norm(stmt)
+        if bq == ns or bq[:60] == ns[:60]:
+            pairing["bi"] = bi + 1
+            return blocks[bi]
+        return None
     # statements run IN ORDER (QTestUtil's CliDriver loop): SET/RESET
     # mutate session state for what follows; dfs commands are emulated
     # (their -ls output lands in the PRECEDING query's golden block, so
@@ -536,7 +567,6 @@ def run_qfile(eng, name: str) -> QFileReport:
             )
         rep.compared += 1
 
-    bi = 0
     for is_hooked, stmt in ordered:
         if not is_hooked:
             s = stmt.strip()
@@ -548,8 +578,7 @@ def run_qfile(eng, name: str) -> QFileReport:
                     pending["got"].extend(lines)
             continue
         _flush()
-        block = blocks[bi]
-        bi += 1
+        block = _next_block(stmt)
         rep.statements += 1
         # drop comment-only lines: the engine's statement-form dispatch
         # regexes are anchored at ^ (CliDriver strips these too)
@@ -577,6 +606,13 @@ def run_qfile(eng, name: str) -> QFileReport:
                 got = _column_access_lines(df) + got
             except Exception:
                 pass
-        pending = {"block": block, "got": got, "bare": bare}
+        if block is not None:
+            pending = {"block": block, "got": got, "bare": bare}
     _flush()
+    if pairing["mode"] == "text" and pairing["bi"] != len(blocks):
+        rep.error = (
+            f"unmatched golden blocks: consumed {pairing['bi']} of "
+            f"{len(blocks)} (next: "
+            f"{blocks[pairing['bi']].query.splitlines()[0][:60]!r})"
+        )
     return rep

@@ -22,7 +22,7 @@ from apache_hive_2_1_1_src_spark import qtest  # noqa: E402
 from apache_hive_2_1_1_src_spark.session import HiveEngine, build_session  # noqa: E402
 
 EXCLUDE = re.compile(
-    r"\b(dfs\s|add\s+jar|add\s+file|src_thrift|src_json|src_sequencefile|"
+    r"\b(add\s+jar|add\s+file|src_thrift|src_json|src_sequencefile|"
     r"alltypesorc|srcbucket|cbo_t4|cbo_t5|cbo_t6|"
     r"creat\w+\s+index|"
     # TRANSFORM is supported; only scripts outside the checkout are not
@@ -36,14 +36,19 @@ EXCLUDE = re.compile(
 #: whole families the runner scopes out (fixture formats / ALTER surfaces
 #: the engine covers through its own gate entries instead)
 EXCLUDE_NAME = re.compile(
-    r"^(avro_|alter_|rcfile_|encryption_|llap_|vector)"
+    r"^(encryption_|llap_|vector)"
 )
 
 
 def eligible(name: str, qtext: str) -> bool:
+    """Round-8 widening: dfs commands are emulated (qtest._emulate_dfs),
+    rcfile_/avro_/alter_ families run through the engine's own format and
+    DDL surfaces, and the SORT_QUERY_RESULTS directive is no longer
+    required — the runner compares SORTED row sets on both sides, so an
+    order-sensitive golden is still value-comparable (only files whose
+    goldens depend on Hive-specific row CHOICE, e.g. LIMIT without ORDER
+    BY, can legitimately mismatch)."""
     if EXCLUDE_NAME.match(name):
-        return False
-    if "SORT_QUERY_RESULTS" not in qtext:
         return False
     if EXCLUDE.search(qtext):
         return False
@@ -90,7 +95,7 @@ def main() -> None:
             else:
                 status = f"MISMATCH {rep.mismatches[0][:120]}"
         except Exception as e:  # noqa: BLE001
-            status = f"ERROR {str(e).splitlines()[0][:120]}"
+            status = "ERROR " + " ".join(str(e).split())[:160]
         out.write(f"{name}\t{status}\n")
         out.flush()
         print(f"[{i + 1}/{len(names)}] {name}: {status.split()[0]}", flush=True)
