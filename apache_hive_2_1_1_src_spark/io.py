@@ -102,7 +102,13 @@ def write_hive_text(
 
 
 def read_hive_text(
-    spark: SparkSession, path: str, schema, null_str: str = "\\N", sep: str = "\x01"
+    spark: SparkSession,
+    path: str,
+    schema,
+    null_str: str = "\\N",
+    sep: str = "\x01",
+    coll_sep: str = "\x02",
+    key_sep: str = "\x03",
 ) -> DataFrame:
     """Read Hive text with an explicit schema (schema-on-read — the
     catalog supplies column types, the serde parses bytes:
@@ -124,25 +130,53 @@ def read_hive_text(
         schema = T.StructType.fromDDL(schema)
     parts = F.split(F.col("value"), _re.escape(sep), -1)
 
+    # LazySimpleSerDe's separator ladder: level 0 = field.delim, 1 =
+    # collection.delim (^B default), 2 = mapkey.delim (^C default), then
+    # ^D.. for deeper nesting (LazySerDeParameters.collectionDelims)
+    seps = [sep, coll_sep, key_sep] + [chr(b) for b in range(4, 9)]
+
+    def build(col, dt, lvl: int):
+        s = _re.escape(seps[lvl])
+        if isinstance(dt, T.ArrayType):
+            return F.transform(
+                F.split(col, s, -1), lambda x: build(x, dt.elementType, lvl + 1)
+            )
+        if isinstance(dt, T.MapType):
+            ks = _re.escape(seps[lvl + 1])
+            entries = F.split(col, s, -1)
+            return F.map_from_arrays(
+                F.transform(
+                    entries,
+                    lambda e: build(
+                        F.split(e, ks).getItem(0), dt.keyType, lvl + 2
+                    ),
+                ),
+                F.transform(
+                    entries,
+                    lambda e: build(
+                        F.split(e, ks).getItem(1), dt.valueType, lvl + 2
+                    ),
+                ),
+            )
+        if isinstance(dt, T.StructType):
+            sf = F.split(col, s, -1)
+            built = F.struct(
+                *[
+                    build(sf.getItem(i), sub.dataType, lvl + 1).alias(sub.name)
+                    for i, sub in enumerate(dt.fields)
+                ]
+            )
+            return F.when(col.isNull(), F.lit(None).cast(dt)).otherwise(built)
+        # \N inside a collection element is null too (LazyPrimitive
+        # checks the null sequence at every nesting level)
+        return F.when(col == null_str, None).otherwise(col).cast(
+            dt.simpleString()
+        )
+
     def field_col(i: int, f: "T.StructField"):
         raw = parts.getItem(i)
         cell = F.when(raw == null_str, None).otherwise(raw)
-        # LazySimpleSerDe collection parsing: items split on ^B
-        # (collection.delim), map entries keyed on ^C (mapkey.delim)
-        if isinstance(f.dataType, T.ArrayType):
-            et = f.dataType.elementType.simpleString()
-            return F.transform(
-                F.split(cell, "\x02", -1), lambda x: x.cast(et)
-            ).alias(f.name)
-        if isinstance(f.dataType, T.MapType):
-            kt = f.dataType.keyType.simpleString()
-            vt = f.dataType.valueType.simpleString()
-            entries = F.split(cell, "\x02", -1)
-            return F.map_from_arrays(
-                F.transform(entries, lambda e: F.split(e, "\x03").getItem(0).cast(kt)),
-                F.transform(entries, lambda e: F.split(e, "\x03").getItem(1).cast(vt)),
-            ).alias(f.name)
-        return cell.cast(f.dataType).alias(f.name)
+        return build(cell, f.dataType, 1).alias(f.name)
 
     cols = [field_col(i, f) for i, f in enumerate(schema.fields)]
     return spark.read.text(path).select(cols)
