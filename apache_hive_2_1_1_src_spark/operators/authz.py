@@ -55,6 +55,11 @@ class Authorizer:
     role_grants: dict[str, set[str]] = field(default_factory=dict)
     #: (object, principal) -> set of privileges
     grants: dict[tuple[str, str], set[str]] = field(default_factory=dict)
+    #: hive.users.in.admin.role (data/conf/hive-site.xml:264 ships
+    #: hive_admin_user) — users who may SET ROLE admin without a grant
+    admin_users: set[str] = field(
+        default_factory=lambda: {"hive_admin_user"}
+    )
 
     # -- role DDL ---------------------------------------------------------
     def create_role(self, role: str) -> None:
@@ -125,6 +130,14 @@ class Authorizer:
         if role.upper() == "NONE":
             self._active_roles[user] = set()
             return
+        if role not in self.roles and role.lower() in self.roles:
+            role = role.lower()  # SET ROLE ADMIN == set role admin
+        if role.lower() == ADMIN_ROLE and user in getattr(
+            self, "admin_users", ()
+        ):
+            # hive.users.in.admin.role (hive-site.xml:264): listed users
+            # may activate the admin role without an explicit grant
+            self.grant_role(ADMIN_ROLE, user)
         if role not in self._closure(user):
             raise AuthorizationError(
                 f"Permission denied: user [{user}] does not belong to "

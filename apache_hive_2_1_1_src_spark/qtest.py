@@ -42,8 +42,15 @@ DATA_DIR = f"{REF}/data/files"
 Q_DIR = f"{REF}/ql/src/test/queries/clientpositive"
 OUT_DIR = f"{REF}/ql/src/test/results/clientpositive"
 
-#: statements QTestUtil executes without emitting PREHOOK blocks
-_UNHOOKED = re.compile(r"^\s*(set|reset|dfs|add\s|delete\s)", re.IGNORECASE)
+#: statements QTestUtil executes without emitting PREHOOK blocks.
+#: `set role` IS hooked (a real SQL statement, unlike conf sets), and
+#: bare add/delete only cover the jar/file resource commands — SQL-text
+#: DELETE FROM is a query
+_UNHOOKED = re.compile(
+    r"^\s*(set\s+(?!\s*role\b)|reset\b|dfs\b|add\s+(jar|file)\b|"
+    r"delete\s+(jar|file)\b)",
+    re.IGNORECASE,
+)
 
 
 def reference_available() -> bool:
