@@ -3,9 +3,9 @@ test: real clientpositive .q files executed unmodified through
 HiveEngine.sql and compared against the reference's own .q.out goldens
 (QTestUtil protocol; see apache_hive_2_1_1_src_spark/qtest.py).
 
-tests/qtest_verbatim_passing.txt freezes the full 283-file passing set
+tests/qtest_verbatim_passing.txt freezes the full 1021-file passing set
 certified by scripts/qtest_sweep.py.  Re-running all 255 per pytest
-session costs ~8 minutes, so the default run takes a deterministic
+session is far too slow, so the default run takes a deterministic
 stratified sample across the .q families; export QTEST_FULL=1 for the
 whole manifest (what the sweep script also does).
 
@@ -35,9 +35,9 @@ ALL_NAMES = [
 if os.environ.get("QTEST_FULL"):
     NAMES = ALL_NAMES
 else:
-    # deterministic stratified sample: every 7th file, so each .q family
+    # deterministic stratified sample: every 25th file, so each .q family
     # keeps representatives and the set is identical across runs
-    NAMES = ALL_NAMES[::7]
+    NAMES = ALL_NAMES[::25]
 
 
 @pytest.fixture(scope="module")
