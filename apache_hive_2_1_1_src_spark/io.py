@@ -82,21 +82,72 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def write_hive_text(
-    df: DataFrame, path: str, mode: str = "overwrite", null_str: str = "\\N"
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    null_str: str = "\\N",
+    sep: str = "\x01",
+    coll_sep: str = "\x02",
+    key_sep: str = "\x03",
 ) -> None:
-    """Write as Hive text (^A-delimited) —
-    HiveIgnoreKeyTextOutputFormat equivalent
+    """Write as Hive text (^A-delimited by default; ``ROW FORMAT
+    DELIMITED FIELDS/COLLECTION ITEMS/MAP KEYS TERMINATED BY`` override
+    the ladder) — HiveIgnoreKeyTextOutputFormat equivalent
     (ql/.../io/HiveIgnoreKeyTextOutputFormat.java).  ``null_str`` is
     LazySimpleSerDe's serialization.null.format (default the two chars
     "\\N"; ``NULL DEFINED AS '...'`` / SET SERDEPROPERTIES override it —
-    nullformat.q)."""
+    nullformat.q).  Complex types serialize with LazySimpleSerDe's
+    separator ladder (LazySerDeParameters.collectionDelims): array
+    elements joined by the collection delim, map entries k<key_sep>v
+    joined by the collection delim, struct fields by the collection
+    delim — insert_overwrite_local_directory_1.q pins the custom-delim
+    forms."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    seps = [sep, coll_sep, key_sep] + [chr(b) for b in range(4, 9)]
+
+    def cell(col, dt, lvl: int):
+        if isinstance(dt, T.ArrayType):
+            return F.array_join(
+                F.transform(col, lambda x: cell(x, dt.elementType, lvl + 1)),
+                seps[lvl],
+                null_str,
+            )
+        if isinstance(dt, T.MapType):
+            return F.array_join(
+                F.transform(
+                    F.map_entries(col),
+                    lambda e: F.concat(
+                        cell(e["key"], dt.keyType, lvl + 2),
+                        F.lit(seps[lvl + 1]),
+                        cell(e["value"], dt.valueType, lvl + 2),
+                    ),
+                ),
+                seps[lvl],
+                null_str,
+            )
+        if isinstance(dt, T.StructType):
+            return F.concat_ws(
+                seps[lvl],
+                *[
+                    F.coalesce(
+                        cell(col.getField(sub.name), sub.dataType, lvl + 1),
+                        F.lit(null_str),
+                    )
+                    for sub in dt.fields
+                ],
+            )
+        return col.cast("string")
 
     # text sink, not CSV: LazySimpleSerDe never quotes, so a value
     # containing '"' must be written raw (mirror of the read path)
     line = F.concat_ws(
-        "\x01",
-        *[F.coalesce(F.col(c).cast("string"), F.lit(null_str)) for c in df.columns],
+        sep,
+        *[
+            F.coalesce(cell(F.col(f.name), f.dataType, 1), F.lit(null_str))
+            for f in df.schema.fields
+        ],
     )
     df.select(line.alias("value")).write.mode(mode).text(path)
 

@@ -322,6 +322,16 @@ def _statements_ordered(qtext: str, eng):
     return out
 
 
+def _write_redirect_dir() -> str:
+    """Scratch mirror for .q write targets that would otherwise land in
+    the read-only reference tree (../../data/files)."""
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "qtest_redirect")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _emulate_dfs(eng, stmt: str) -> list[str]:
     """Hadoop-shell dfs commands QTestUtil executes inline
     (CliDriver → FsShell): emulate the handful the .q corpus uses
@@ -341,7 +351,10 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
     cmd, path = parts[0], (parts[-1] if len(parts) > 1 else "")
     path = re.sub(r"^file:/*", "/", path)
     tmp = os.path.realpath(tempfile.gettempdir())
-    inside_tmp = os.path.realpath(path or "/").startswith(tmp)
+    real = os.path.realpath(path or "/")
+    # prefix check must be separator-anchored: /tmpfoo shares the string
+    # prefix of /tmp but is OUTSIDE the scratch space
+    inside_tmp = real == tmp or real.startswith(tmp + os.sep)
     if cmd == "-ls":
         # Hive table dirs carry only data files (MoveTask); Spark's
         # _SUCCESS markers and .crc shadows would inflate the count
@@ -352,10 +365,62 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
             return [f"Found {len(entries)} items"]
         except OSError:
             return []
+    if cmd == "-cat":
+        # a .q cat of a directory it just wrote: the write target was
+        # redirected out of the read-only reference tree, so follow the
+        # same mapping; Hive names its single output 000000_0 while the
+        # engine writes part-* files — cat every data file in the dir
+        # (the runner's sorted compare makes the concatenation
+        # order-insensitive)
+        if not os.path.exists(path) and path.startswith(DATA_DIR):
+            path = _write_redirect_dir() + path[len(DATA_DIR):]
+        cand = [path]
+        if not os.path.isfile(path):
+            d = os.path.dirname(path)
+            try:
+                cand = sorted(
+                    os.path.join(d, e)
+                    for e in os.listdir(d)
+                    if not e.startswith((".", "_"))
+                )
+            except OSError:
+                return []
+        lines: list[str] = []
+        for fp in cand:
+            try:
+                with open(fp, encoding="utf-8", errors="replace") as fh:
+                    lines.extend(fh.read().splitlines())
+            except OSError:
+                pass
+        return lines
     if cmd in ("-rmr", "-rm") and inside_tmp:
         shutil.rmtree(path, ignore_errors=True)
     elif cmd == "-mkdir" and inside_tmp:
         os.makedirs(path, exist_ok=True)
+    elif cmd == "-put" and len(parts) >= 3 and inside_tmp:
+        # -put <src> <dst>: dst must land in scratch (inside_tmp checks
+        # the LAST operand = dst).  A src the engine wrote has part-*
+        # names where Hive's golden says 000000_0 — copy every data file
+        # of the src dir into dst's directory instead of renaming.
+        src = re.sub(r"^file:/*", "/", parts[1])
+        if not os.path.exists(src) and src.startswith(DATA_DIR):
+            src = _write_redirect_dir() + src[len(DATA_DIR):]
+        dst_dir = path if os.path.isdir(path) else os.path.dirname(path)
+        os.makedirs(dst_dir, exist_ok=True)
+        srcs = [src]
+        if not os.path.isfile(src):
+            d = os.path.dirname(src)
+            try:
+                srcs = [
+                    os.path.join(d, e)
+                    for e in sorted(os.listdir(d))
+                    if not e.startswith((".", "_"))
+                ]
+            except OSError:
+                srcs = []
+        for sp in srcs:
+            if os.path.isfile(sp):
+                shutil.copy(sp, os.path.join(dst_dir, os.path.basename(sp)))
     return []
 
 
@@ -493,6 +558,15 @@ def run_qfile(eng, name: str) -> QFileReport:
     qtext = open(qpath, encoding="utf-8", errors="replace").read()
     # path remap: .q files address fixture data relative to ql/src/test
     qtext = qtext.replace("../../data/files", DATA_DIR)
+    # WRITE targets (INSERT OVERWRITE [LOCAL] DIRECTORY) that land under
+    # the reference tree are redirected to scratch — the reference is
+    # read-only; QTestUtil's real runs write into a build dir anyway.
+    # dfs -cat of those paths follows the same mapping (_emulate_dfs).
+    qtext = re.sub(
+        r"(?i)(DIRECTORY\s+')" + re.escape(DATA_DIR),
+        lambda m: m.group(1) + _write_redirect_dir(),
+        qtext,
+    )
     # pre-clean every table this .q creates — a crashed earlier run may
     # have left a warehouse dir behind without a catalog entry
     for tname in re.findall(
