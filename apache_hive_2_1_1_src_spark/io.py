@@ -152,6 +152,42 @@ def write_hive_text(
     df.select(line.alias("value")).write.mode(mode).text(path)
 
 
+_B64_ALPHABET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+)
+_B64_INDEX = {c: i for i, c in enumerate(_B64_ALPHABET)}
+
+
+def _commons_decode_base64(s):
+    """commons-codec Base64.decodeBase64 semantics: skip characters
+    outside the alphabet, stop at '=', emit every full 8 bits
+    accumulated — never raises (LazyBinary.java decodes arbitrary text
+    this way)."""
+    if s is None:
+        return None
+    acc = bits = 0
+    out = bytearray()
+    for ch in s:
+        if ch == "=":
+            break
+        idx = _B64_INDEX.get(ch)
+        if idx is None:
+            continue
+        acc = (acc << 6) | idx
+        bits += 6
+        if bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+    return bytes(out)
+
+
+def _lenient_unbase64(col):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    return F.udf(_commons_decode_base64, T.BinaryType())(col)
+
+
 def read_hive_text(
     spark: SparkSession,
     path: str,
@@ -160,6 +196,7 @@ def read_hive_text(
     sep: str = "\x01",
     coll_sep: str = "\x02",
     key_sep: str = "\x03",
+    extended_bool: bool = False,
 ) -> DataFrame:
     """Read Hive text with an explicit schema (schema-on-read — the
     catalog supplies column types, the serde parses bytes:
@@ -195,17 +232,21 @@ def read_hive_text(
         if isinstance(dt, T.MapType):
             ks = _re.escape(seps[lvl + 1])
             entries = F.split(col, s, -1)
+            # split on the FIRST key delimiter only (limit 2): LazyMap
+            # scans for one delimiter and treats the rest as the value —
+            # a timestamp value containing ':' must survive intact
+            # (avro_timestamp.q's map<string,timestamp> with ':' keys)
             return F.map_from_arrays(
                 F.transform(
                     entries,
                     lambda e: build(
-                        F.split(e, ks).getItem(0), dt.keyType, lvl + 2
+                        F.split(e, ks, 2).getItem(0), dt.keyType, lvl + 2
                     ),
                 ),
                 F.transform(
                     entries,
                     lambda e: build(
-                        F.split(e, ks).getItem(1), dt.valueType, lvl + 2
+                        F.split(e, ks, 2).getItem(1), dt.valueType, lvl + 2
                     ),
                 ),
             )
@@ -220,6 +261,33 @@ def read_hive_text(
             return F.when(col.isNull(), F.lit(None).cast(dt)).otherwise(built)
         # \N inside a collection element is null too (LazyPrimitive
         # checks the null sequence at every nesting level)
+        if isinstance(dt, T.BinaryType):
+            # LazyBinary.java base64-DECODES text bytes on read through
+            # commons-codec, which IGNORES invalid characters and
+            # partial trailing groups rather than erroring (binary.txt
+            # holds plain sentences; compute_stats_binary.q's
+            # avglength=20.0 is the lenient-decoded length).  Spark's
+            # unbase64 is strict, so decode with the same lenient rule.
+            return F.when(col == null_str, None).otherwise(
+                _lenient_unbase64(col)
+            )
+        if isinstance(dt, T.BooleanType):
+            # LazyBoolean.java accepts exactly TRUE/FALSE (any case),
+            # everything else is NULL — Spark's string→boolean cast
+            # also accepts t/f/y/n/1/0, silently flipping bool_literal.q
+            # rows Hive reads as NULL.  With
+            # hive.lazysimple.extended_boolean_literal, T/t/1 and F/f/0
+            # join the accepted spellings (LazyBoolean.parseBoolean).
+            # (The CAST path is a DIFFERENT rule: GenericUDFToBoolean =
+            # non-empty string → true.)
+            up = F.upper(col)
+            truthy = ("TRUE", "T", "1") if extended_bool else ("TRUE",)
+            falsy = ("FALSE", "F", "0") if extended_bool else ("FALSE",)
+            return (
+                F.when(up.isin(*truthy), F.lit(True))
+                .when(up.isin(*falsy), F.lit(False))
+                .otherwise(F.lit(None).cast("boolean"))
+            )
         return F.when(col == null_str, None).otherwise(col).cast(
             dt.simpleString()
         )

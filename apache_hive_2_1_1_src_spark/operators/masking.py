@@ -154,19 +154,23 @@ def rewrite_with_policies(
         if any(s <= m.start() < e for s, e in spans):
             return m.group(0)
         kw, db, tab, sample, alias = m.groups()
-        if db and db.lower() not in ("default",):
-            return m.group(0)
         trailing_kw = ""
         if alias and alias.lower() in _NOT_ALIAS:
             # alias slot grabbed a clause keyword (FROM t WHERE ...),
             # not an alias — re-emit it after the substitution
             trailing_kw = f" {alias}"
             alias = None
-        cols = schema_fn(tab.lower())
+        # a db-qualified reference is still the SAME policied table name:
+        # the reference authorizer keys policies by table name regardless
+        # of database (SQLStdHiveAuthorizationValidatorForTest.java
+        # filters by name) — masking_1_newdb.q's newdb.masking_test must
+        # be rewritten too, else the row filter is silently bypassed
+        qualified = f"{db}.{tab}" if db else tab
+        cols = schema_fn(qualified.lower() if db else tab.lower())
         if cols is None:
             return m.group(0)
         pol = policies[tab.lower()]
-        body = masked_subquery(tab, alias or tab, cols, pol)
+        body = masked_subquery(qualified, alias or tab, cols, pol)
         if sample:
             # Hive: `tab TABLESAMPLE (...) alias`; on a derived table
             # Spark wants the sample BEFORE the alias — same semantics

@@ -222,3 +222,103 @@ def try_stats_only_answer(spark: SparkSession, text: str) -> DataFrame | None:
             exprs.append(f"CAST({lit} AS {ctype}) AS {alias}")
     # literal one-row projection: the table never enters the plan
     return spark.sql("SELECT " + ", ".join(exprs))
+
+
+# ---------------------------------------------------------------------------
+# MetadataOnlyOptimizer (ql/.../optimizer/physical/MetadataOnlyOptimizer.java,
+# on by default via hive.optimize.metadataonly): a query whose referenced
+# columns are ALL partition keys answers from the partition LIST — one row
+# per partition — even when the partitions hold zero data rows
+# (metadataonly1.q: ``select max(ds) from TEST1`` over an empty ds='1'
+# partition returns '1').  Non-distinct count(pcol) still counts real rows,
+# so only distinct-insensitive shapes are eligible: min/max(pcol),
+# count(DISTINCT pcols), SELECT [DISTINCT] pcols, GROUP BY pcols.
+_META_SHAPE = re.compile(
+    r"^\s*SELECT\s+(?P<body>.+?)\s+FROM\s+(?P<table>[\w.]+)"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>[\w.,\s]+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _partition_rows(spark: SparkSession, table: str):
+    """[(pcol values...)] per partition from SHOW PARTITIONS, plus the
+    partition column names — None when the table is unpartitioned."""
+    try:
+        rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
+    except Exception:
+        return None, None
+    from urllib.parse import unquote
+
+    tuples, names = [], None
+    for r in rows:
+        parts = str(r[0]).split("/")
+        kv = [p.split("=", 1) for p in parts]
+        if names is None:
+            names = [k for k, _ in kv]
+        # partition spec values are URL-escaped in the catalog path
+        # (FileUtils.escapePathName — '01:10:10' prints 01%3A10%3A10)
+        tuples.append(tuple(unquote(v) for _, v in kv))
+    return names, tuples
+
+
+def try_partition_metadata_answer(
+    spark: SparkSession, text: str
+) -> DataFrame | None:
+    if re.search(r"\b(WHERE|JOIN|UNION|HAVING|OVER|LIMIT)\b|\(\s*SELECT",
+                 text, re.IGNORECASE):
+        return None
+    m = _META_SHAPE.match(text)
+    if not m:
+        return None
+    table, body, group = m.group("table"), m.group("body"), m.group("group")
+    try:
+        cols = spark.catalog.listColumns(table)
+    except Exception:
+        return None
+    pcols = {c.name.lower() for c in cols if c.isPartition}
+    dcols = {c.name.lower() for c in cols if not c.isPartition}
+    if not pcols:
+        return None
+    # every referenced identifier must be a partition key (aliases after
+    # AS are output names, not references)
+    scan_text = re.sub(
+        r"\bAS\s+\w+", " ", body + " " + (group or ""), flags=re.IGNORECASE
+    )
+    idents = {
+        w.lower()
+        for w in re.findall(r"[A-Za-z_]\w*", scan_text)
+        if w.lower()
+        not in ("select", "distinct", "min", "max", "count", "as", "by")
+    }
+    if not idents or not idents <= pcols or idents & dcols:
+        return None
+    # eligibility: any bare count(pcol)/sum/avg counts DATA rows — bail
+    if re.search(r"\bCOUNT\s*\(\s*(?!DISTINCT\b)[A-Za-z_]", body, re.IGNORECASE):
+        return None
+    if re.search(r"\b(SUM|AVG|STDDEV\w*|VAR\w*|COLLECT_\w+)\s*\(", body, re.IGNORECASE):
+        return None
+    names, tuples = _partition_rows(spark, table)
+    if not names:
+        return None
+    types = {
+        c.name.lower(): c.dataType for c in cols if c.isPartition
+    }
+    pdf = spark.createDataFrame(
+        tuples or [tuple([None] * len(names))],
+        ", ".join(f"`{n}` string" for n in names),
+    )
+    if not tuples:
+        pdf = pdf.limit(0)
+    view = f"__partmeta_{abs(hash(table)) % 10**8}"
+    sel = pdf.selectExpr(
+        *[f"CAST(`{n}` AS {types.get(n.lower(), 'string')}) AS `{n}`" for n in names]
+    )
+    sel.createOrReplaceTempView(view)
+    rewritten = re.sub(
+        rf"\bFROM\s+{re.escape(table)}\b", f"FROM {view}", text,
+        flags=re.IGNORECASE,
+    )
+    try:
+        return spark.sql(rewritten.rstrip().rstrip(";"))
+    except Exception:
+        return None

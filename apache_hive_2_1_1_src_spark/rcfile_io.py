@@ -367,22 +367,27 @@ def read_rcfile(
         for batch in batches:
             for content in batch.column("content"):
                 ncols, rows = decode_rcfile(content.as_py())
-                if ncols != ncols_expected:
+                if ncols > ncols_expected:
                     raise ValueError(
                         f"RCFile has {ncols} columns, schema expects "
                         f"{ncols_expected}"
                     )
+                # FEWER file columns than the schema is Hive's lazy
+                # schema-on-read: missing trailing columns are NULL
+                # (ColumnarStruct.getField returns null past the file's
+                # column count — smb_mapjoin_10.q loads 2-column
+                # smbbucket_*.rc into a 4-column table)
                 arrays = [
                     pa.array(
                         [
                             None
-                            if r[i] == NULL_BYTES
+                            if i >= ncols or r[i] == NULL_BYTES
                             else r[i].decode("utf-8")
                             for r in rows
                         ],
                         type=pa.string(),
                     )
-                    for i in range(ncols)
+                    for i in range(ncols_expected)
                 ]
                 yield pa.RecordBatch.from_arrays(arrays, names=cols)
 

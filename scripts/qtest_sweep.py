@@ -28,7 +28,7 @@ EXCLUDE = re.compile(
     # TRANSFORM is supported; only scripts outside the checkout are not
     r"USING\s+'[^']*\.(py|sh|pl|jar)'|"
     r"druid|import\s|export\s|show\s+locks|"
-    r"change\s+column|replace\s+columns|touch\s|archive\s|unarchive\s|"
+    r"touch\s|archive\s|unarchive\s|"
     r"tablesample\s*\(\s*bucket|rand\s*\(|"
     r"hive\.server2|windowing_windowspec)\b",
     re.IGNORECASE,
