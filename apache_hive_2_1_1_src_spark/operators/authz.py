@@ -62,12 +62,18 @@ class Authorizer:
     )
 
     # -- role DDL ---------------------------------------------------------
+    # role names are case-INSENSITIVE in SQL-standard auth
+    # (HiveAuthzPluginException text uses lowercase; authorization_role_
+    # grant2.q creates srC_role_wadmin and grants src_role_wadmin) —
+    # normalize to lowercase at every entry point
     def create_role(self, role: str) -> None:
+        role = role.lower()
         if role in self.roles:
             raise ValueError(f"role already exists: {role}")
         self.roles.add(role)
 
     def drop_role(self, role: str) -> None:
+        role = role.lower()
         if role in (ADMIN_ROLE, "public"):
             raise ValueError(f"cannot drop reserved role: {role}")
         self.roles.discard(role)
@@ -83,6 +89,7 @@ class Authorizer:
     def grant_role(self, role: str, principal: str) -> None:
         """GRANT ROLE role TO USER/ROLE principal.  Rejects unknown roles
         and membership cycles (SQLStdHiveAccessController checks both)."""
+        role = role.lower()
         if role not in self.roles:
             raise ValueError(f"no such role: {role}")
         # the new edge makes `principal` inherit `role`; if `role` already
@@ -94,7 +101,7 @@ class Authorizer:
         self.role_grants.setdefault(principal, set()).add(role)
 
     def revoke_role(self, role: str, principal: str) -> None:
-        self.role_grants.get(principal, set()).discard(role)
+        self.role_grants.get(principal, set()).discard(role.lower())
 
     def _closure(self, principal: str) -> set[str]:
         """All roles reachable from a principal (BFS, cycle-safe)."""

@@ -535,7 +535,7 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
         shutil.rmtree(path, ignore_errors=True)
     elif cmd == "-mkdir" and inside_tmp:
         os.makedirs(path, exist_ok=True)
-    elif cmd in ("-put", "-cp") and len(parts) >= 3 and inside_tmp:
+    elif cmd in ("-put", "-cp", "-copyFromLocal") and len(parts) >= 3 and inside_tmp:
         # -put <src> <dst>: dst must land in scratch (inside_tmp checks
         # the LAST operand = dst).  A src the engine wrote has part-*
         # names where Hive's golden says 000000_0 — copy every data file
@@ -691,11 +691,21 @@ def run_qfile(eng, name: str) -> QFileReport:
     # from one .q must not leak into the next (cbo_rp_windowing_2's
     # returnpath flag would otherwise rewrite ptf_decimal's cume_dist)
     eng.sql("RESET")
+    # ... and clears authorization state (clearTestSideEffects drops
+    # roles): a role created by one .q must not pre-exist in the next
+    # (authorization_non_id.q re-creates src_role2)
+    try:
+        eng.authz = type(eng.authz)()
+    except Exception:
+        pass
     qpath = os.path.join(Q_DIR, f"{name}.q")
     opath = os.path.join(OUT_DIR, f"{name}.q.out")
     qtext = open(qpath, encoding="utf-8", errors="replace").read()
     # path remap: .q files address fixture data relative to ql/src/test
     qtext = qtext.replace("../../data/files", DATA_DIR)
+    # QTestUtil's fs is local pseudo-HDFS — hdfs:/// URIs resolve to the
+    # local filesystem (temp_table_external.q)
+    qtext = qtext.replace("hdfs://", "file://")
     # WRITE targets (INSERT OVERWRITE [LOCAL] DIRECTORY) that land under
     # the reference tree are redirected to scratch — the reference is
     # read-only; QTestUtil's real runs write into a build dir anyway.

@@ -1117,7 +1117,103 @@ def q213_hplsql_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q249_union_limit_whole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A trailing LIMIT binds to the WHOLE union in Hive 2.1, with rows
+    drawn round-robin from the LAST branch first (parquet_ppd_char.q's
+    5-apple/5-hello fixture; merge4.q's POSTHOOK outputs list only the
+    limited row's partition).  The round-8 branch-binding rewrite
+    silently inflated such queries 100x — this pins both the COUNT and
+    the even split."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    return eng.sql(
+        "select c, count(*) as n from ("
+        "  select 'a' as c from region union all"
+        "  select 'b' as c from nation limit 10"
+        ") u group by c order by c"
+    )
+
+
+def q250_legacy_outer_join_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hive.outerjoin.supports.filters=false (pre-HIVE-1534 legacy,
+    SemanticAnalyzer.java:2688-2810): single-sided ON filters of an
+    OUTER join are pushed BEFORE the join, so preserved-side rows
+    failing their own filter DISAPPEAR (join_1to1.q's 21-row goldens).
+    The oracle expresses the pushing explicitly with pre-filtered
+    derived tables."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    eng.set_var("hive.outerjoin.supports.filters", "false")
+    try:
+        return eng.sql(
+            "select n.n_name, r.r_name from nation n "
+            "full outer join region r on n.n_regionkey = r.r_regionkey"
+            " and n.n_nationkey < 5 and r.r_regionkey < 3"
+        )
+    finally:
+        eng._vars.pop("hive.outerjoin.supports.filters", None)
+
+
+def q251_compute_stats_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compute_stats() (GenericUDAFComputeStats.java) over region.r_name:
+    maxlength/avglength/countnulls plus the Flajolet-Martin NDV bit
+    vectors reproduced BIT-EXACTLY (fixed-seed java.util.Random LCG —
+    NumDistinctValueEstimator.java:80).  region is the same 5 rows at
+    every SF, so the full display string is a deterministic constant
+    the oracle pins verbatim."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    return eng.sql(
+        "select compute_stats(r_name, 16) as stats from region"
+    )
+
+
+def q252_partition_metadata_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MetadataOnlyOptimizer (optimizer/physical/MetadataOnlyOptimizer
+    .java, on by default): partition-KEY-only aggregates answer from the
+    partition LIST even when partitions hold zero rows — metadataonly1.q
+    pins max(ds)='1' over an empty partition while the non-distinct
+    count stays 0 (real rows)."""
+    import os as _os
+    import shutil as _shutil
+
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS q252_meta_t")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    _shutil.rmtree(
+        _os.path.join(wh.removeprefix("file:"), "q252_meta_t"),
+        ignore_errors=True,
+    )
+    spark.sql(
+        "CREATE TABLE q252_meta_t (a int) USING parquet "
+        "PARTITIONED BY (ds string)"
+    )
+    spark.sql("ALTER TABLE q252_meta_t ADD PARTITION (ds='1')")
+    spark.sql("ALTER TABLE q252_meta_t ADD PARTITION (ds='2')")
+    mx = eng.sql("select max(ds) as m from q252_meta_t").collect()[0].m
+    nd = eng.sql(
+        "select count(distinct ds) as n from q252_meta_t"
+    ).collect()[0].n
+    cnt = eng.sql("select count(ds) as c from q252_meta_t").collect()[0].c
+    spark.sql("DROP TABLE q252_meta_t")
+    return spark.createDataFrame(
+        [(mx, int(nd), int(cnt))], "max_ds string, ndv_ds bigint, cnt_ds bigint"
+    )
+
+
 QUERIES = {
+    "q249_union_limit_whole": q249_union_limit_whole,
+    "q250_legacy_outer_join_filters": q250_legacy_outer_join_filters,
+    "q251_compute_stats_udaf": q251_compute_stats_udaf,
+    "q252_partition_metadata_answers": q252_partition_metadata_answers,
     "q247_authorization_sql_statements": q247_authorization_sql_statements,
     "q240_stats_autogather": q240_stats_autogather,
     "q213_hplsql_procedure": q213_hplsql_procedure,
@@ -1166,6 +1262,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q249_union_limit_whole": """
+        SELECT 'a' AS c, CAST(5 AS BIGINT) AS n
+        UNION ALL SELECT 'b', CAST(5 AS BIGINT) ORDER BY c
+    """,
+    "q250_legacy_outer_join_filters": """
+        SELECT n.n_name, r.r_name
+        FROM (SELECT * FROM nation WHERE n_nationkey < 5) n
+        FULL OUTER JOIN (SELECT * FROM region WHERE r_regionkey < 3) r
+          ON n.n_regionkey = r.r_regionkey
+    """,
+    # the FM sketch is deterministic (fixed-seed LCG) and region is the
+    # same 5 rows at every SF — the display string is a constant
+    "q251_compute_stats_udaf": """
+        SELECT '{"columntype":"String","maxlength":11,"avglength":6.8,'
+            || '"countnulls":0,"numdistinctvalues":7,"ndvbitvector":'
+            || '"{0, 2, 4}{0, 1, 2}{0, 1}{0, 1, 2, 3}{0, 1, 2}{0, 1, 2}'
+            || '{0, 1, 2, 3}{0, 1, 3}{0, 1, 3, 5}{0, 2, 3, 4}{0, 1, 2, 3}'
+            || '{0, 1}{0, 2}{0, 1, 2}{0}{0, 1, 2}"}' AS stats
+    """,
+    "q252_partition_metadata_answers": """
+        SELECT '2' AS max_ds, CAST(2 AS BIGINT) AS ndv_ds,
+               CAST(0 AS BIGINT) AS cnt_ds
+    """,
     "q247_authorization_sql_statements": """
         SELECT * FROM (VALUES
           ('s1_all_roles',     TRUE,  TRUE,  TRUE, 2, 4),

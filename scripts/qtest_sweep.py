@@ -72,7 +72,14 @@ def main() -> None:
     limit = int(sys.argv[1]) if len(sys.argv) > 1 else len(names)
     names = names[:limit]
     print(f"{len(names)} eligible files")
-    spark = build_session(app_name="qtest-sweep", shuffle_partitions=8)
+    # isolated warehouse: the sweep runs for a long time and must not
+    # collide with other engine sessions dropping/creating the same
+    # fixture tables in the default spark-warehouse
+    spark = build_session(
+        app_name="qtest-sweep",
+        shuffle_partitions=8,
+        warehouse_dir="/tmp/qtest_sweep_warehouse",
+    )
     spark.sparkContext.setLogLevel("ERROR")
     eng = HiveEngine(spark, "/root/testdata/sf0.001")
     qtest.init_classic_tables(eng)
