@@ -69,8 +69,25 @@ def main() -> None:
             continue
         if eligible(name, qtext):
             names.append(name)
-    limit = int(sys.argv[1]) if len(sys.argv) > 1 else len(names)
-    names = names[:limit]
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("limit", nargs="?", type=int, default=None)
+    ap.add_argument("--skip-file", help="results file whose names to skip")
+    ap.add_argument("--shard", help="i/N slice of the name list")
+    ap.add_argument("--out", default="qtest_sweep_results.txt")
+    ap.add_argument("--warehouse", default="/tmp/qtest_sweep_warehouse")
+    args = ap.parse_args()
+    if args.skip_file and os.path.exists(args.skip_file):
+        done = {
+            ln.split("\t", 1)[0] for ln in open(args.skip_file) if "\t" in ln
+        }
+        names = [n for n in names if n not in done]
+    if args.shard:
+        i, n = (int(x) for x in args.shard.split("/"))
+        names = names[i::n]
+    if args.limit:
+        names = names[: args.limit]
     print(f"{len(names)} eligible files")
     # isolated warehouse: the sweep runs for a long time and must not
     # collide with other engine sessions dropping/creating the same
@@ -78,12 +95,12 @@ def main() -> None:
     spark = build_session(
         app_name="qtest-sweep",
         shuffle_partitions=8,
-        warehouse_dir="/tmp/qtest_sweep_warehouse",
+        warehouse_dir=args.warehouse,
     )
     spark.sparkContext.setLogLevel("ERROR")
     eng = HiveEngine(spark, "/root/testdata/sf0.001")
     qtest.init_classic_tables(eng)
-    out = open("qtest_sweep_results.txt", "w")
+    out = open(args.out, "w")
     n_pass = 0
     for i, name in enumerate(names):
         try:
