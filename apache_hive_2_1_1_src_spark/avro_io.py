@@ -290,8 +290,14 @@ def _logical(schema: dict, raw):
     if lt == "date" and isinstance(raw, int):
         return datetime.date(1970, 1, 1) + datetime.timedelta(days=raw)
     if lt in ("timestamp-millis", "timestamp-micros") and isinstance(raw, int):
+        # Build a timezone-aware UTC instant: Spark interprets NAIVE
+        # datetimes in the session timezone, which would shift the stored
+        # instant by the zone offset vs AvroDeserializer's
+        # ``new Timestamp(millis)`` when the session is not UTC.
         div = 1_000 if lt == "timestamp-millis" else 1_000_000
-        return datetime.datetime.utcfromtimestamp(raw / div)
+        micros = raw * (1_000_000 // div)
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        return epoch + datetime.timedelta(microseconds=micros)
     return raw
 
 

@@ -107,9 +107,12 @@ class FMEstimator:
         self.add_long(_i32(u ^ (u >> 32)))
 
     def add_string(self, s: str) -> None:
+        # Java String.hashCode iterates UTF-16 CODE UNITS — an astral
+        # character contributes its surrogate pair, not its code point.
+        b = s.encode("utf-16-be", "surrogatepass")
         h = 0
-        for ch in s:
-            h = _i32(31 * h + ord(ch))
+        for i in range(0, len(b), 2):
+            h = _i32(31 * h + (b[i] << 8 | b[i + 1]))
         self.add_long(h)
 
     def add_decimal(self, v) -> None:

@@ -271,6 +271,16 @@ def try_partition_metadata_answer(
     if not m:
         return None
     table, body, group = m.group("table"), m.group("body"), m.group("group")
+    # MetadataOnlyOptimizer only applies to aggregation-like shapes: a bare
+    # ``SELECT pcol FROM t`` returns one row per DATA row, not per partition
+    # (MetadataOnlyOptimizer.java requires group-by/distinct-like context) —
+    # rewriting it would silently collapse N rows to the partition count.
+    if not (
+        group
+        or re.search(r"\bDISTINCT\b", body, re.IGNORECASE)
+        or re.search(r"\b(MIN|MAX)\s*\(", body, re.IGNORECASE)
+    ):
+        return None
     try:
         cols = spark.catalog.listColumns(table)
     except Exception:

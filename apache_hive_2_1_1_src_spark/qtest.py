@@ -514,7 +514,10 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
             path = _write_redirect_dir() + path[len(DATA_DIR):]
         cand = [path]
         if not os.path.isfile(path):
-            d = os.path.dirname(path)
+            # an existing DIRECTORY cats its own contents; only a
+            # missing path (e.g. Hive's 000000_0 vs the engine's
+            # part-* names) falls back to the parent listing
+            d = path if os.path.isdir(path) else os.path.dirname(path)
             try:
                 cand = sorted(
                     os.path.join(d, e)
@@ -547,7 +550,9 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
         os.makedirs(dst_dir, exist_ok=True)
         srcs = [src]
         if not os.path.isfile(src):
-            d = os.path.dirname(src)
+            # copy an existing directory's OWN files; only a missing
+            # path falls back to its parent (part-* rename case)
+            d = src if os.path.isdir(src) else os.path.dirname(src)
             try:
                 srcs = [
                     os.path.join(d, e)
