@@ -369,7 +369,19 @@ def _print_header_line(eng, df, bare: str) -> str | None:
     INSERT ... SELECT prints the SELECT part's schema."""
     cols = list(df.columns) if df is not None else []
     if not cols and re.match(r"^\s*INSERT\b", bare, re.IGNORECASE):
+        vm = re.search(r"\bVALUES\s*\(", bare, re.IGNORECASE)
         sm = re.search(r"\b(SELECT\b[\s\S]+)$", bare, re.IGNORECASE)
+        if vm:
+            # INSERT ... VALUES: the query schema is the values temp
+            # table's unnamed projection — Hive prints _col0.._colN
+            # (schema_evol_*.q goldens)
+            from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+            tuples = HiveEngine._values_tuples(
+                bare[bare.upper().index("VALUES", vm.start()) + 6 :]
+            )
+            if tuples:
+                return "\t".join(f"_col{i}" for i in range(len(tuples[0])))
         if sm:
             try:
                 cols = list(eng.sql(sm.group(1)).columns)
@@ -850,7 +862,9 @@ def run_qfile(eng, name: str) -> QFileReport:
         )
         if str(
             getattr(eng, "_vars", {}).get("hive.cli.print.header", "")
-        ).lower() == "true" and re.search(r"\bSELECT\b", bare, re.IGNORECASE):
+        ).lower() == "true" and re.search(
+            r"\bSELECT\b|^\s*INSERT\b[\s\S]*\bVALUES\s*\(", bare, re.IGNORECASE
+        ):
             hdr = _print_header_line(eng, df, bare)
             if hdr is not None:
                 got = [hdr] + got
