@@ -482,6 +482,18 @@ def _write_redirect_dir() -> str:
     return d
 
 
+def _hdfs_emu_dir() -> str:
+    """Local sandbox standing in for QTestUtil's default (mini)DFS —
+    hdfs:// URIs and scheme-less non-LOCAL directory targets resolve
+    here, keeping them DISTINCT from identically-named file:// paths
+    (schemeAuthority.q)."""
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "qtest_hdfs_emu")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _emulate_dfs(eng, stmt: str) -> list[str]:
     """Hadoop-shell dfs commands QTestUtil executes inline
     (CliDriver → FsShell): emulate the handful the .q corpus uses
@@ -505,6 +517,20 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
     # prefix check must be separator-anchored: /tmpfoo shares the string
     # prefix of /tmp but is OUTSIDE the scratch space
     inside_tmp = real == tmp or real.startswith(tmp + os.sep)
+    if path and not os.path.exists(path):
+        emu = _hdfs_emu_dir()
+        if os.path.exists(emu + path):
+            # a default-fs (hdfs-sandbox) path referenced scheme-less
+            path = emu + path
+            inside_tmp = True
+        elif not inside_tmp and cmd in (
+            "-cp", "-put", "-copyFromLocal", "-mkdir", "-rmr", "-rm"
+        ):
+            # scheme-less absolute WRITE outside scratch resolves
+            # against the default fs → land it in the hdfs sandbox
+            # (root_dir_external_table.q's ``dfs -cp ... /000000_0``)
+            path = emu + path
+            inside_tmp = True
     if cmd == "-ls":
         # Hive table dirs carry only data files (MoveTask); Spark's
         # _SUCCESS markers and .crc shadows would inflate the count
@@ -524,6 +550,60 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
         # order-insensitive)
         if not os.path.exists(path) and path.startswith(DATA_DIR):
             path = _write_redirect_dir() + path[len(DATA_DIR):]
+        if not os.path.exists(path) and os.path.exists(
+            _hdfs_emu_dir() + path
+        ):
+            # a non-LOCAL directory write landed in the hdfs sandbox
+            path = _hdfs_emu_dir() + path
+        # -cat of a WAREHOUSE TABLE directory: the engine stores parquet,
+        # not text — render the table's rows in its declared LazySimple
+        # framing (field delim + serialization.null.format), which is
+        # what the golden's raw-file view shows (nullformat.q)
+        target = path[:-2] if path.endswith("/*") else path
+        try:
+            wh = re.sub(
+                r"^file:/*", "/",
+                eng.spark.conf.get("spark.sql.warehouse.dir"),
+            )
+        except Exception:
+            wh = ""
+        if (
+            wh
+            and not os.path.exists(target)
+            and "/target/warehouse/" in target + "/"
+            and os.path.isdir(
+                os.path.join(wh, os.path.basename(target))
+            )
+        ):
+            # ${system:test.warehouse.dir}/<table> names the BUILD
+            # warehouse; the engine's tables live in Spark's
+            target = os.path.join(wh, os.path.basename(target))
+        if (
+            wh
+            and os.path.isdir(target)
+            and os.path.realpath(os.path.dirname(target))
+            == os.path.realpath(wh)
+        ):
+            tname = os.path.basename(target).lower()
+            try:
+                if eng.spark.catalog.tableExists(tname) and not getattr(
+                    eng, "_table_partition_cols"
+                )(tname):
+                    sep = getattr(eng, "declared_field_delims", {}).get(
+                        tname, "\x01"
+                    )
+                    nullfmt = getattr(
+                        eng, "declared_null_formats", {}
+                    ).get(tname, "\\N")
+                    return [
+                        sep.join(
+                            nullfmt if v is None else hive_cell(v)
+                            for v in row
+                        )
+                        for row in eng.spark.table(tname).collect()
+                    ]
+            except Exception:
+                pass
         cand = [path]
         if not os.path.isfile(path):
             # an existing DIRECTORY cats its own contents; only a
@@ -558,7 +638,28 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
         src = re.sub(r"^file:/*", "/", parts[1])
         if not os.path.exists(src) and src.startswith(DATA_DIR):
             src = _write_redirect_dir() + src[len(DATA_DIR):]
-        dst_dir = path if os.path.isdir(path) else os.path.dirname(path)
+        if not os.path.exists(src):
+            for cand_src in (
+                _hdfs_emu_dir() + src,
+                os.path.join(
+                    _hdfs_emu_dir() + os.path.dirname(src),
+                    os.path.basename(src),
+                ),
+            ):
+                if os.path.exists(cand_src) or os.path.isdir(
+                    os.path.dirname(cand_src)
+                ):
+                    # the sandbox holds the dir even when the exact
+                    # reducer-numbered file name differs (part-*)
+                    src = cand_src
+                    break
+        if os.path.isdir(src) and not os.path.exists(path):
+            # copying a DIRECTORY to a missing dst creates dst itself
+            # (FsShell cp dir semantics — file_with_header_footer.q
+            # copies header_footer_table_1/ under /tmp/test/)
+            dst_dir = path
+        else:
+            dst_dir = path if os.path.isdir(path) else os.path.dirname(path)
         os.makedirs(dst_dir, exist_ok=True)
         srcs = [src]
         if not os.path.isfile(src):
@@ -576,6 +677,14 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
         for sp in srcs:
             if os.path.isfile(sp):
                 shutil.copy(sp, os.path.join(dst_dir, os.path.basename(sp)))
+            elif os.path.isdir(sp):
+                # FsShell cp -r semantics: nested fixture layouts
+                # (header_footer_table_2/2012/01/01) copy whole
+                shutil.copytree(
+                    sp,
+                    os.path.join(dst_dir, os.path.basename(sp)),
+                    dirs_exist_ok=True,
+                )
     return []
 
 
@@ -720,9 +829,20 @@ def run_qfile(eng, name: str) -> QFileReport:
     qtext = open(qpath, encoding="utf-8", errors="replace").read()
     # path remap: .q files address fixture data relative to ql/src/test
     qtext = qtext.replace("../../data/files", DATA_DIR)
-    # QTestUtil's fs is local pseudo-HDFS — hdfs:/// URIs resolve to the
-    # local filesystem (temp_table_external.q)
-    qtext = qtext.replace("hdfs://", "file://")
+    # QTestUtil's default fs is a (mini)DFS DISTINCT from file:// —
+    # schemeAuthority.q writes key=10 to file:///tmp/test and key=20 to
+    # hdfs:///tmp/test and reads BOTH back.  Emulate hdfs as a separate
+    # local sandbox: hdfs://[auth]/X → file://<emu>/X, and scheme-less
+    # NON-LOCAL directory targets (which Hive resolves against the
+    # default fs) map into the same sandbox.
+    emu = _hdfs_emu_dir()
+    # per-file sandbox: a shared dir would leak one .q file's exports
+    # into another's table-at-root reads (root_dir_external_table.q)
+    import shutil as _sh
+
+    _sh.rmtree(emu, ignore_errors=True)
+    os.makedirs(emu, exist_ok=True)
+    qtext = re.sub(r"hdfs://[^/'\"\s]*", "file://" + emu, qtext)
     # WRITE targets (INSERT OVERWRITE [LOCAL] DIRECTORY) that land under
     # the reference tree are redirected to scratch — the reference is
     # read-only; QTestUtil's real runs write into a build dir anyway.
@@ -730,6 +850,25 @@ def run_qfile(eng, name: str) -> QFileReport:
     qtext = re.sub(
         r"(?i)(DIRECTORY\s+')" + re.escape(DATA_DIR),
         lambda m: m.group(1) + _write_redirect_dir(),
+        qtext,
+    )
+    # a scheme-less ABSOLUTE non-LOCAL directory target resolves against
+    # the default (sandbox) fs — but only remap when the SAME path is
+    # also referenced with an explicit file:// scheme in this file
+    # (schemeAuthority.q writes the same /tmp/test via both filesystems
+    # and reads both back); otherwise local-fs emulation is consistent
+    # on both the write and the read side
+    def _emu_dir_target(m: "re.Match") -> str:
+        p = m.group(3)
+        if p.startswith((emu, _write_redirect_dir(), DATA_DIR)):
+            return m.group(0)
+        if f"file://{p}" not in qtext and f"file:{p}" not in qtext:
+            return m.group(0)
+        return f"{m.group(1)}{m.group(2)}{emu}{p}{m.group(2)}"
+
+    qtext = re.sub(
+        r"(?i)\b(INSERT\s+OVERWRITE\s+DIRECTORY\s+)(['\"])(/[^'\"]*)\2",
+        _emu_dir_target,
         qtext,
     )
     # pre-clean every table this .q creates — a crashed earlier run may
@@ -769,6 +908,12 @@ def run_qfile(eng, name: str) -> QFileReport:
         s = "\n".join(
             ln for ln in s.splitlines() if not re.match(r"^\s*--", ln)
         )
+        # undo the runner's path remaps so statement text aligns with
+        # the golden's original spelling (LOAD '../../data/files/…',
+        # hdfs:// URIs, redirected write targets)
+        s = s.replace(DATA_DIR, "../../data/files")
+        s = s.replace("file://" + _hdfs_emu_dir(), "hdfs://")
+        s = s.replace(_write_redirect_dir(), "../../data/files")
         return " ".join(s.split()).lower().rstrip(";")
 
     def _next_block(stmt: str):
@@ -793,6 +938,8 @@ def run_qfile(eng, name: str) -> QFileReport:
     # base64(md5(concatenated sorted row bytes)) — emulate the digest
     # line so the compare sees the same shape
     sort_hash = "SORT_AND_HASH_QUERY_RESULTS" in qtext
+    qtext_lines = {ln.strip() for ln in qtext.splitlines() if ln.strip()}
+    qtext_lines |= {ln.rstrip(";") for ln in qtext_lines}
 
     def _flush() -> None:
         nonlocal pending
@@ -816,6 +963,17 @@ def run_qfile(eng, name: str) -> QFileReport:
             ]
         got = sorted(_canon_braces(l) for l in got)
         want = sorted(_canon_braces(l) for l in block.results)
+        if got != want:
+            # orphaned query-echo continuations: when a multi-line
+            # PREHOOK query's FIRST line holds a maskable path, the
+            # masker eats it and the continuation lines leak into the
+            # result block (insert_overwrite_directory2.q.out line 30).
+            # A golden-only line that is verbatim a .q source line is
+            # such an echo, never data — engine-produced rows matching
+            # a source line would appear in `got` too.
+            want = [
+                l for l in want if l in got or l.strip() not in qtext_lines
+            ]
         if got != want and _rows_equal_tol(got, want):
             rep.tol += 1
             rep.compared += 1
