@@ -197,6 +197,7 @@ def read_hive_text(
     coll_sep: str = "\x02",
     key_sep: str = "\x03",
     extended_bool: bool = False,
+    encoding: str = "UTF-8",
 ) -> DataFrame:
     """Read Hive text with an explicit schema (schema-on-read — the
     catalog supplies column types, the serde parses bytes:
@@ -298,6 +299,32 @@ def read_hive_text(
         return build(cell, f.dataType, 1).alias(f.name)
 
     cols = [field_col(i, f) for i, f in enumerate(schema.fields)]
+    canon = encoding.upper().replace("-", "").replace("_", "")
+    # Java charset aliases (ISO8859_1, Latin1, UTF16LE …) → the names
+    # Spark's CSVOptions accepts
+    encoding = {
+        "ISO88591": "ISO-8859-1",
+        "LATIN1": "ISO-8859-1",
+        "USASCII": "US-ASCII",
+        "ASCII": "US-ASCII",
+        "UTF16": "UTF-16",
+        "UTF16BE": "UTF-16BE",
+        "UTF16LE": "UTF-16LE",
+    }.get(canon, encoding)
+    if canon not in ("UTF8",):
+        # serialization.encoding (LazySimpleSerDe charset —
+        # encoding_nonutf8.q's ISO8859_1 table): the text source is
+        # UTF-8-only, so ride the csv reader's decoder with separators
+        # and quoting disabled — one line per row, decoded JVM-side
+        lines = (
+            spark.read.format("csv")
+            .schema("value string")
+            .option("encoding", encoding)
+            .option("sep", "\x00")
+            .option("quote", "")
+            .load(path)
+        )
+        return lines.select(cols)
     return spark.read.text(path).select(cols)
 
 

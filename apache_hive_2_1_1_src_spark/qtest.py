@@ -843,6 +843,9 @@ def run_qfile(eng, name: str) -> QFileReport:
     _sh.rmtree(emu, ignore_errors=True)
     os.makedirs(emu, exist_ok=True)
     qtext = re.sub(r"hdfs://[^/'\"\s]*", "file://" + emu, qtext)
+    # ProxyLocalFileSystem's pfile: scheme IS the local filesystem with
+    # proxy bookkeeping (QTestUtil sets fs.pfile.impl) — plain file here
+    qtext = qtext.replace("pfile:", "file:")
     # WRITE targets (INSERT OVERWRITE [LOCAL] DIRECTORY) that land under
     # the reference tree are redirected to scratch — the reference is
     # read-only; QTestUtil's real runs write into a build dir anyway.
@@ -889,6 +892,12 @@ def run_qfile(eng, name: str) -> QFileReport:
             )
         if tname.lower() not in FIXTURES:
             drop_table(eng.spark, tname)
+    if "tbl_created_by_init" in qtext:
+        # QTestUtil preloads data/scripts/test_init_file.sql via the
+        # CLI's -i option; its statement appears in the golden, so run
+        # it as a positioned statement (init_file.q)
+        drop_table(eng.spark, "tbl_created_by_init")
+        qtext = "create table tbl_created_by_init(i int);\n" + qtext
     ordered = _statements_ordered(qtext, eng)
     blocks = parse_qout(opath)
     n_hooked = sum(1 for h, _ in ordered if h)
@@ -990,6 +999,14 @@ def run_qfile(eng, name: str) -> QFileReport:
     for is_hooked, stmt in ordered:
         if not is_hooked:
             s = stmt.strip()
+            sm = re.match(r"^set\s+([\w.:-]+)\s*;?\s*$", s, re.IGNORECASE)
+            if sm:
+                # value QUERY (no '='): CliDriver prints key=value into
+                # the surrounding golden block (reset_conf.q)
+                line = eng.set_value_query_line(sm.group(1))
+                if pending is not None and line:
+                    pending["got"].append(line)
+                continue
             if re.match(r"^(set|reset)\b", s, re.IGNORECASE):
                 eng.sql(stmt)
             elif re.match(r"^dfs\b", s, re.IGNORECASE):
@@ -1027,6 +1044,16 @@ def run_qfile(eng, name: str) -> QFileReport:
             if hdr is not None:
                 got = [hdr] + got
         hooks = getattr(eng, "_vars", {}).get("hive.exec.post.hooks", "")
+        if "VerifyOverriddenConfigsHook" in hooks and re.match(
+            r"^(SELECT|FROM|WITH)\b", bare, re.IGNORECASE
+        ):
+            # the hook prints SessionState's overridden configurations
+            # (every key SET in this session) per query
+            got = [
+                f"Key: {k}, Value: {v}"
+                for k, v in getattr(eng, "_vars", {}).items()
+                if not k.startswith(("system:", "env:"))
+            ] + got
         if "CheckColumnAccessHook" in hooks and re.match(
             r"^(SELECT|FROM|WITH)\b", bare, re.IGNORECASE
         ):
