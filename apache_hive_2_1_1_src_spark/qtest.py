@@ -245,6 +245,18 @@ def hive_cell(v) -> str:
             + ",".join(f"{_hive_nested(k)}:{_hive_nested(x)}" for k, x in v.items())
             + "}"
         )
+    if isinstance(v, datetime.timedelta):
+        # HiveIntervalDayTime.toString: 'd hh:mm:ss.fffffffff' with a
+        # NINE-digit fraction (interval_3.q '26 00:00:00.000000000');
+        # Python timedeltas hold micros, so the last 3 digits are 0
+        us = v.days * 86_400_000_000 + v.seconds * 1_000_000 + v.microseconds
+        sign = "-" if us < 0 else ""
+        us = abs(us)
+        d, rem = divmod(us, 86_400_000_000)
+        h, rem = divmod(rem, 3_600_000_000)
+        mi, rem = divmod(rem, 60_000_000)
+        s_, frac = divmod(rem, 1_000_000)
+        return f"{sign}{d} {h:02d}:{mi:02d}:{s_:02d}.{frac:06d}000"
     if isinstance(v, decimal.Decimal):
         # HiveDecimal.toString renders plain positional notation at the
         # value's scale — Python's str(Decimal) leaks scientific form
@@ -407,7 +419,35 @@ def hive_rows(df) -> list[str]:
     # FLOAT columns print with Java Float.toString's shortest-float32
     # repr ('10022.63'), not the double expansion of the same bits —
     # numpy's float32 str implements the identical shortest-round-trip
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    # year-month intervals cannot be COLLECTED by PySpark
+    # (YearMonthIntervalType.fromInternal is unimplemented) — render
+    # them JVM-side in Hive's 'Y-M' framing (interval_1.q's '10-0')
+    if any(
+        isinstance(f.dataType, T.YearMonthIntervalType)
+        for f in df.schema.fields
+    ):
+        # positional rename first: interval literal projections often
+        # repeat the same generated name (interval_1.q selects the
+        # same literal five times)
+        kinds = [f.dataType for f in df.schema.fields]
+        df = df.toDF(*[f"_ic{i}" for i in range(len(kinds))])
+        df = df.select(
+            *[
+                F.regexp_extract(
+                    F.col(f"_ic{i}")
+                    .cast("interval year to month")
+                    .cast("string"),
+                    "'([^']*)'",
+                    1,
+                ).alias(f"_ic{i}")
+                if isinstance(dt, T.YearMonthIntervalType)
+                else F.col(f"_ic{i}")
+                for i, dt in enumerate(kinds)
+            ]
+        )
 
     is_float = [isinstance(f.dataType, T.FloatType) for f in df.schema.fields]
 
@@ -489,7 +529,10 @@ def _hdfs_emu_dir() -> str:
     (schemeAuthority.q)."""
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "qtest_hdfs_emu")
+    # per-process: concurrent sweep shards each reset their own sandbox
+    d = os.path.join(
+        tempfile.gettempdir(), f"qtest_hdfs_emu_{os.getpid()}"
+    )
     os.makedirs(d, exist_ok=True)
     return d
 
