@@ -76,6 +76,14 @@ def init_classic_tables(eng) -> None:
     # harness flips the zone; the engine default stays UTC.
     os.environ.setdefault("HIVE_TEST_TZ", "US/Pacific")
     eng.spark.conf.set("spark.sql.session.timeZone", "US/Pacific")
+    # hive.groupby.orderby.position.alias defaults FALSE in Hive 2.1
+    # (HiveConf.java:1066): ``GROUP BY 3`` groups on the CONSTANT 3, not
+    # select-list position 3 (bucket_groupby.q) — Spark's ordinal
+    # resolution must be off for both clauses in qtest sessions
+    eng.spark.conf.set("spark.sql.groupByOrdinal", "false")
+    eng.spark.conf.set("spark.sql.orderByOrdinal", "false")
+    # MR row-choice compat: LIMIT after GROUP BY keeps the smallest keys
+    eng._mr_limit_key_order = True
     # PySpark's plain collect() renders timestamps in the PROCESS zone
     # (datetime.fromtimestamp), which must agree with the session zone
     # or every timestamp shifts by the offset between them
