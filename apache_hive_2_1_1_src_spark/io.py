@@ -105,7 +105,19 @@ def write_hive_text(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    seps = [sep, coll_sep, key_sep] + [chr(b) for b in range(4, 9)]
+    # LazySerDeParameters.collectSeparators ladder: \x04..\x08, then
+    # 11, 14..26, 28..31 (skipping \t \n \f \r ESC) — 24+ levels when
+    # hive.serialization.extend.nesting.levels is set (nested_complex.q)
+    seps = (
+        [sep, coll_sep, key_sep]
+        + [chr(b) for b in range(4, 9)]
+        + [chr(11)]
+        + [chr(b) for b in range(14, 27)]
+        + [chr(b) for b in range(28, 32)]
+        # extend.ADDITIONAL.nesting.levels continues into the high bytes
+        # (-128..-1 in Java); decoded text sees them as U+0080..U+00FF
+        + [chr(b) for b in range(128, 256)]
+    )
 
     def cell(col, dt, lvl: int):
         if isinstance(dt, T.ArrayType):
@@ -222,7 +234,19 @@ def read_hive_text(
     # LazySimpleSerDe's separator ladder: level 0 = field.delim, 1 =
     # collection.delim (^B default), 2 = mapkey.delim (^C default), then
     # ^D.. for deeper nesting (LazySerDeParameters.collectionDelims)
-    seps = [sep, coll_sep, key_sep] + [chr(b) for b in range(4, 9)]
+    # LazySerDeParameters.collectSeparators ladder: \x04..\x08, then
+    # 11, 14..26, 28..31 (skipping \t \n \f \r ESC) — 24+ levels when
+    # hive.serialization.extend.nesting.levels is set (nested_complex.q)
+    seps = (
+        [sep, coll_sep, key_sep]
+        + [chr(b) for b in range(4, 9)]
+        + [chr(11)]
+        + [chr(b) for b in range(14, 27)]
+        + [chr(b) for b in range(28, 32)]
+        # extend.ADDITIONAL.nesting.levels continues into the high bytes
+        # (-128..-1 in Java); decoded text sees them as U+0080..U+00FF
+        + [chr(b) for b in range(128, 256)]
+    )
 
     def build(col, dt, lvl: int):
         s = _re.escape(seps[lvl])
