@@ -167,6 +167,10 @@ def rewrite_with_policies(
         # be rewritten too, else the row filter is silently bypassed
         qualified = f"{db}.{tab}" if db else tab
         cols = schema_fn(qualified.lower() if db else tab.lower())
+        if cols is None and db and db.lower() == "default":
+            # default-qualification IS the bare table (the catalog may
+            # only answer unqualified names)
+            cols = schema_fn(tab.lower())
         if cols is None:
             return m.group(0)
         pol = policies[tab.lower()]

@@ -388,6 +388,23 @@ def _print_header_line(eng, df, bare: str) -> str | None:
     QUALIFIED ``table.col`` names (avro_schema_evolution_native.q);
     INSERT ... SELECT prints the SELECT part's schema."""
     cols = list(df.columns) if df is not None else []
+    if not cols and re.match(
+        r"^\s*CREATE\b", bare, re.IGNORECASE
+    ):
+        # CTAS prints the SELECT part's header (orc_ppd_schema_evol_1a.q
+        # pins the qualified 'unique_1.i …' form)
+        cm = re.search(
+            r"\bAS\b\s*(\(?\s*(?:SELECT|WITH|FROM)\b[\s\S]+)$",
+            bare,
+            re.IGNORECASE,
+        )
+        if cm:
+            sel = cm.group(1).strip().strip("()")
+            try:
+                return _print_header_line(eng, eng.sql(sel), sel)
+            except Exception:
+                return None
+        return None
     if not cols and re.match(r"^\s*INSERT\b", bare, re.IGNORECASE):
         vm = re.search(r"\bVALUES\s*\(", bare, re.IGNORECASE)
         sm = re.search(r"\b(SELECT\b[\s\S]+)$", bare, re.IGNORECASE)
@@ -403,8 +420,12 @@ def _print_header_line(eng, df, bare: str) -> str | None:
             if tuples:
                 return "\t".join(f"_col{i}" for i in range(len(tuples[0])))
         if sm:
+            # recurse on the SELECT part so the bare ``SELECT * FROM t``
+            # qualification rule applies (orc_ppd_schema_evol_1b.q)
             try:
-                cols = list(eng.sql(sm.group(1)).columns)
+                return _print_header_line(
+                    eng, eng.sql(sm.group(1)), sm.group(1)
+                )
             except Exception:
                 cols = []
     if not cols:
@@ -610,7 +631,9 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
         # not text — render the table's rows in its declared LazySimple
         # framing (field delim + serialization.null.format), which is
         # what the golden's raw-file view shows (nullformat.q)
-        target = path[:-2] if path.endswith("/*") else path
+        target = (
+            re.sub(r"/\*[^/]*$", "", path) if "*" in path else path
+        )
         try:
             wh = re.sub(
                 r"^file:/*", "/",
