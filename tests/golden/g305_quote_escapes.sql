@@ -1,8 +1,10 @@
--- Ported from clientpositive/quote2.q: doubled-quote escapes and
--- mixed-quote literals.
+-- Quote handling that Hive and ANSI agree on.  NOTE: ``'abc''def'`` is
+-- deliberately absent — HiveQL lexes it as TWO adjacent literals and
+-- concatenates ('abcdef', pinned by clientpositive/literal_string.q's
+-- golden), while ANSI/DuckDB reads an escaped quote ('abc'def'); the
+-- engine follows Hive, so the construct has no shared oracle.
 SELECT 'abc' AS plain,
-       'abc''def' AS escaped_quote,
-       'ab'
-       'x' IS NOT NULL AS adjacent_is_separate,
-       LENGTH('it''s') AS len_q
+       'abc' || chr(39) || 'def' AS embedded_quote,
+       LENGTH('abc') AS len_plain,
+       UPPER('mixed Case') AS upcased
 FROM region LIMIT 1
