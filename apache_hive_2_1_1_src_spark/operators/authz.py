@@ -145,6 +145,11 @@ class Authorizer:
             # hive.users.in.admin.role (hive-site.xml:264): listed users
             # may activate the admin role without an explicit grant
             self.grant_role(ADMIN_ROLE, user)
+        if role.lower() == "public":
+            # every user belongs to PUBLIC implicitly
+            # (SQLStdHiveAccessController.getRolesFromMetastore)
+            self._active_roles[user] = {"public"}
+            return
         if role not in self._closure(user):
             raise AuthorizationError(
                 f"Permission denied: user [{user}] does not belong to "
