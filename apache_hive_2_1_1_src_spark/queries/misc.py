@@ -1209,7 +1209,137 @@ def q252_partition_metadata_answers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q253_values_text_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT ... VALUES through Hive's values__tmp__table protocol
+    (SemanticAnalyzer.genValuesTempTable + unparseExprForValuesClause):
+    every element renders to TEXT (FALSE→'' so UDFToBoolean round-trips
+    false, TRUE→'TRUE'), then string→column-type conversion applies
+    UDFToX CAST rules — 0→boolean TRUE (non-empty string), '255'→tinyint
+    NULL (strict range-checked parse), 'nope'→int NULL.
+    schema_evol_text_nonvec_mapwork_part_all_primitive.q pins the
+    matrix."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    spark.sql("DROP TABLE IF EXISTS q253_vals_t")
+    eng.sql(
+        "create table q253_vals_t (i int, b boolean, t tinyint, s string)"
+        " stored as textfile"
+    )
+    try:
+        eng.sql(
+            "insert into q253_vals_t values "
+            "(1, 0, 255, 'x'), (2, false, 1, ''), (3, true, 'nope', NULL)"
+        )
+        return eng.sql(
+            "select i, b, t, s from q253_vals_t order by i"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS q253_vals_t")
+
+
+def q254_percentile_approx_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx re-expressed as Hive's NumericHistogram
+    (GenericUDAFPercentileApprox + NumericHistogram.java — Ben-Haim &
+    Tom-Tov): distinct counts within the 10000-bin budget make the
+    histogram EXACT, so the quantile is the deterministic interpolation
+    the oracle reproduces with window arithmetic (the udaf_percentile_
+    approx_23.q family pins 255.5 where Spark's GK sketch says 256)."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    return eng.sql(
+        "select l_returnflag, "
+        "round(percentile_approx(cast(l_quantity as double), 0.5), 4) "
+        "as median_qty from lineitem group by l_returnflag "
+        "order by l_returnflag"
+    )
+
+
+def q255_hive_lexer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL lexing + null-collection semantics in one row:
+    adjacent string literals CONCATENATE (literal_string.q's
+    'face''book' = 'facebook' — '' is NOT an ANSI escaped quote),
+    map_keys/map_values of a NULL map return EMPTY lists
+    (GenericUDFMapKeys' loop never runs — nullMap.q), and the SAMPLE
+    variance of a single element is 0.0, not NULL
+    (GenericUDAFVarianceSample.terminate:86)."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    return eng.sql(
+        "select 'face''book' as concat1, 'face' 'book' as concat2, "
+        "size(map_keys(cast(null as map<int,string>))) as null_map_keys, "
+        "var_samp(x) as vs1, stddev_samp(x) as ss1 "
+        "from (select cast(7.5 as double) as x from region limit 1) t"
+    )
+
+
+def q256_mr_limit_key_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... LIMIT with no ORDER BY: Hive's MR shuffle sorts on
+    the group key, so the reducer emits groups in key order and LIMIT
+    keeps the SMALLEST keys (bucket_groupby.q golden) — re-expressed as
+    a TakeOrderedAndProject (TopK, not a global sort)."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    eng._mr_limit_key_order = True
+    try:
+        return eng.sql(
+            "select n_name, count(*) as c from nation group by n_name "
+            "limit 5"
+        )
+    finally:
+        eng._mr_limit_key_order = False
+
+
+def q257_regex_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexSerDe (serde2/RegexSerDe.java): LOAD parses each line by
+    input.regex, capture group i+1 feeding column i; a NON-PARTICIPATING
+    optional group reads NULL and a non-matching line reads all-NULL
+    (serde_regex.q row 1's missing referer).  Arrow-batched kernel with
+    Python fullmatch — regexp_extract cannot distinguish an empty match
+    from a non-participating group."""
+    import os as _os
+    import tempfile as _tf
+
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    d = _tf.mkdtemp(prefix="q257_regex_")
+    fpath = _os.path.join(d, "log.txt")
+    with open(fpath, "w") as fh:
+        fh.write("alpha 10 extra\nbeta 20\nno-match-line!\n")
+    spark.sql("DROP TABLE IF EXISTS q257_regex_t")
+    eng.sql(
+        "create table q257_regex_t (name string, n int, tail string) "
+        "row format serde 'org.apache.hadoop.hive.serde2.RegexSerDe' "
+        "with serdeproperties ("
+        "\"input.regex\" = \"(\\\\w+) (\\\\d+)(?: (\\\\w+))?\") "
+        "stored as textfile"
+    )
+    try:
+        eng.sql(
+            f"load data local inpath '{fpath}' into table q257_regex_t"
+        )
+        return eng.sql(
+            "select name, n, tail from q257_regex_t order by name nulls last"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS q257_regex_t")
+
+
 QUERIES = {
+    "q253_values_text_protocol": q253_values_text_protocol,
+    "q254_percentile_approx_hive": q254_percentile_approx_hive,
+    "q255_hive_lexer_semantics": q255_hive_lexer_semantics,
+    "q256_mr_limit_key_order": q256_mr_limit_key_order,
+    "q257_regex_serde": q257_regex_serde,
     "q249_union_limit_whole": q249_union_limit_whole,
     "q250_legacy_outer_join_filters": q250_legacy_outer_join_filters,
     "q251_compute_stats_udaf": q251_compute_stats_udaf,
@@ -1262,6 +1392,53 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q253_values_text_protocol": """
+        SELECT * FROM (VALUES
+          (1, TRUE,  CAST(NULL AS TINYINT), 'x'),
+          (2, FALSE, CAST(1 AS TINYINT),    ''),
+          (3, TRUE,  CAST(NULL AS TINYINT), CAST(NULL AS VARCHAR))
+        ) AS t(i, b, t, s) ORDER BY i
+    """,
+    # the exact-histogram interpolation (csum/total >= q; linear between
+    # the previous bin x and this bin x weighted by this bin's count)
+    "q254_percentile_approx_hive": """
+        WITH h AS (
+          SELECT l_returnflag AS f, CAST(l_quantity AS DOUBLE) AS x,
+                 CAST(COUNT(*) AS DOUBLE) AS y
+          FROM lineitem GROUP BY 1, 2
+        ), c AS (
+          SELECT f, x, y,
+                 SUM(y) OVER (PARTITION BY f ORDER BY x) AS csum,
+                 SUM(y) OVER (PARTITION BY f) AS total,
+                 LAG(x) OVER (PARTITION BY f ORDER BY x) AS px,
+                 ROW_NUMBER() OVER (PARTITION BY f ORDER BY x) AS rn
+          FROM h
+        )
+        SELECT f AS l_returnflag,
+               ROUND(CASE WHEN rn = 1 THEN x
+                     ELSE px + (0.5 * total - (csum - y)) * (x - px) / y
+                     END, 4) AS median_qty
+        FROM c
+        WHERE csum / total >= 0.5
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY x) = 1
+        ORDER BY f
+    """,
+    "q255_hive_lexer_semantics": """
+        SELECT 'facebook' AS concat1, 'facebook' AS concat2,
+               0 AS null_map_keys, 0.0 AS vs1, 0.0 AS ss1
+    """,
+    "q256_mr_limit_key_order": """
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS c FROM nation
+        GROUP BY n_name ORDER BY n_name LIMIT 5
+    """,
+    "q257_regex_serde": """
+        SELECT * FROM (VALUES
+          ('alpha', 10, 'extra'),
+          ('beta', 20, CAST(NULL AS VARCHAR)),
+          (CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+           CAST(NULL AS VARCHAR))
+        ) AS t(name, n, tail) ORDER BY name NULLS LAST
+    """,
     "q249_union_limit_whole": """
         SELECT 'a' AS c, CAST(5 AS BIGINT) AS n
         UNION ALL SELECT 'b', CAST(5 AS BIGINT) ORDER BY c
