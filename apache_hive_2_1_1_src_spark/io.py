@@ -389,14 +389,122 @@ def write_hive_sequencefile_compressed(
     df.select(line).rdd.map(lambda r: ("", r[0])).saveAsSequenceFile(path, codec)
 
 
+#: writable classes PySpark's JVM sequenceFile bridge can ship to Python
+_SEQ_SAFE_WRITABLES = {
+    "org.apache.hadoop.io.Text",
+    "org.apache.hadoop.io.BytesWritable",
+    "org.apache.hadoop.io.NullWritable",
+    "org.apache.hadoop.io.LongWritable",
+    "org.apache.hadoop.io.IntWritable",
+    "org.apache.hadoop.io.BooleanWritable",
+    "org.apache.hadoop.io.FloatWritable",
+    "org.apache.hadoop.io.DoubleWritable",
+}
+
+
+def _seq_values_py(path: str) -> list[str]:
+    """Pure-Python SequenceFile VALUE extraction for containers whose
+    KEY class has no Python converter (kv1.seq's
+    ql.exec.ByteWritable key — inputddl7.q): parse the v6 header,
+    skip keys, decode Text values.  Driver-side: used only on the
+    LOAD-DATA ingest path, whose unit of work is one moved file."""
+    import io as _io
+    import struct as _s
+
+    from apache_hive_2_1_1_src_spark.rcfile_io import (
+        _read_text,
+        read_vlong,
+    )
+
+    files = (
+        sorted(
+            os.path.join(path, e)
+            for e in os.listdir(path)
+            if not e.startswith((".", "_"))
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    lines: list[str] = []
+    for fp in files:
+        data = open(fp, "rb").read()
+        buf = _io.BytesIO(data)
+        if buf.read(3) != b"SEQ":
+            continue
+        if buf.read(1)[0] != 6:
+            continue
+        _read_text(buf)  # key class
+        vclass = _read_text(buf)
+        compressed = buf.read(1) != b"\x00"
+        block = buf.read(1) != b"\x00"
+        if compressed or block:
+            raise ValueError(
+                "compressed SequenceFile needs the JVM reader"
+            )
+        n_meta = _s.unpack(">i", buf.read(4))[0]
+        for _ in range(n_meta):
+            _read_text(buf)
+            _read_text(buf)
+        sync = buf.read(16)
+        total = len(data)
+        while buf.tell() < total:
+            rec_len = _s.unpack(">i", buf.read(4))[0]
+            if rec_len == -1:
+                if buf.read(16) != sync:
+                    raise ValueError("sync mismatch in SequenceFile")
+                continue
+            key_len = _s.unpack(">i", buf.read(4))[0]
+            buf.read(key_len)
+            raw = buf.read(rec_len - key_len)
+            if vclass == "org.apache.hadoop.io.Text":
+                vb = _io.BytesIO(raw)
+                n = read_vlong(vb)
+                lines.append(vb.read(n).decode("utf-8", "replace"))
+            else:
+                lines.append(raw.decode("utf-8", "replace"))
+    return lines
+
+
 def read_hive_sequencefile(spark: SparkSession, path: str, schema) -> DataFrame:
     """Read Hive SEQUENCEFILE: container → Text values → schema-on-read
     parse (keys ignored, as Hive's SequenceFileInputFormat binding
     does).  Quoting is DISABLED: the writer emits raw LazySimpleSerDe
     lines (no quote-escaping, exactly like Hive), so a value beginning
-    with '\"' must parse verbatim, not as a CSV quote opener."""
-    values = spark.sparkContext.sequenceFile(path).values()
+    with '\"' must parse verbatim, not as a CSV quote opener.  A
+    container keyed by a class outside the Python-converter set (Hive's
+    own ByteWritable — inputddl7.q) routes through the in-repo parser."""
+    probe = path
+    if os.path.isdir(path):
+        entries = [
+            e for e in sorted(os.listdir(path))
+            if not e.startswith((".", "_"))
+        ]
+        if entries:
+            probe = os.path.join(path, entries[0])
+    safe = True
+    try:
+        with open(probe, "rb") as fh:
+            import io as _io
+
+            from apache_hive_2_1_1_src_spark.rcfile_io import _read_text
+
+            hb = _io.BytesIO(fh.read(4096))
+            if hb.read(4)[:3] == b"SEQ":
+                kc = _read_text(hb)
+                vc = _read_text(hb)
+                safe = (
+                    kc in _SEQ_SAFE_WRITABLES and vc in _SEQ_SAFE_WRITABLES
+                )
+    except OSError:
+        pass
     opts = dict(HIVE_TEXT_OPTIONS, quote="", escape="")
+    if not safe:
+        lines = _seq_values_py(path)
+        values = spark.sparkContext.parallelize(lines or [""], 1)
+        if not lines:
+            return spark.createDataFrame([], schema)
+        return spark.read.options(**opts).schema(schema).csv(values)
+    values = spark.sparkContext.sequenceFile(path).values()
     return spark.read.options(**opts).schema(schema).csv(values)
 
 

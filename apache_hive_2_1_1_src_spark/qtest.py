@@ -360,13 +360,40 @@ def _canon_braces(line: str) -> str:
         out.append("".join(buf))
         return out
 
+    def _canon_keys(entries: list[str]) -> list[str]:
+        # anonymous-struct field names are resolver-dependent: Hive
+        # prints expr$0/expr$1 on the CBO path (cbo_udf_max.q) but
+        # col1/col2 otherwise (udf_max.q), and Spark keeps source
+        # column names for plain refs.  When ANY key is an
+        # autogenerated name, rename ALL keys positionally so both
+        # framings compare equal.
+        keys = []
+        for e in entries:
+            km = re.match(r'^"((?:[^"\\]|\\.)*)":', e)
+            keys.append(km.group(1) if km else None)
+        if not any(
+            k is not None and re.match(r"^(col\d+|expr\$\d+|_c\d+)$", k)
+            for k in keys
+        ):
+            return entries
+        out = []
+        for i, e in enumerate(entries):
+            if keys[i] is None:
+                return entries  # mixed non-keyed content: leave alone
+            out.append(f'"_f{i}":' + e.split(":", 1)[1])
+        return out
+
     def walk(s: str) -> str:
         out, i = [], 0
         while i < len(s):
             if s[i] == "{":
                 j = match(s, i)
                 inner = walk(s[i + 1 : j])
-                out.append("{" + ",".join(sorted(split_entries(inner))) + "}")
+                out.append(
+                    "{"
+                    + ",".join(sorted(_canon_keys(split_entries(inner))))
+                    + "}"
+                )
                 i = j + 1
             else:
                 out.append(s[i])
