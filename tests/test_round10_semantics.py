@@ -150,3 +150,67 @@ def test_dfs_cat_of_directory_lists_own_files(tmp_path):
     (tmp_path / "sibling.txt").write_text("sibling\n")
     lines = _emulate_dfs(_Eng(), f"dfs -cat {d}")
     assert lines == ["inside"]
+
+
+# ---------------------------------------------------- round-10 semantics
+def test_values_hive_text_protocol(eng, spark):
+    """VALUES render to text then convert with UDFToX rules
+    (SemanticAnalyzer.unparseExprForValuesClause +
+    GenericUDFToBoolean/UDFToByte): 0→boolean true, FALSE→''→false,
+    '255'→tinyint NULL."""
+    spark.sql("DROP TABLE IF EXISTS r10_vt")
+    eng.sql("create table r10_vt (b boolean, t tinyint) stored as textfile")
+    eng.sql("insert into r10_vt values (0, 255), (false, 1)")
+    rows = sorted(
+        eng.sql("select b, t from r10_vt").collect(),
+        key=lambda r: (r.b is not True, r.t or 0),
+    )
+    assert (rows[0].b, rows[0].t) == (True, None)
+    assert (rows[1].b, rows[1].t) == (False, 1)
+    eng.sql("drop table r10_vt")
+
+
+def test_adjacent_literal_concat(eng):
+    """HiveQL lexes 'face''book' as two adjacent literals and the
+    parser concatenates (literal_string.q golden)."""
+    r = eng.sql("select 'face''book' as a, 'x' 'y' 'z' as b").collect()[0]
+    assert r.a == "facebook" and r.b == "xyz"
+
+
+def test_samp_variance_single_element(eng):
+    """GenericUDAFVarianceSample.terminate:86 — one element → 0.0, not
+    NULL (SQL standard)."""
+    r = eng.sql(
+        "select var_samp(x) as v, stddev_samp(x) as s "
+        "from (select cast(3.5 as double) as x) t"
+    ).collect()[0]
+    assert r.v == 0.0 and r.s == 0.0
+
+
+def test_struct_fields_named_colN(eng):
+    """GenericUDFStruct names fields col1..colN even for plain column
+    references (udf_max.q's {"col1":..} framing)."""
+    row = eng.sql(
+        "select struct(r_regionkey, r_name) as s from region limit 1"
+    ).collect()[0]
+    assert row.s.__fields__ == ["col1", "col2"]
+
+
+def test_percentile_approx_hive_exact(eng):
+    """Within the bin budget the Ben-Haim/Tom-Tov histogram is exact and
+    NumericHistogram.quantile interpolates 0.5 over {1,2,3,4} to 2.0:
+    first bin with csum/sum >= q is x=2, and r = 1 + (0.5*4-1)*(2-1)/1.
+    (A GK sketch — Spark's native — picks a sample point instead; the
+    udaf_percentile_approx goldens pin the histogram arithmetic.)"""
+    r = eng.sql(
+        "select percentile_approx(cast(x as double), 0.5) as m from "
+        "(select explode(array(1, 2, 3, 4)) as x) t"
+    ).collect()[0]
+    assert abs(r.m - 2.0) < 1e-9
+
+
+def test_map_keys_of_null_map_is_empty(eng):
+    r = eng.sql(
+        "select map_keys(cast(null as map<int,string>)) as ks"
+    ).collect()[0]
+    assert r.ks == []
