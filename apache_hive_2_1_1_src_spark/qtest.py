@@ -517,9 +517,34 @@ def hive_rows(df) -> list[str]:
             return s
         return hive_cell(v)
 
+    try:
+        rows = df.collect()
+    except ValueError as e:
+        if "out of range" not in str(e) and "ordinal" not in str(e):
+            raise
+        # a pre-Gregorian/negative-year temporal cannot become a Python
+        # datetime/date (schema_evol casts -1e11 seconds to TIMESTAMP) —
+        # render those columns JVM-side
+        from pyspark.sql import types as T2
+
+        df = df.select(
+            *[
+                F.col(f.name).cast("string").alias(f.name)
+                if isinstance(
+                    f.dataType,
+                    (T2.TimestampType, T2.TimestampNTZType, T2.DateType),
+                )
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+        is_float[:] = [
+            isinstance(f.dataType, T.FloatType) for f in df.schema.fields
+        ]
+        rows = df.collect()
     return [
         "\t".join(cell(v, f32) for v, f32 in zip(row, is_float))
-        for row in df.collect()
+        for row in rows
     ]
 
 
