@@ -176,7 +176,13 @@ def parse_qout(path: str) -> list[QBlock]:
     blocks: list[QBlock] = []
     cur: QBlock | None = None
     mode = ""  # "pre_q" | "post_q" | "meta" | "results"
-    for line in open(path, encoding="utf-8", errors="replace").read().splitlines():
+    # split on \n ONLY — str.splitlines() also breaks on \x0b/\x0c/
+    # \x1c/\x1d/\x1e, which appear as DATA inside escape1.q's goldens
+    _txt = open(path, encoding="utf-8", errors="replace").read()
+    if _txt.endswith("\n"):
+        _txt = _txt[:-1]
+    for line in _txt.split("\n"):
+        line = line.rstrip("\r")
         if line.startswith("PREHOOK: query:"):
             cur = QBlock(query=line[len("PREHOOK: query:"):].strip())
             blocks.append(cur)
@@ -891,6 +897,34 @@ def _rows_equal_tol(
         for a, b in zip(gc, wc):
             if a == b:
                 continue
+            # numeric-array cells (percentile_approx(array(...)) prints
+            # [x, y, …]) — tolerance applies element-wise
+            if (
+                a.startswith("[")
+                and a.endswith("]")
+                and b.startswith("[")
+                and b.endswith("]")
+            ):
+                ea, eb = a[1:-1].split(","), b[1:-1].split(",")
+                if len(ea) != len(eb):
+                    return False
+                ok = True
+                for x, y in zip(ea, eb):
+                    if x.strip() == y.strip():
+                        continue
+                    try:
+                        fx, fy = float(x), float(y)
+                    except ValueError:
+                        ok = False
+                        break
+                    if not abs(fx - fy) <= max(
+                        abs_, rel * max(abs(fx), abs(fy))
+                    ):
+                        ok = False
+                        break
+                if ok:
+                    continue
+                return False
             try:
                 fa, fb = float(a), float(b)
             except ValueError:
@@ -938,6 +972,11 @@ def run_qfile(eng, name: str) -> QFileReport:
     from apache_hive_2_1_1_src_spark.queries.storage import drop_table
 
     rep = QFileReport(name=name)
+    # qtest runs compare against Hive's own goldens — use the
+    # Hive-exact NumericHistogram percentile path (the default engine
+    # SQL keeps Spark's mergeable native sketch; see
+    # session._rewrite_percentile_approx scale gate)
+    eng.hive_exact_percentile = True
     cleanup_scratch_tables(eng)
     # QTestUtil re-initializes the session conf per test file — a SET
     # from one .q must not leak into the next (cbo_rp_windowing_2's

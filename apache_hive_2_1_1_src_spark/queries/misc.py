@@ -1250,6 +1250,10 @@ def q254_percentile_approx_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = HiveEngine(spark, sf_dir)
     eng.register_tables(sf_dir)
+    # this entry PINS the Hive-exact path (the engine default is
+    # Spark's mergeable native sketch — see the scale gate in
+    # session._rewrite_percentile_approx)
+    eng.hive_exact_percentile = True
     return eng.sql(
         "select l_returnflag, "
         "round(percentile_approx(cast(l_quantity as double), 0.5), 4) "

@@ -56,6 +56,18 @@ def _duck_compat(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,  # deliberately NOT re.S: one-line clause only
     )
+    # Hive's CAST(x AS VARCHAR(n)) TRUNCATES to n chars
+    # (GenericUDFToVarchar; varchar_1.q) — DuckDB's VARCHAR(n) ignores
+    # the length, so spell the truncation out
+    sql = re.sub(
+        r"\bCAST\s*\(\s*([\w.]+)\s+AS\s+VARCHAR\s*\(\s*(\d+)\s*\)\s*\)",
+        lambda m: (
+            f"CAST(substr(CAST({m.group(1)} AS VARCHAR),1,{m.group(2)})"
+            f" AS VARCHAR)"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
     # Hive/Spark's null-safe equality operator — DuckDB spells it
     # IS NOT DISTINCT FROM
     sql = re.sub(

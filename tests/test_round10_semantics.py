@@ -202,10 +202,14 @@ def test_percentile_approx_hive_exact(eng):
     first bin with csum/sum >= q is x=2, and r = 1 + (0.5*4-1)*(2-1)/1.
     (A GK sketch — Spark's native — picks a sample point instead; the
     udaf_percentile_approx goldens pin the histogram arithmetic.)"""
-    r = eng.sql(
-        "select percentile_approx(cast(x as double), 0.5) as m from "
-        "(select explode(array(1, 2, 3, 4)) as x) t"
-    ).collect()[0]
+    eng.hive_exact_percentile = True  # compat path (engine default: GK)
+    try:
+        r = eng.sql(
+            "select percentile_approx(cast(x as double), 0.5) as m from "
+            "(select explode(array(1, 2, 3, 4)) as x) t"
+        ).collect()[0]
+    finally:
+        eng.hive_exact_percentile = False
     assert abs(r.m - 2.0) < 1e-9
 
 
