@@ -276,6 +276,30 @@ def read_hive_text(
                 ),
             )
         if isinstance(dt, T.StructType):
+            names = [f.name for f in dt.fields]
+            if names and names[0] == "tag" and all(
+                n == f"field{i}" for i, n in enumerate(names[1:])
+            ):
+                # UNION encoding (uniontype<...> → struct<tag,field0..>;
+                # LazyUnion serialization: tag SEP value, the value
+                # parsed as the tag'th branch type — create_union_table.q)
+                su = F.split(col, s, 2)
+                tag_c = su.getItem(0).cast("int")
+                built = F.struct(
+                    tag_c.alias("tag"),
+                    *[
+                        F.when(
+                            tag_c == i,
+                            build(su.getItem(1), sub.dataType, lvl + 1),
+                        )
+                        .otherwise(F.lit(None).cast(sub.dataType))
+                        .alias(sub.name)
+                        for i, sub in enumerate(dt.fields[1:])
+                    ],
+                )
+                return F.when(col.isNull(), F.lit(None).cast(dt)).otherwise(
+                    built
+                )
             sf = F.split(col, s, -1)
             built = F.struct(
                 *[

@@ -288,7 +288,19 @@ def hive_cell(v) -> str:
         if v.microsecond:
             s += f".{v.microsecond:06d}".rstrip("0")
         return s
-    if hasattr(v, "asDict"):  # Row → Hive struct framing {"field":value}
+    if hasattr(v, "asDict"):
+        d_ = v.asDict()
+        ks_ = list(d_.keys())
+        if ks_ and ks_[0] == "tag" and all(
+            k == f"field{i}" for i, k in enumerate(ks_[1:])
+        ):
+            # UNION struct encoding → Hive's {tag:value} rendering
+            # (LazyUnion.toString; create_union_table.q golden)
+            tg = d_["tag"]
+            if tg is None:
+                return "null"
+            return f"{{{tg}:{_hive_nested(d_.get(f'field{tg}'))}}}"
+        # Row → Hive struct framing {"field":value}
         # field names are HiveQL identifiers — stored lowercased
         # (struct<sInt:INT> prints "sint": avro_nullable_fields.q golden)
         return (
