@@ -961,6 +961,11 @@ def cleanup_scratch_tables(eng) -> None:
     # a prior .q may have left the session in its own database (USE db);
     # everything below — and the next file — must run against default
     eng.spark.sql("USE default")
+    # per-table read-shim registries must not leak onto a LATER file's
+    # same-named table (the tables themselves are dropped below)
+    for reg in ("_orc_wall_masks", "_default_part_tables"):
+        if hasattr(eng, reg):
+            getattr(eng, reg).clear()
     for row in eng.spark.sql("SHOW TABLES").collect():
         if row.tableName in FIXTURES:
             continue
