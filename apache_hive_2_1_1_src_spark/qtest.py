@@ -82,6 +82,7 @@ def init_classic_tables(eng) -> None:
     # resolution must be off for both clauses in qtest sessions
     eng.spark.conf.set("spark.sql.groupByOrdinal", "false")
     eng.spark.conf.set("spark.sql.orderByOrdinal", "false")
+    eng._ordinal_default = "false"  # what RESET restores in qtest runs
     # MR row-choice compat: LIMIT after GROUP BY keeps the smallest keys
     eng._mr_limit_key_order = True
     # PySpark's plain collect() renders timestamps in the PROCESS zone
