@@ -70,6 +70,16 @@ def init_classic_tables(eng) -> None:
     if not hasattr(eng, "_vars"):
         eng._vars = {}
     eng._vars.setdefault("system:hive.root", REF + "/")
+    # QTestUtil system properties the dfs lines interpolate (repair.q)
+    _wh = re.sub(
+        r"^file:/*", "/",
+        eng.spark.conf.get("spark.sql.warehouse.dir", ""),
+    )
+    eng._vars.setdefault("system:test.warehouse.dir", _wh)
+    eng._vars.setdefault("system:test.dfs.mkdir", "-mkdir -p")
+    import tempfile as _tf
+
+    eng._vars.setdefault("system:test.tmp.dir", _tf.gettempdir())
     # the reference test JVM runs with TZ=US/Pacific (pom.xml:998) —
     # timezone-sensitive goldens (timestamp_udf.q, decimal_1.q,
     # constprog_type.q) assume it.  Session-scoped: only the qtest
@@ -658,8 +668,22 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
     tmp = os.path.realpath(tempfile.gettempdir())
     real = os.path.realpath(path or "/")
     # prefix check must be separator-anchored: /tmpfoo shares the string
-    # prefix of /tmp but is OUTSIDE the scratch space
-    inside_tmp = real == tmp or real.startswith(tmp + os.sep)
+    # prefix of /tmp but is OUTSIDE the scratch space.  The engine's
+    # OWN warehouse is writable scratch too — repair.q dfs-mkdirs
+    # partition dirs directly under the table location
+    wh = os.path.realpath(
+        re.sub(
+            r"^file:/*",
+            "/",
+            eng.spark.conf.get("spark.sql.warehouse.dir", "/nonexistent"),
+        )
+    )
+    inside_tmp = (
+        real == tmp
+        or real.startswith(tmp + os.sep)
+        or real == wh
+        or real.startswith(wh + os.sep)
+    )
     if path and not os.path.exists(path):
         emu = _hdfs_emu_dir()
         if os.path.exists(emu + path):
@@ -775,6 +799,9 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
         shutil.rmtree(path, ignore_errors=True)
     elif cmd == "-mkdir" and inside_tmp:
         os.makedirs(path, exist_ok=True)
+    elif cmd == "-touchz" and inside_tmp:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        open(path, "a").close()
     elif cmd in ("-put", "-cp", "-copyFromLocal") and len(parts) >= 3 and inside_tmp:
         # -put <src> <dst>: dst must land in scratch (inside_tmp checks
         # the LAST operand = dst).  A src the engine wrote has part-*
@@ -1143,6 +1170,12 @@ def run_qfile(eng, name: str) -> QFileReport:
             got.pop()  # trailing blanks are framing (parse_qout strips too)
         if not block.results:
             return
+        # a cell holding a REAL newline prints across physical lines in
+        # the Hive CLI, and parse_qout reads the golden line-wise —
+        # expand our rows the same way (udtf_json_tuple.q's {"a":"b\nc"},
+        # query_result_fileformat.q)
+        if any("\n" in g for g in got):
+            got = [piece for g in got for piece in g.split("\n")]
         if sort_hash:
             import base64
             import hashlib
@@ -1197,8 +1230,14 @@ def run_qfile(eng, name: str) -> QFileReport:
                 if pending is not None and lines:
                     pending["got"].extend(lines)
             continue
-        _flush()
         block = _next_block(stmt)
+        if block is not None:
+            # an UNMATCHED statement (text-mode pairing: QTestUtil
+            # emitted no golden block for it, e.g. LOAD DATA INPATH)
+            # must keep the previous block's pending compare OPEN —
+            # its trailing dfs output still belongs there
+            # (load_orc_part.q's final dfs -ls)
+            _flush()
         rep.statements += 1
         # drop comment-only lines: the engine's statement-form dispatch
         # regexes are anchored at ^ (CliDriver strips these too)
