@@ -95,6 +95,9 @@ def init_classic_tables(eng) -> None:
     eng._ordinal_default = "false"  # what RESET restores in qtest runs
     # MR row-choice compat: LIMIT after GROUP BY keeps the smallest keys
     eng._mr_limit_key_order = True
+    # QTestUtil authenticates as hive_test_user (udf_current_user.q,
+    # the authorization owner goldens)
+    eng._default_user = "hive_test_user"
     # PySpark's plain collect() renders timestamps in the PROCESS zone
     # (datetime.fromtimestamp), which must agree with the session zone
     # or every timestamp shifts by the offset between them
