@@ -251,8 +251,18 @@ def read_hive_text(
     def build(col, dt, lvl: int):
         s = _re.escape(seps[lvl])
         if isinstance(dt, T.ArrayType):
-            return F.transform(
-                F.split(col, s, -1), lambda x: build(x, dt.elementType, lvl + 1)
+            # LazyArray: \N bytes are NULL, EMPTY bytes are an EMPTY
+            # array (create_nested_type.q's golden [] and null cells) —
+            # a bare split would fabricate a single empty element
+            return (
+                F.when(col.isNull() | (col == null_str), F.lit(None).cast(dt))
+                .when(col == "", F.array().cast(dt))
+                .otherwise(
+                    F.transform(
+                        F.split(col, s, -1),
+                        lambda x: build(x, dt.elementType, lvl + 1),
+                    )
+                )
             )
         if isinstance(dt, T.MapType):
             ks = _re.escape(seps[lvl + 1])
@@ -261,19 +271,28 @@ def read_hive_text(
             # scans for one delimiter and treats the rest as the value —
             # a timestamp value containing ':' must survive intact
             # (avro_timestamp.q's map<string,timestamp> with ':' keys)
-            return F.map_from_arrays(
-                F.transform(
-                    entries,
-                    lambda e: build(
-                        F.split(e, ks, 2).getItem(0), dt.keyType, lvl + 2
-                    ),
-                ),
-                F.transform(
-                    entries,
-                    lambda e: build(
-                        F.split(e, ks, 2).getItem(1), dt.valueType, lvl + 2
-                    ),
-                ),
+            return (
+                F.when(col.isNull() | (col == null_str), F.lit(None).cast(dt))
+                .otherwise(
+                    F.map_from_arrays(
+                        F.transform(
+                            entries,
+                            lambda e: build(
+                                F.split(e, ks, 2).getItem(0),
+                                dt.keyType,
+                                lvl + 2,
+                            ),
+                        ),
+                        F.transform(
+                            entries,
+                            lambda e: build(
+                                F.split(e, ks, 2).getItem(1),
+                                dt.valueType,
+                                lvl + 2,
+                            ),
+                        ),
+                    )
+                )
             )
         if isinstance(dt, T.StructType):
             names = [f.name for f in dt.fields]

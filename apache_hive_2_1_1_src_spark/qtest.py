@@ -314,13 +314,14 @@ def hive_cell(v) -> str:
             if tg is None:
                 return "null"
             return f"{{{tg}:{_hive_nested(d_.get(f'field{tg}'))}}}"
-        # Row → Hive struct framing {"field":value}
-        # field names are HiveQL identifiers — stored lowercased
-        # (struct<sInt:INT> prints "sint": avro_nullable_fields.q golden)
+        # Row → Hive struct framing {"field":value}: the display OI's
+        # field case comes through the read schema unchanged
+        # (orc_create.q pins {"A":"one"}; avro schemas already arrive
+        # lowercased, keeping avro_nullable_fields.q's "sint")
         return (
             "{"
             + ",".join(
-                f'"{k.lower()}":{_hive_nested(x)}'
+                f'"{k}":{_hive_nested(x)}'
                 for k, x in v.asDict().items()
             )
             + "}"
@@ -1169,8 +1170,15 @@ def run_qfile(eng, name: str) -> QFileReport:
             return
         block, got, bare = pending["block"], pending["got"], pending["bare"]
         pending = None
-        while got and got[-1] == "":
-            got.pop()  # trailing blanks are framing (parse_qout strips too)
+        # trailing blanks are usually framing — but an EMPTY-STRING cell
+        # is a legitimate row (orc_empty_strings.q selects '' ten
+        # times): only pop down to the golden's row count
+        while (
+            got
+            and got[-1] == ""
+            and len(got) > len(block.results)
+        ):
+            got.pop()
         if not block.results:
             return
         # a cell holding a REAL newline prints across physical lines in
