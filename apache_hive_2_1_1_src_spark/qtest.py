@@ -1185,8 +1185,12 @@ def run_qfile(eng, name: str) -> QFileReport:
         # the Hive CLI, and parse_qout reads the golden line-wise —
         # expand our rows the same way (udtf_json_tuple.q's {"a":"b\nc"},
         # query_result_fileformat.q)
-        if any("\n" in g for g in got):
-            got = [piece for g in got for piece in g.split("\n")]
+        if any("\n" in g or "\r" in g for g in got):
+            got = [
+                piece
+                for g in got
+                for piece in re.split("\r\n|\r|\n", g)
+            ]
         if sort_hash:
             import base64
             import hashlib
