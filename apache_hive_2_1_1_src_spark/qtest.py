@@ -995,7 +995,10 @@ def cleanup_scratch_tables(eng) -> None:
     eng.spark.sql("USE default")
     # per-table read-shim registries must not leak onto a LATER file's
     # same-named table (the tables themselves are dropped below)
-    for reg in ("_orc_wall_masks", "_default_part_tables"):
+    for reg in (
+        "_orc_wall_masks", "_default_part_tables",
+        "_temp_tables", "_temp_view_dbs", "_temp_shadows",
+    ):
         if hasattr(eng, reg):
             getattr(eng, reg).clear()
     for row in eng.spark.sql("SHOW TABLES").collect():
