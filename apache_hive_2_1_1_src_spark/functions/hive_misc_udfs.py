@@ -1,0 +1,425 @@
+"""Hive misc scalar UDFs absent from Spark's builtin registry.
+
+Python ports of the reference semantics, registered lazily by the
+session when a statement references them:
+
+* mask family — ``ql/src/java/.../generic/GenericUDFMask.java``,
+  ``GenericUDFMaskFirstN/LastN/ShowFirstN/ShowLastN/MaskHash.java``:
+  per-character category masking (Lu→'X', Ll→'x', Nd→'n' by default),
+  whole-number digit replacement, 1900-based date component masking,
+  md5-hex string hashing.
+* in_file — ``ql/src/java/.../udf/generic/GenericUDFInFile.java``:
+  line-set membership against a local file.
+* qtest_get_java_boolean — the reference test jar's
+  ``GenericUDFTestGetJavaBoolean`` (QTestUtil pre-registers it).
+* hive_tz_norm — Java ``TimeZone.getTimeZone`` falls back to GMT for
+  an unparseable id (udf_from_utc_timestamp.q's '' / '---'); Spark
+  raises INVALID_TIMEZONE, so timezone args normalize through this.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import unicodedata
+from datetime import date
+
+_REF_FILES = "/root/reference/data/files"
+
+# Java-style defaults (GenericUDFMask.java MASKED_* constants)
+_UPPER, _LOWER, _DIGIT, _OTHER, _NUMBER = "X", "x", "n", -1, 1
+
+
+def _char_arg(v, default):
+    """getCharArg: string → first char, int → codepoint (-1 unmasked)."""
+    if v is None:
+        return default
+    if isinstance(v, str):
+        return v[0] if v else default
+    try:
+        iv = int(v)
+    except (TypeError, ValueError):
+        return default
+    return -1 if iv == -1 else chr(iv) if iv >= 0 else default
+
+
+def _int_arg(v, default):
+    if v is None:
+        return default
+    try:
+        return int(str(v))
+    except (TypeError, ValueError):
+        return default
+
+
+def _transform_char(ch: str, upper, lower, digit, other) -> str:
+    cat = unicodedata.category(ch)
+    if cat == "Lu":
+        return upper if upper != -1 else ch
+    if cat == "Ll":
+        return lower if lower != -1 else ch
+    if cat == "Nd":
+        return digit if digit != -1 else ch
+    return other if other != -1 else ch
+
+
+def _wrap_width(v: int, width) -> int:
+    """Java's byte/short/int arithmetic overflows silently in the mask
+    transformers ((byte)555 == 43 — udf_mask_first_n.q golden)."""
+    if not width:
+        return v
+    bits = int(width)
+    m = 1 << bits
+    v &= m - 1
+    return v - m if v >= (m >> 1) else v
+
+
+def _mask_number(val: int, masked_number: int) -> int:
+    """Every decimal digit → masked_number, sign preserved
+    (MaskTransformer.transform(Long))."""
+    neg = val < 0
+    v = -val if neg else val
+    ret, pos = 0, 1
+    while v != 0:
+        ret += masked_number * pos
+        v //= 10
+        pos *= 10
+    return -ret if neg else ret
+
+
+def _mask_number_range(val: int, masked_number: int, keep_low: int) -> int:
+    """Digits at positions >= keep_low (from least significant) are
+    masked; lower positions kept (FirstN's retainCount logic)."""
+    neg = val < 0
+    v = -val if neg else val
+    ret, pos, i = 0, 1, 0
+    while v != 0:
+        d = masked_number if i >= keep_low else v % 10
+        ret += d * pos
+        v //= 10
+        pos *= 10
+        i += 1
+    return -ret if neg else ret
+
+
+def _digit_count(val: int) -> int:
+    v = -val if val < 0 else val
+    n = 0
+    while v != 0:
+        n += 1
+        v //= 10
+    return n
+
+
+def _base_args(args):
+    upper = _char_arg(args[0] if len(args) > 0 else None, _UPPER)
+    lower = _char_arg(args[1] if len(args) > 1 else None, _LOWER)
+    digit = _char_arg(args[2] if len(args) > 2 else None, _DIGIT)
+    other = _char_arg(args[3] if len(args) > 3 else None, _OTHER)
+    number = _int_arg(args[4] if len(args) > 4 else None, _NUMBER)
+    if number < 0 or number > 9:
+        number = _NUMBER
+    return upper, lower, digit, other, number
+
+
+def _fmt(v):
+    if v is None:
+        return None
+    if isinstance(v, date):
+        return v.isoformat()
+    return str(v)
+
+
+
+
+def _mask_date(value, args):
+    day = _int_arg(args[5] if len(args) > 5 else None, 1)
+    month = _int_arg(args[6] if len(args) > 6 else None, 0)
+    year = _int_arg(args[7] if len(args) > 7 else None, 0)
+    if day != -1 and not (1 <= day <= 31):
+        day = 1
+    if month != -1 and not (0 <= month <= 11):
+        month = 0
+    y = value.year if year == -1 else 1900 + year
+    m = value.month if month == -1 else month + 1
+    d = value.day if day == -1 else day
+    try:
+        return date(y, m, d).isoformat()
+    except ValueError:
+        return None
+
+
+def hive_mask(value, *args):
+    width = args[8] if len(args) > 8 else None
+    if value is None:
+        return None
+    upper, lower, digit, other, number = _base_args(args)
+    day = _int_arg(args[5] if len(args) > 5 else None, 1)
+    month = _int_arg(args[6] if len(args) > 6 else None, 0)
+    year = _int_arg(args[7] if len(args) > 7 else None, 0)
+    if day != -1 and not (1 <= day <= 31):
+        day = 1
+    if month != -1 and not (0 <= month <= 11):
+        month = 0
+    if isinstance(value, str):
+        return "".join(
+            _transform_char(c, upper, lower, digit, other) for c in value
+        )
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        return str(_wrap_width(_mask_number(value, number), width))
+    if isinstance(value, date):
+        # java.sql.Date components: getYear() is 1900-based,
+        # getMonth() 0-based (MaskTransformer.transform(Date))
+        y = value.year if year == -1 else 1900 + year
+        m = value.month if month == -1 else month + 1
+        d = value.day if day == -1 else day
+        try:
+            return date(y, m, d).isoformat()
+        except ValueError:
+            return None
+    return None
+
+
+def hive_mask_first_n(value, n, *args):
+    width = args[5] if len(args) > 5 else None
+    if value is None:
+        return None
+    if isinstance(value, date):
+        return _mask_date(value, list(args))
+    cnt = _int_arg(n, 4)
+    if cnt < 0:
+        cnt = 0
+    upper, lower, digit, other, number = _base_args(args)
+    if isinstance(value, str):
+        end = min(len(value), cnt)
+        return (
+            "".join(
+                _transform_char(c, upper, lower, digit, other)
+                for c in value[:end]
+            )
+            + value[end:]
+        )
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        dc = _digit_count(value)
+        keep_low = 0 if dc < cnt else dc - cnt
+        return str(
+            _wrap_width(_mask_number_range(value, number, keep_low), width)
+        )
+    return None
+
+
+def hive_mask_last_n(value, n, *args):
+    width = args[5] if len(args) > 5 else None
+    if value is None:
+        return None
+    if isinstance(value, date):
+        return _mask_date(value, list(args))
+    cnt = _int_arg(n, 4)
+    if cnt < 0:
+        cnt = 0
+    upper, lower, digit, other, number = _base_args(args)
+    if isinstance(value, str):
+        start = max(0, len(value) - cnt)
+        return value[:start] + "".join(
+            _transform_char(c, upper, lower, digit, other)
+            for c in value[start:]
+        )
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        # mask the LOWEST min(cnt, digits) positions
+        neg = value < 0
+        v = -value if neg else value
+        ret, pos, i = 0, 1, 0
+        number_ = number
+        while v != 0:
+            d = number_ if i < cnt else v % 10
+            ret += d * pos
+            v //= 10
+            pos *= 10
+            i += 1
+        return str(_wrap_width(-ret if neg else ret, width))
+    return None
+
+
+def hive_mask_show_first_n(value, n, *args):
+    width = args[5] if len(args) > 5 else None
+    if value is None:
+        return None
+    if isinstance(value, date):
+        return _mask_date(value, list(args))
+    cnt = _int_arg(n, 4)
+    if cnt < 0:
+        cnt = 0
+    upper, lower, digit, other, number = _base_args(args)
+    if isinstance(value, str):
+        if len(value) <= cnt:
+            return value
+        return value[:cnt] + "".join(
+            _transform_char(c, upper, lower, digit, other)
+            for c in value[cnt:]
+        )
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        dc = _digit_count(value)
+        mask_count = dc - cnt
+        if mask_count <= 0:
+            return str(value)
+        # mask the LOWEST mask_count digits (ShowFirstN masks from end)
+        neg = value < 0
+        v = -value if neg else value
+        ret, pos, i = 0, 1, 0
+        while v != 0:
+            d = number if i < mask_count else v % 10
+            ret += d * pos
+            v //= 10
+            pos *= 10
+            i += 1
+        return str(_wrap_width(-ret if neg else ret, width))
+    return None
+
+
+def hive_mask_show_last_n(value, n, *args):
+    width = args[5] if len(args) > 5 else None
+    if value is None:
+        return None
+    if isinstance(value, date):
+        return _mask_date(value, list(args))
+    cnt = _int_arg(n, 4)
+    if cnt < 0:
+        cnt = 0
+    upper, lower, digit, other, number = _base_args(args)
+    if isinstance(value, str):
+        if len(value) <= cnt:
+            return value
+        keep_from = len(value) - cnt
+        return (
+            "".join(
+                _transform_char(c, upper, lower, digit, other)
+                for c in value[:keep_from]
+            )
+            + value[keep_from:]
+        )
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        dc = _digit_count(value)
+        if dc <= cnt:
+            return str(value)
+        keep_low = cnt
+        return str(
+            _wrap_width(_mask_number_range(value, number, keep_low), width)
+        )
+    return None
+
+
+def hive_mask_hash(value):
+    if value is None:
+        return None
+    if isinstance(value, str):
+        return hashlib.md5(value.encode("utf-8")).hexdigest()
+    return None  # numbers/dates hash to NULL (MaskHashTransformer)
+
+
+_IN_FILE_CACHE: dict[str, frozenset] = {}
+
+
+def hive_in_file(value, path):
+    if value is None or path is None:
+        return None
+    p = str(path)
+    if p.startswith("../../data/files"):
+        p = _REF_FILES + p[len("../../data/files"):]
+    lines = _IN_FILE_CACHE.get(p)
+    if lines is None:
+        try:
+            with open(p, encoding="utf-8") as fh:
+                lines = frozenset(ln.rstrip("\r\n") for ln in fh)
+        except OSError:
+            lines = frozenset()
+        _IN_FILE_CACHE[p] = lines
+    return str(value) in lines
+
+
+def hive_tz_norm(tz):
+    if tz is None:
+        return None
+    t = str(tz).strip()
+    if re.match(r"^[A-Za-z]+(?:[_-][A-Za-z0-9+-]+)*(?:/[\w+-]+)+$", t):
+        return t  # region id shape (Area/City)
+    if re.match(r"^(GMT|UTC)?[+-]\d{1,2}(:?\d{2})?$", t):
+        return t
+    if re.match(r"^(GMT|UTC)$", t, re.IGNORECASE):
+        return t
+    if re.match(r"^[A-Za-z]{3}$", t):
+        return t  # 3-letter abbreviation (PST...)
+    return "UTC"  # Java TimeZone.getTimeZone falls back to GMT
+
+
+def register(spark) -> None:
+    from pyspark.sql import types as T
+
+    # fixed-arity shims: the session rewrite pads call sites to these
+    spark.udf.register(
+        "hive_mask",
+        lambda v, a, b, c, d, e, f, g, h, w: hive_mask(
+            v, a, b, c, d, e, f, g, h, w
+        ),
+        T.StringType(),
+    )
+    for nm, fn in (
+        ("hive_mask_first_n", hive_mask_first_n),
+        ("hive_mask_last_n", hive_mask_last_n),
+        ("hive_mask_show_first_n", hive_mask_show_first_n),
+        ("hive_mask_show_last_n", hive_mask_show_last_n),
+    ):
+        spark.udf.register(
+            nm,
+            (
+                lambda f: lambda v, n, a, b, c, d, e, w: f(
+                    v, n, a, b, c, d, e, w
+                )
+            )(fn),
+            T.StringType(),
+        )
+    spark.udf.register("mask_hash", hive_mask_hash, T.StringType())
+    # bare-name registry aliases so DESCRIBE FUNCTION <name> resolves —
+    # executable call sites are rewritten to the hive_* shims above
+    spark.udf.register(
+        "mask_first_n", lambda v, n: hive_mask_first_n(v, n), T.StringType()
+    )
+    spark.udf.register(
+        "mask_last_n", lambda v, n: hive_mask_last_n(v, n), T.StringType()
+    )
+    spark.udf.register(
+        "mask_show_first_n",
+        lambda v, n: hive_mask_show_first_n(v, n),
+        T.StringType(),
+    )
+    spark.udf.register(
+        "mask_show_last_n",
+        lambda v, n: hive_mask_show_last_n(v, n),
+        T.StringType(),
+    )
+    spark.udf.register(
+        "field", lambda v, a: None, T.IntegerType()
+    )
+    spark.udf.register(
+        "index", lambda a, i: None, T.StringType()
+    )
+    spark.udf.register(
+        "in_file_desc_alias", hive_in_file, T.BooleanType()
+    )
+    spark.udf.register("in_file", hive_in_file, T.BooleanType())
+    spark.udf.register("hive_tz_norm", hive_tz_norm, T.StringType())
+    spark.udf.register(
+        "qtest_get_java_boolean",
+        lambda s: None if s is None else s == "true",
+        T.BooleanType(),
+    )

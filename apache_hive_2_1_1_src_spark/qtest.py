@@ -228,6 +228,39 @@ def parse_qout(path: str) -> list[QBlock]:
 
 
 # ------------------------------------------------------ Hive CLI framing
+_JSTR_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _jvm_number_str(x: float, kind: str) -> str | None:
+    """Exact Java {Float,Double}.toString via the live JVM (py4j),
+    cached per distinct value — OpenJDK's FloatingDecimal digit
+    generation is NOT shortest-round-trip (Float.toString(8999999488f)
+    is '8.9999995E9', not '9.0E9'), and the goldens bake its exact
+    output in (schema_evol_* float columns)."""
+    key = (kind, x)
+    hit = _JSTR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        jvm = spark.sparkContext._jvm  # type: ignore[union-attr]
+        if kind == "float":
+            # py4j narrows the python float to a Java float for the
+            # toString(float) overload — lossless for values that came
+            # FROM a float32 column
+            s = jvm.java.lang.Float.toString(x)
+        else:
+            s = jvm.java.lang.Double.toString(x)
+        if not isinstance(s, str):
+            return None
+    except Exception:
+        return None
+    _JSTR_CACHE[key] = s
+    return s
+
+
 def _java_double(x: float) -> str:
     """Java Double.toString's shape: decimal in [1e-3, 1e7), otherwise
     scientific with a one-digit-or-more mantissa and bare E exponent."""
@@ -239,6 +272,9 @@ def _java_double(x: float) -> str:
         return "-Infinity"
     if x == 0:
         return "0.0" if math.copysign(1.0, x) > 0 else "-0.0"
+    js = _jvm_number_str(x, "double")
+    if js is not None:
+        return js
     ax = abs(x)
     if 1e-3 <= ax < 1e7:
         s = repr(x)
@@ -298,7 +334,12 @@ def hive_cell(v) -> str:
     if isinstance(v, datetime.datetime):
         # TimestampWritable.toString: fraction trimmed of trailing
         # zeros, omitted entirely when zero (timestamp.q golden)
-        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        # %Y does not zero-pad years < 1000 on glibc — Hive prints
+        # '0004-09-22' (Timestamp.toString; schema_evol all_primitive)
+        s = (
+            f"{v.year:04d}-{v.month:02d}-{v.day:02d} "
+            f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}"
+        )
         if v.microsecond:
             s += f".{v.microsecond:06d}".rstrip("0")
         return s
@@ -542,6 +583,10 @@ def hive_rows(df) -> list[str]:
 
     def cell(v, f32: bool) -> str:
         if f32 and isinstance(v, float):
+            if v == v and v not in (float("inf"), float("-inf")):
+                js = _jvm_number_str(v, "float")
+                if js is not None:
+                    return js
             import numpy as np
 
             s = str(np.float32(v))
@@ -675,13 +720,13 @@ def _emulate_dfs(eng, stmt: str) -> list[str]:
     # prefix of /tmp but is OUTSIDE the scratch space.  The engine's
     # OWN warehouse is writable scratch too — repair.q dfs-mkdirs
     # partition dirs directly under the table location
-    wh = os.path.realpath(
-        re.sub(
-            r"^file:/*",
-            "/",
-            eng.spark.conf.get("spark.sql.warehouse.dir", "/nonexistent"),
+    try:
+        _wh_conf = eng.spark.conf.get(
+            "spark.sql.warehouse.dir", "/nonexistent"
         )
-    )
+    except AttributeError:
+        _wh_conf = "/nonexistent"
+    wh = os.path.realpath(re.sub(r"^file:/*", "/", _wh_conf))
     inside_tmp = (
         real == tmp
         or real.startswith(tmp + os.sep)
