@@ -362,6 +362,145 @@ def hive_tz_norm(tz):
     return "UTC"  # Java TimeZone.getTimeZone falls back to GMT
 
 
+
+
+def _java_week_parts(d):
+    """GregorianCalendar Locale.US week fields: weeks start SUNDAY,
+    minimalDaysInFirstWeek=1 (udf_date_format.q 'w'=15 for
+    2015-04-08)."""
+    from datetime import date as _d, timedelta as _td
+
+    def _sun_idx(x):
+        return (x.weekday() + 1) % 7  # Sunday → 0
+
+    nxt = _d(d.year + 1, 1, 1)
+    start_next_w1 = nxt - _td(days=_sun_idx(nxt))
+    if d >= start_next_w1:
+        return 1, d.year + 1
+    jan1 = _d(d.year, 1, 1)
+    off = _sun_idx(jan1)
+    doy = d.timetuple().tm_yday
+    return (doy + off - 1) // 7 + 1, d.year
+
+
+def hive_date_format(value, fmt):
+    """date_format with Java SimpleDateFormat semantics for the fields
+    Spark's CORRECTED parser rejects (Y week-year, w/W week numbers,
+    S raw milliseconds) — UDFDateFormat.java delegates to
+    SimpleDateFormat."""
+    import datetime as _dt
+
+    if value is None or fmt is None:
+        return None
+    v = value
+    if isinstance(v, str):
+        m = re.match(
+            r"\s*(\d{1,4})-(\d{1,2})-(\d{1,2})"
+            r"(?:[ T](\d{1,2})(?::(\d{1,2})(?::(\d{1,2})"
+            r"(?:\.(\d+))?)?)?)?",
+            v,
+        )
+        if not m:
+            return None
+        frac = (m.group(7) or "").ljust(3, "0")[:3]
+        try:
+            v = _dt.datetime(
+                int(m.group(1)), int(m.group(2)), int(m.group(3)),
+                int(m.group(4) or 0), int(m.group(5) or 0),
+                int(m.group(6) or 0), int(frac) * 1000,
+            )
+        except ValueError:
+            return None
+    if isinstance(v, _dt.datetime):
+        d, t = v.date(), v
+    elif isinstance(v, _dt.date):
+        d, t = v, _dt.datetime(v.year, v.month, v.day)
+    else:
+        return None
+    months = ["January", "February", "March", "April", "May", "June",
+              "July", "August", "September", "October", "November",
+              "December"]
+    days = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+            "Saturday", "Sunday"]
+    out, i = [], 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "'":
+            j = fmt.find("'", i + 1)
+            if j == i + 1:
+                out.append("'")
+                i += 2
+                continue
+            out.append(fmt[i + 1 : j if j != -1 else len(fmt)])
+            i = (j + 1) if j != -1 else len(fmt)
+            continue
+        if not c.isalpha():
+            out.append(c)
+            i += 1
+            continue
+        j = i
+        while j < len(fmt) and fmt[j] == c:
+            j += 1
+        n = j - i
+        if c == "G":
+            out.append("AD")
+        elif c in "yY":
+            if c == "Y":
+                _, yr = _java_week_parts(d)
+            else:
+                yr = d.year
+            out.append(str(yr % 100).zfill(2) if n == 2 else str(yr).zfill(n))
+        elif c == "M":
+            if n >= 4:
+                out.append(months[d.month - 1])
+            elif n == 3:
+                out.append(months[d.month - 1][:3])
+            else:
+                out.append(str(d.month).zfill(n))
+        elif c == "w":
+            wk, _ = _java_week_parts(d)
+            out.append(str(wk).zfill(n))
+        elif c == "W":
+            first = d.replace(day=1)
+            off = (first.weekday() + 1) % 7
+            out.append(str((d.day + off - 1) // 7 + 1).zfill(n))
+        elif c == "D":
+            out.append(str(d.timetuple().tm_yday).zfill(n))
+        elif c == "d":
+            out.append(str(d.day).zfill(n))
+        elif c == "E":
+            nm = days[d.weekday()]
+            out.append(nm if n >= 4 else nm[:3])
+        elif c == "u":
+            out.append(str(d.weekday() + 1).zfill(n))
+        elif c == "H":
+            out.append(str(t.hour).zfill(n))
+        elif c == "k":
+            out.append(str(t.hour or 24).zfill(n))
+        elif c == "h":
+            out.append(str(((t.hour + 11) % 12) + 1).zfill(n))
+        elif c == "K":
+            out.append(str(t.hour % 12).zfill(n))
+        elif c == "m":
+            out.append(str(t.minute).zfill(n))
+        elif c == "s":
+            out.append(str(t.second).zfill(n))
+        elif c == "S":
+            out.append(str(t.microsecond // 1000).zfill(n))
+        elif c == "a":
+            out.append("PM" if t.hour >= 12 else "AM")
+        elif c in "zv":
+            out.append("UTC")
+        elif c == "Z":
+            out.append("+0000")
+        else:
+            # SimpleDateFormat throws on an unknown pattern letter and
+            # UDFDateFormat returns NULL ('Q' — udf_date_format.q)
+            return None
+        i = j
+    return "".join(out)
+
+
 def register(spark) -> None:
     from pyspark.sql import types as T
 
@@ -417,9 +556,20 @@ def register(spark) -> None:
         "in_file_desc_alias", hive_in_file, T.BooleanType()
     )
     spark.udf.register("in_file", hive_in_file, T.BooleanType())
+    spark.udf.register(
+        "hive_date_format", hive_date_format, T.StringType()
+    )
     spark.udf.register("hive_tz_norm", hive_tz_norm, T.StringType())
     spark.udf.register(
         "qtest_get_java_boolean",
-        lambda s: None if s is None else s == "true",
+        # GenericUDFTestGetJavaBoolean: 'true'/'false' parse, anything
+        # else NULL (create_func1.q's 'abc' → NULL)
+        lambda s: (
+            True
+            if s is not None and s.lower() == "true"
+            else False
+            if s is not None and s.lower() == "false"
+            else None
+        ),
         T.BooleanType(),
     )

@@ -1091,6 +1091,21 @@ def run_qfile(eng, name: str) -> QFileReport:
     qtext = open(qpath, encoding="utf-8", errors="replace").read()
     # path remap: .q files address fixture data relative to ql/src/test
     qtext = qtext.replace("../../data/files", DATA_DIR)
+    qtext = qtext.replace("${system:test.data.dir}", DATA_DIR)
+
+    # ``source <file>;`` inlines another script (CliDriver
+    # processFile — source.q): splice its statements in place so the
+    # golden blocks line up
+    def _inline_source(m: "re.Match") -> str:
+        p = m.group(1).strip().strip("'\"")
+        try:
+            return open(p, encoding="utf-8").read()
+        except OSError:
+            return ""
+
+    qtext = re.sub(
+        r"(?im)^source\s+([^;\n]+);[ \t]*$", _inline_source, qtext
+    )
     # QTestUtil's default fs is a (mini)DFS DISTINCT from file:// —
     # schemeAuthority.q writes key=10 to file:///tmp/test and key=20 to
     # hdfs:///tmp/test and reads BOTH back.  Emulate hdfs as a separate

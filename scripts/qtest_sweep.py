@@ -76,7 +76,15 @@ def main() -> None:
     ap.add_argument("--skip-file", help="results file whose names to skip")
     ap.add_argument("--shard", help="i/N slice of the name list")
     ap.add_argument("--out", default="qtest_sweep_results.txt")
-    ap.add_argument("--warehouse", default="/tmp/qtest_sweep_warehouse")
+    # NOT under /tmp: tmpwatch-style cleanup mid-sweep killed shard 2's
+    # tail in round 11 (40 stage-failure ERRORs, all late stages)
+    ap.add_argument(
+        "--warehouse",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".qtest-sweep-warehouse",
+        ),
+    )
     args = ap.parse_args()
     if args.skip_file and os.path.exists(args.skip_file):
         done = {
