@@ -501,6 +501,127 @@ def hive_date_format(value, fmt):
     return "".join(out)
 
 
+
+
+def hive_reflect2(value, method, p1=None, p2=None, tz=None):
+    """reflect2 (GenericUDFReflect2.java): invoke a Java instance
+    method on the value's writable.  The common String/Integer/
+    Timestamp methods from udf_reflect2.q, with java.sql.Timestamp's
+    1900-based getYear / 0-based getMonth / day-of-week getDay."""
+    import datetime as _dt
+
+    if value is None or method is None:
+        return None
+
+    def _wrap(v, bits):
+        m = 1 << bits
+        v &= m - 1
+        return v - m if v >= (m >> 1) else v
+
+    try:
+        if isinstance(value, bool):
+            return str(value).lower()
+        if isinstance(value, int):
+            if method == "byteValue":
+                return str(_wrap(value, 8))
+            if method == "shortValue":
+                return str(_wrap(value, 16))
+            if method == "intValue":
+                return str(_wrap(value, 32))
+            if method == "longValue":
+                return str(value)
+            if method in ("floatValue", "doubleValue"):
+                return f"{float(value):.1f}" if float(value) == int(
+                    value
+                ) else str(float(value))
+            if method == "toString":
+                return str(value)
+            if method == "hashCode":
+                return str(_wrap(value, 32))
+            return None
+        if isinstance(value, str):
+            if method == "concat":
+                return value + (p1 or "")
+            if method == "contains":
+                return str(p1 in value).lower()
+            if method == "startsWith":
+                return str(value.startswith(p1 or "")).lower()
+            if method == "endsWith":
+                return str(value.endswith(p1 or "")).lower()
+            if method == "equals":
+                return str(value == p1).lower()
+            if method == "equalsIgnoreCase":
+                return str(value.lower() == (p1 or "").lower()).lower()
+            if method == "getBytes":
+                return value  # raw bytes of an ASCII string print as-is
+            if method == "indexOf":
+                return str(value.find(str(p1)))
+            if method == "lastIndexOf":
+                return str(value.rfind(str(p1)))
+            if method == "replace":
+                return value.replace(str(p1), str(p2))
+            if method == "substring":
+                if p2 is None:
+                    return value[int(p1):]
+                return value[int(p1):int(p2)]
+            if method == "toUpperCase":
+                return value.upper()
+            if method == "toLowerCase":
+                return value.lower()
+            if method == "trim":
+                return value.strip()
+            if method == "length":
+                return str(len(value))
+            if method == "toString":
+                return value
+            if method == "hashCode":
+                h = 0
+                for ch in value:
+                    h = _wrap(31 * h + ord(ch), 32)
+                return str(h)
+            return None
+        if isinstance(value, _dt.datetime):
+            loc = value
+            if tz is not None and value.tzinfo is None:
+                # python workers hand over the instant as a NAIVE UTC
+                # datetime; java.sql.Timestamp getters answer in the
+                # SESSION zone
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    loc = value.replace(tzinfo=_dt.timezone.utc).astimezone(
+                        ZoneInfo(tz)
+                    )
+                except Exception:
+                    loc = value
+            if method == "getYear":
+                return str(loc.year - 1900)
+            if method == "getMonth":
+                return str(loc.month - 1)
+            if method == "getDay":
+                # java.util.Date.getDay: day of week, Sunday=0
+                return str((loc.weekday() + 1) % 7)
+            if method == "getDate":
+                return str(loc.day)
+            if method == "getHours":
+                return str(loc.hour)
+            if method == "getMinutes":
+                return str(loc.minute)
+            if method == "getSeconds":
+                return str(loc.second)
+            if method == "getTime":
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+                if value.tzinfo is None:
+                    epoch = _dt.datetime(1970, 1, 1)
+                return str(
+                    int((value - epoch).total_seconds() * 1000)
+                )
+            return None
+    except (TypeError, ValueError):
+        return None
+    return None
+
+
 def register(spark) -> None:
     from pyspark.sql import types as T
 
@@ -558,6 +679,20 @@ def register(spark) -> None:
     spark.udf.register("in_file", hive_in_file, T.BooleanType())
     spark.udf.register(
         "hive_date_format", hive_date_format, T.StringType()
+    )
+    try:
+        _sess_tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        _sess_tz = "UTC"
+    spark.udf.register(
+        "hive_reflect2",
+        lambda v, m, a, b, t=_sess_tz: hive_reflect2(v, m, a, b, tz=t),
+        T.StringType(),
+    )
+    spark.udf.register(
+        "reflect2",
+        lambda v, m, t=_sess_tz: hive_reflect2(v, m, tz=t),
+        T.StringType(),
     )
     spark.udf.register("hive_tz_norm", hive_tz_norm, T.StringType())
     spark.udf.register(

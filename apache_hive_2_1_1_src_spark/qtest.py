@@ -1361,6 +1361,56 @@ def run_qfile(eng, name: str) -> QFileReport:
                 got = _column_access_lines(df) + got
             except Exception:
                 pass
+        if "CheckQueryPropertiesHook" in hooks and re.match(
+            r"^(SELECT|FROM|WITH)\b", bare, re.IGNORECASE
+        ):
+            # CheckQueryPropertiesHook (ql/.../hooks/) prints the
+            # QueryProperties flags the SemanticAnalyzer collected —
+            # all derivable from the statement text (query_properties.q)
+            b = re.sub(r"'[^']*'", "''", bare)
+            has_join = bool(re.search(r"(?i)\bjoin\b", b))
+            has_gb = bool(re.search(r"(?i)\bgroup\s+by\b", b))
+            # 'after join' is per QUERY BLOCK (QueryProperties is set by
+            # the same SemanticAnalyzer instance): a join inside a
+            # subquery does not mark the OUTER group-by
+            depth, dep = [], 0
+            for ch in b:
+                if ch == "(":
+                    dep += 1
+                depth.append(dep)
+                if ch == ")":
+                    dep -= 1
+            jd = {
+                depth[mm.start()]
+                for mm in re.finditer(r"(?i)\bjoin\b", b)
+            }
+            gd = {
+                depth[mm.start()]
+                for mm in re.finditer(r"(?i)\bgroup\s+by\b", b)
+            }
+            gb_after_join = bool(jd & gd)
+            got = [
+                f"Has Join: {str(has_join).lower()}",
+                f"Has Group By: {str(has_gb).lower()}",
+                "Has Sort By: "
+                + str(bool(re.search(r"(?i)\bsort\s+by\b", b))).lower(),
+                "Has Order By: "
+                + str(bool(re.search(r"(?i)\border\s+by\b", b))).lower(),
+                "Has Group By After Join: "
+                + str(gb_after_join).lower(),
+                "Uses Script: "
+                + str(
+                    bool(re.search(r"(?i)\btransform\s*\(", b))
+                ).lower(),
+                "Has Distribute By: "
+                + str(
+                    bool(re.search(r"(?i)\bdistribute\s+by\b", b))
+                ).lower(),
+                "Has Cluster By: "
+                + str(
+                    bool(re.search(r"(?i)\bcluster\s+by\b", b))
+                ).lower(),
+            ] + got
         if block is not None:
             pending = {"block": block, "got": got, "bare": bare}
     _flush()

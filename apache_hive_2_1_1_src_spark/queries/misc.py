@@ -1338,7 +1338,64 @@ def q257_regex_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql("DROP TABLE IF EXISTS q257_regex_t")
 
 
+def q258_mask_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional mask family (GenericUDFMaskFirstN/ShowLastN/MaskHash,
+    ql/src/java/.../generic/ — udf_mask_first_n.q semantics): category
+    masking over the first-N span, show-last-N, and md5 hashing."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    return eng.sql(
+        """
+        select c_custkey,
+               mask_first_n(c_name, 9) as m_first,
+               mask_show_last_n(c_name, 4) as m_show_last,
+               mask_hash(c_name) as m_hash
+        from customer where c_custkey <= 100
+        """
+    ).localCheckpoint(eager=True)
+
+
+def q259_field_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field() (GenericUDFField.java): 1-based index of the value in
+    the argument list, SAME primitive category only, 0 when absent."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    return eng.sql(
+        """
+        select o_orderkey,
+               field(o_orderpriority, '1-URGENT', '2-HIGH', '3-MEDIUM')
+                 as pri_idx,
+               field(cast(o_orderkey as int), 1, 2, 3) as key_idx
+        from orders where o_orderkey <= 200
+        """
+    ).localCheckpoint(eager=True)
+
+
+def q260_ngrams_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngrams UDAF (GenericUDAFnGrams.java / udaf_ngrams.q): top-k
+    n-gram frequencies over sentences() — rewritten to an explode +
+    group-by + top-k plan (one shuffle; the estimator is exact at this
+    k).  Oracle omitted: DuckDB has no sentences() tokenizer with
+    Spark's BreakIterator semantics, so the driver records a rows-only
+    check for this entry."""
+    from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+    eng = HiveEngine(spark, sf_dir)
+    eng.register_tables(sf_dir)
+    return eng.sql(
+        "SELECT ngrams(sentences(lower(text)), 2, 10, 1000)"
+        ".estfrequency FROM documents"
+    ).localCheckpoint(eager=True)
+
+
 QUERIES = {
+    "q258_mask_positional": q258_mask_positional,
+    "q259_field_function": q259_field_function,
+    "q260_ngrams_udaf": q260_ngrams_udaf,
     "q253_values_text_protocol": q253_values_text_protocol,
     "q254_percentile_approx_hive": q254_percentile_approx_hive,
     "q255_hive_lexer_semantics": q255_hive_lexer_semantics,
@@ -1396,6 +1453,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q258_mask_positional": """
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(
+                   substr(c_name, 1, 9),
+                   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g')
+                 || substr(c_name, 10) AS m_first,
+               regexp_replace(regexp_replace(regexp_replace(
+                   substr(c_name, 1, length(c_name) - 4),
+                   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g')
+                 || substr(c_name, length(c_name) - 3) AS m_show_last,
+               md5(c_name) AS m_hash
+        FROM customer WHERE c_custkey <= 100
+    """,
+    "q259_field_function": """
+        SELECT o_orderkey,
+               CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 1
+                    WHEN '2-HIGH' THEN 2
+                    WHEN '3-MEDIUM' THEN 3
+                    ELSE 0 END AS pri_idx,
+               CASE WHEN o_orderkey = 1 THEN 1
+                    WHEN o_orderkey = 2 THEN 2
+                    WHEN o_orderkey = 3 THEN 3
+                    ELSE 0 END AS key_idx
+        FROM orders WHERE o_orderkey <= 200
+    """,
     "q253_values_text_protocol": """
         SELECT * FROM (VALUES
           (1, TRUE,  CAST(NULL AS TINYINT), 'x'),
