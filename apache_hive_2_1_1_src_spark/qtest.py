@@ -1132,6 +1132,16 @@ def run_qfile(eng, name: str) -> QFileReport:
         lambda m: m.group(1) + _write_redirect_dir(),
         qtext,
     )
+    # QTestUtil resolves the RELATIVE 'target/warehouse/...' build-dir
+    # form against the test warehouse (ppd_multi_insert.q writes there
+    # and LOADs back via ${system:test.warehouse.dir})
+    _wh_sub = eng._vars.get("system:test.warehouse.dir", "")
+    if _wh_sub:
+        qtext = re.sub(
+            r"(?i)(DIRECTORY\s+')target/warehouse/",
+            lambda m: m.group(1) + _wh_sub.rstrip("/") + "/",
+            qtext,
+        )
     # a scheme-less ABSOLUTE non-LOCAL directory target resolves against
     # the default (sandbox) fs — but only remap when the SAME path is
     # also referenced with an explicit file:// scheme in this file
