@@ -542,6 +542,38 @@ def _print_header_line(eng, df, bare: str) -> str | None:
     if m:
         q = (m.group(2) or m.group(1).split(".")[-1]).lower()
         return "\t".join(f"{q}.{c.lower()}" for c in cols)
+    # explicit projection: Driver.getSchema keeps a bare column ref AS
+    # WRITTEN (qualified 'src.key') and names an unaliased expression
+    # at position i 'c<i>' (print_header.q)
+    pm = re.match(
+        r"(?is)^\s*SELECT\s+(?!\*)(.+?)\s+FROM\s", bare
+    )
+    if pm:
+        from apache_hive_2_1_1_src_spark.session import HiveEngine
+
+        items = HiveEngine._split_top_level_static(pm.group(1)) if hasattr(
+            HiveEngine, "_split_top_level_static"
+        ) else None
+        if items is None:
+            # reuse the engine's splitter through a bound instance
+            items = eng._split_top_level(pm.group(1))
+        if len(items) == len(cols):
+            named = []
+            for i, it in enumerate(items):
+                it = it.strip()
+                am = re.search(
+                    r"(?is)\s+AS\s+`?(\w+)`?\s*$", it
+                ) or re.match(
+                    r"(?is)^.+?[)\w]\s+`?(\w+)`?$",
+                    it if not re.match(r"^[\w.]+$", it) else "",
+                )
+                if re.match(r"^[\w.]+$", it):
+                    named.append(it.lower())
+                elif am:
+                    named.append(am.group(1).lower())
+                else:
+                    named.append(f"c{i}")
+            return "\t".join(named)
     return "\t".join(c.lower() for c in cols)
 
 
@@ -583,10 +615,15 @@ def hive_rows(df) -> list[str]:
 
     def cell(v, f32: bool) -> str:
         if f32 and isinstance(v, float):
-            if v == v and v not in (float("inf"), float("-inf")):
-                js = _jvm_number_str(v, "float")
-                if js is not None:
-                    return js
+            if v != v:
+                return "NaN"
+            if v == float("inf"):
+                return "Infinity"
+            if v == float("-inf"):
+                return "-Infinity"
+            js = _jvm_number_str(v, "float")
+            if js is not None:
+                return js
             import numpy as np
 
             s = str(np.float32(v))

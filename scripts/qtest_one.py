@@ -18,7 +18,13 @@ from apache_hive_2_1_1_src_spark.session import HiveEngine, build_session  # noq
 
 def main() -> None:
     names = sys.argv[1:]
-    spark = build_session(app_name="qtest-one", shuffle_partitions=8)
+    import os as _os
+
+    spark = build_session(
+        app_name="qtest-one",
+        shuffle_partitions=8,
+        warehouse_dir=_os.environ.get("QTEST_ONE_WAREHOUSE"),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     eng = HiveEngine(spark, "/root/testdata/sf0.001")
     qtest.init_classic_tables(eng)
