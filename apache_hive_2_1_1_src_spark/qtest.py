@@ -1390,6 +1390,50 @@ def run_qfile(eng, name: str) -> QFileReport:
             hdr = _print_header_line(eng, df, bare)
             if hdr is not None:
                 got = [hdr] + got
+        elif str(
+            getattr(eng, "_vars", {}).get("hive.cli.print.header", "")
+        ).lower() == "true" and re.match(
+            r"^\s*(UPDATE|DELETE)\b", bare, re.IGNORECASE
+        ):
+            # ACID UPDATE/DELETE rewrite to an internal SELECT whose
+            # header the CLI prints: row__id + columns, an assigned
+            # column showing its generated _c<pos> name; DELETE selects
+            # row__id alone (schema_evol_orc_acid_* goldens)
+            um = re.match(
+                r"(?is)^\s*UPDATE\s+((?:`[^`]+`|[\w.])+)\s+SET\s+(.+?)"
+                r"(?:\s+WHERE\b.*)?$",
+                bare.rstrip(";"),
+            )
+            dm_h = re.match(
+                r"(?is)^\s*DELETE\s+FROM\s+((?:`[^`]+`|[\w.])+)",
+                bare,
+            )
+            tbl_h = (um or dm_h).group(1) if (um or dm_h) else None
+            try:
+                pcols_h = [
+                    p.lower() for p in eng._table_partition_cols(tbl_h)
+                ] if tbl_h else []
+            except Exception:
+                pcols_h = []
+            if um:
+                try:
+                    cols = eng.spark.table(um.group(1)).columns
+                except Exception:
+                    cols = []
+                assigned = {
+                    a.split("=", 1)[0].strip().strip("`").lower()
+                    for a in um.group(2).split(",")
+                }
+                if cols:
+                    parts_h = ["row__id"]
+                    for i, c in enumerate(cols, start=1):
+                        parts_h.append(
+                            f"_c{i}" if c.lower() in assigned else c.lower()
+                        )
+                    got = ["\t".join(parts_h)] + got
+            else:
+                # DELETE selects row__id plus the partition columns
+                got = ["\t".join(["row__id"] + pcols_h)] + got
         hooks = getattr(eng, "_vars", {}).get("hive.exec.post.hooks", "")
         if "VerifyOverriddenConfigsHook" in hooks and re.match(
             r"^(SELECT|FROM|WITH)\b", bare, re.IGNORECASE
