@@ -1,10 +1,13 @@
 """Explicitly-unsupported reference surface — fail loudly, not silently.
 
 SURVEY.md §2.5/§7: the ewah_* bitmap-index internals and index DDL are
-out of scope (Hive 3 itself removed indexes), and reflect2
-(GenericUDFReflect2's instance-method form) has no Spark counterpart.
-Hive's own pattern for removed features is a clear compile-time error —
-mirrored here by registering stub UDFs that raise with guidance.
+out of scope (Hive 3 itself removed indexes).  Hive's own pattern for
+removed features is a clear compile-time error — mirrored here by
+registering stub UDFs that raise with guidance.
+
+reflect2 (GenericUDFReflect2's instance-method form) WAS listed here
+until round 12 implemented it for real (functions/hive_misc_udfs.py,
+including the 1900-based Timestamp getters) — it is no longer a stub.
 
 reflect / java_method (FunctionRegistry.java:409-411, GenericUDFReflect)
 are NOT stubbed: Spark ships them natively (CallMethodViaReflection,
@@ -17,8 +20,6 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 UNSUPPORTED: dict[str, str] = {
-    "reflect2": "JVM reflection on an instance method (GenericUDFReflect2) "
-    "— Spark only ships the static form; use reflect/java_method",
     "ewah_bitmap": "bitmap-index internal; Hive indexes were removed in Hive 3",
     "ewah_bitmap_and": "bitmap-index internal",
     "ewah_bitmap_or": "bitmap-index internal",

@@ -16,7 +16,7 @@ def test_unsupported_functions_raise_with_guidance(spark):
     df = spark.range(1)
     df.createOrReplaceTempView("one_row")
     with pytest.raises(Exception) as exc:
-        spark.sql("SELECT reflect2('x', 'toString') FROM one_row").collect()
+        spark.sql("SELECT ewah_bitmap(id) FROM one_row").collect()
     assert "not supported" in str(exc.value)
 
 
