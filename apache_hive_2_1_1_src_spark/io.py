@@ -168,15 +168,27 @@ _B64_ALPHABET = (
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
 )
 _B64_INDEX = {c: i for i, c in enumerate(_B64_ALPHABET)}
+#: commons-codec Base64.isArrayByteBase64 accepts the alphabet, '='
+#: pad, and whitespace (space/TAB/LF/CR)
+_B64_BYTES = {ord(c) for c in _B64_ALPHABET} | {
+    ord("="), 0x20, 0x09, 0x0A, 0x0D
+}
 
 
 def _commons_decode_base64(s):
-    """commons-codec Base64.decodeBase64 semantics: skip characters
-    outside the alphabet, stop at '=', emit every full 8 bits
-    accumulated — never raises (LazyBinary.java decodes arbitrary text
-    this way)."""
+    """LazyBinary.init / decodeIfNeeded semantics (serde2/lazy/
+    LazyBinary.java:47-66): decode ONLY when every byte is in the
+    base64 alphabet (commons-codec isArrayByteBase64 — A-Za-z0-9+/=
+    plus whitespace); otherwise the RAW bytes are the value
+    (load_binary_data.q's string.txt keeps its \\x00/\\x01 bytes).
+    The decode itself is commons-codec lenient: skip whitespace, stop
+    at '=', emit full 8-bit groups, never raise; an empty decode of a
+    non-empty field also falls back to the raw bytes."""
     if s is None:
         return None
+    raw = s.encode("utf-8")
+    if not all(b in _B64_BYTES for b in raw):
+        return raw
     acc = bits = 0
     out = bytearray()
     for ch in s:
@@ -190,7 +202,7 @@ def _commons_decode_base64(s):
         if bits >= 8:
             bits -= 8
             out.append((acc >> bits) & 0xFF)
-    return bytes(out)
+    return bytes(out) if out or not raw else raw
 
 
 def _lenient_unbase64(col):

@@ -204,6 +204,13 @@ def parse_qout(path: str) -> list[QBlock]:
             continue
         if cur is None or line.startswith(("Warning:", "WARNING:")):
             continue
+        if line == (
+            "unix_timestamp(void) is deprecated. "
+            "Use current_timestamp instead."
+        ):
+            # console deprecation noise printed mid-job
+            # (GenericUDFUnixTimeStamp) — framing, not data
+            continue
         if "#### A masked pattern was here ####" in line:
             continue  # QTestUtil-masked path/timestamp noise
         if line.startswith("POSTHOOK: query:"):
@@ -1301,6 +1308,15 @@ def run_qfile(eng, name: str) -> QFileReport:
                 for g in got
                 for piece in re.split("\r\n|\r|\n", g)
             ]
+            # a value ENDING in \n (printf("...\n")) prints a blank
+            # trailing line the golden block does not keep — re-apply
+            # the trailing-blank pop after the expansion
+            while (
+                got
+                and got[-1] == ""
+                and len(got) > len(block.results)
+            ):
+                got.pop()
         if sort_hash:
             import base64
             import hashlib
