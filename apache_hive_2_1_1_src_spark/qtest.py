@@ -300,20 +300,50 @@ def _java_double(x: float) -> str:
     return f"{ms}E{exp}"
 
 
-def hive_cell(v) -> str:
+def _float32_str(v: float) -> str:
+    """Java Float.toString text for a float32 value arriving as a
+    Python double (parquet_type_promotion.q's [2.3,3.0,5.5])."""
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    js = _jvm_number_str(v, "float")
+    if js is not None:
+        return js
+    import numpy as np
+
+    s = str(np.float32(v))
+    if "e" not in s and "E" not in s and "." not in s:
+        s += ".0"
+    return s
+
+
+def hive_cell(v, dt=None) -> str:
+    from pyspark.sql import types as _T
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
+        if isinstance(dt, _T.FloatType):
+            return _float32_str(v)
         return _java_double(v)
     if isinstance(v, list):
         # Hive CLI prints complex types JSON-style, no spaces, strings quoted
-        return "[" + ",".join(_hive_nested(x) for x in v) + "]"
+        edt = dt.elementType if isinstance(dt, _T.ArrayType) else None
+        return "[" + ",".join(_hive_nested(x, edt) for x in v) + "]"
     if isinstance(v, dict):
+        kdt = dt.keyType if isinstance(dt, _T.MapType) else None
+        vdt = dt.valueType if isinstance(dt, _T.MapType) else None
         return (
             "{"
-            + ",".join(f"{_hive_nested(k)}:{_hive_nested(x)}" for k, x in v.items())
+            + ",".join(
+                f"{_hive_nested(k, kdt)}:{_hive_nested(x, vdt)}"
+                for k, x in v.items()
+            )
             + "}"
         )
     if isinstance(v, datetime.timedelta):
@@ -351,8 +381,15 @@ def hive_cell(v) -> str:
             s += f".{v.microsecond:06d}".rstrip("0")
         return s
     if hasattr(v, "asDict"):
+        from pyspark.sql import types as _T
+
         d_ = v.asDict()
         ks_ = list(d_.keys())
+        fdts = (
+            {f.name: f.dataType for f in dt.fields}
+            if isinstance(dt, _T.StructType)
+            else {}
+        )
         if ks_ and ks_[0] == "tag" and all(
             k == f"field{i}" for i, k in enumerate(ks_[1:])
         ):
@@ -361,7 +398,11 @@ def hive_cell(v) -> str:
             tg = d_["tag"]
             if tg is None:
                 return "null"
-            return f"{{{tg}:{_hive_nested(d_.get(f'field{tg}'))}}}"
+            return (
+                f"{{{tg}:"
+                f"{_hive_nested(d_.get(f'field{tg}'), fdts.get(f'field{tg}'))}"
+                "}"
+            )
         # Row → Hive struct framing {"field":value}: the display OI's
         # field case comes through the read schema unchanged
         # (orc_create.q pins {"A":"one"}; avro schemas already arrive
@@ -369,7 +410,7 @@ def hive_cell(v) -> str:
         return (
             "{"
             + ",".join(
-                f'"{k}":{_hive_nested(x)}'
+                f'"{k}":{_hive_nested(x, fdts.get(k))}'
                 for k, x in v.asDict().items()
             )
             + "}"
@@ -377,9 +418,34 @@ def hive_cell(v) -> str:
     return str(v)
 
 
-def _hive_nested(v) -> str:
+def _json_escape(s: str) -> str:
+    """SerDeUtils.escapeString (SerDeUtils.java:81-130): JSON-style
+    escaping of nested string values in complex display —
+    orc_int_type_promotion.q pins {"c2":" \\"bar\\"}"}."""
+    out = []
+    for c in s:
+        if c in ('"', "\\"):
+            out.append("\\" + c)
+        elif c == "\b":
+            out.append("\\b")
+        elif c == "\f":
+            out.append("\\f")
+        elif c == "\n":
+            out.append("\\n")
+        elif c == "\r":
+            out.append("\\r")
+        elif c == "\t":
+            out.append("\\t")
+        elif c < " ":
+            out.append("\\u%04x" % ord(c))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _hive_nested(v, dt=None) -> str:
     if isinstance(v, str):
-        return f'"{v}"'
+        return f'"{_json_escape(v)}"'
     if v is None:
         return "null"
     if isinstance(v, (datetime.date, datetime.datetime)):
@@ -387,7 +453,7 @@ def _hive_nested(v) -> str:
         # date/timestamp values like strings (avro_date.q golden:
         # {"bar":"1998-05-07"})
         return f'"{hive_cell(v)}"'
-    return hive_cell(v)
+    return hive_cell(v, dt)
 
 
 def _canon_braces(line: str) -> str:
@@ -619,25 +685,12 @@ def hive_rows(df) -> list[str]:
         )
 
     is_float = [isinstance(f.dataType, T.FloatType) for f in df.schema.fields]
+    col_dts = [f.dataType for f in df.schema.fields]
 
-    def cell(v, f32: bool) -> str:
+    def cell(v, f32: bool, dt=None) -> str:
         if f32 and isinstance(v, float):
-            if v != v:
-                return "NaN"
-            if v == float("inf"):
-                return "Infinity"
-            if v == float("-inf"):
-                return "-Infinity"
-            js = _jvm_number_str(v, "float")
-            if js is not None:
-                return js
-            import numpy as np
-
-            s = str(np.float32(v))
-            if "e" not in s and "E" not in s and "." not in s:
-                s += ".0"
-            return s
-        return hive_cell(v)
+            return _float32_str(v)
+        return hive_cell(v, dt)
 
     try:
         rows = df.collect()
@@ -663,9 +716,13 @@ def hive_rows(df) -> list[str]:
         is_float[:] = [
             isinstance(f.dataType, T.FloatType) for f in df.schema.fields
         ]
+        col_dts[:] = [f.dataType for f in df.schema.fields]
         rows = df.collect()
     return [
-        "\t".join(cell(v, f32) for v, f32 in zip(row, is_float))
+        "\t".join(
+            cell(v, f32, dt)
+            for v, f32, dt in zip(row, is_float, col_dts)
+        )
         for row in rows
     ]
 
@@ -1388,6 +1445,16 @@ def run_qfile(eng, name: str) -> QFileReport:
         bare = re.sub(r"--[^\n]*", "", stmt).strip()
         if re.match(r"^EXPLAIN\b", bare, re.IGNORECASE):
             continue  # golden plans are MR-specific
+        if "PostExecOrcFileDump" in getattr(eng, "_vars", {}).get(
+            "hive.exec.post.hooks", ""
+        ):
+            # the post-hook dumps the PHYSICAL ORC file structure
+            # (stripe stats, encodings) into the golden block — this
+            # engine's files are Spark-written and can never match
+            # byte-level; run the statement, skip the diff
+            # (orc_merge11.q / orc_merge12.q)
+            eng.sql(stmt).collect()
+            continue
         df = eng.sql(stmt)
         if re.match(r"^(DESC|DESCRIBE|SHOW)\b", bare, re.IGNORECASE):
             # metadata FRAMING differs (Hive's column padding / section
