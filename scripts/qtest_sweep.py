@@ -52,6 +52,14 @@ def eligible(name: str, qtext: str) -> bool:
         return False
     if EXCLUDE.search(qtext):
         return False
+    # QTestUtil version gates: the reference runs on Hadoop 2 ("0.23"),
+    # so 0.20S-only files are excluded there too (their goldens bake
+    # the OLD shuffle order — udaf_percentile_approx_20.q)
+    m = re.search(
+        r"INCLUDE_HADOOP_MAJOR_VERSIONS\s*\(\s*([^)]*)\)", qtext
+    )
+    if m and "0.23" not in m.group(1):
+        return False
     return True
 
 
