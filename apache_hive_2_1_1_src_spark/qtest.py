@@ -448,6 +448,15 @@ def _hive_nested(v, dt=None) -> str:
         return f'"{_json_escape(v)}"'
     if v is None:
         return "null"
+    if isinstance(v, decimal.Decimal):
+        # nested decimals render HiveDecimal.toString MINIMAL text
+        # (SerDeUtils.buildJSONString → toString, no enforced scale:
+        # schema_evol all_complex pins {"c8":470614135}); top-level
+        # cells keep the column scale (decimal_1.q)
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s or "0"
     if isinstance(v, (datetime.date, datetime.datetime)):
         # LazySimpleSerDe's JSON-ish complex rendering quotes
         # date/timestamp values like strings (avro_date.q golden:
