@@ -1193,7 +1193,8 @@ def run_qfile(eng, name: str) -> QFileReport:
     # roles): a role created by one .q must not pre-exist in the next
     # (authorization_non_id.q re-creates src_role2)
     try:
-        eng.authz = type(eng.authz)()
+        # authz is a lazy read-only property — reset the backing slot
+        eng._authz = type(eng.authz)()
     except Exception:
         pass
     qpath = os.path.join(Q_DIR, f"{name}.q")
