@@ -623,15 +623,33 @@ def hive_reflect2(value, method, p1=None, p2=None, tz=None):
 
 
 def register(spark) -> None:
+    from pyspark.sql import functions as SF
     from pyspark.sql import types as T
+
+    def _audf(fn, rt):
+        """Arrow-serialized scalar UDF (optimization guide §4.3): same
+        per-row call semantics, but batches cross the JVM↔Python
+        boundary as Arrow instead of pickled rows — the plan node
+        becomes ArrowEvalPython instead of BatchEvalPython, so a
+        masking POLICY over a large scan no longer pays row-pickling.
+        Every function here returns str/bool/None matching its declared
+        type exactly, so the Arrow/pickle coercion differences are
+        moot.  Falls back to the pickle path on builds without
+        useArrow."""
+        try:
+            return SF.udf(fn, rt, useArrow=True)
+        except TypeError:
+            return SF.udf(fn, rt)
 
     # fixed-arity shims: the session rewrite pads call sites to these
     spark.udf.register(
         "hive_mask",
-        lambda v, a, b, c, d, e, f, g, h, w: hive_mask(
-            v, a, b, c, d, e, f, g, h, w
+        _audf(
+            lambda v, a, b, c, d, e, f, g, h, w: hive_mask(
+                v, a, b, c, d, e, f, g, h, w
+            ),
+            T.StringType(),
         ),
-        T.StringType(),
     )
     for nm, fn in (
         ("hive_mask_first_n", hive_mask_first_n),
@@ -641,31 +659,33 @@ def register(spark) -> None:
     ):
         spark.udf.register(
             nm,
-            (
-                lambda f: lambda v, n, a, b, c, d, e, w: f(
-                    v, n, a, b, c, d, e, w
-                )
-            )(fn),
-            T.StringType(),
+            _audf(
+                (
+                    lambda f: lambda v, n, a, b, c, d, e, w: f(
+                        v, n, a, b, c, d, e, w
+                    )
+                )(fn),
+                T.StringType(),
+            ),
         )
-    spark.udf.register("mask_hash", hive_mask_hash, T.StringType())
+    spark.udf.register("mask_hash", _audf(hive_mask_hash, T.StringType()))
     # bare-name registry aliases so DESCRIBE FUNCTION <name> resolves —
     # executable call sites are rewritten to the hive_* shims above
     spark.udf.register(
-        "mask_first_n", lambda v, n: hive_mask_first_n(v, n), T.StringType()
+        "mask_first_n",
+        _audf(lambda v, n: hive_mask_first_n(v, n), T.StringType()),
     )
     spark.udf.register(
-        "mask_last_n", lambda v, n: hive_mask_last_n(v, n), T.StringType()
+        "mask_last_n",
+        _audf(lambda v, n: hive_mask_last_n(v, n), T.StringType()),
     )
     spark.udf.register(
         "mask_show_first_n",
-        lambda v, n: hive_mask_show_first_n(v, n),
-        T.StringType(),
+        _audf(lambda v, n: hive_mask_show_first_n(v, n), T.StringType()),
     )
     spark.udf.register(
         "mask_show_last_n",
-        lambda v, n: hive_mask_show_last_n(v, n),
-        T.StringType(),
+        _audf(lambda v, n: hive_mask_show_last_n(v, n), T.StringType()),
     )
     spark.udf.register(
         "field", lambda v, a: None, T.IntegerType()
@@ -674,11 +694,11 @@ def register(spark) -> None:
         "index", lambda a, i: None, T.StringType()
     )
     spark.udf.register(
-        "in_file_desc_alias", hive_in_file, T.BooleanType()
+        "in_file_desc_alias", _audf(hive_in_file, T.BooleanType())
     )
-    spark.udf.register("in_file", hive_in_file, T.BooleanType())
+    spark.udf.register("in_file", _audf(hive_in_file, T.BooleanType()))
     spark.udf.register(
-        "hive_date_format", hive_date_format, T.StringType()
+        "hive_date_format", _audf(hive_date_format, T.StringType())
     )
     try:
         _sess_tz = spark.conf.get("spark.sql.session.timeZone")
@@ -686,15 +706,19 @@ def register(spark) -> None:
         _sess_tz = "UTC"
     spark.udf.register(
         "hive_reflect2",
-        lambda v, m, a, b, t=_sess_tz: hive_reflect2(v, m, a, b, tz=t),
-        T.StringType(),
+        _audf(
+            lambda v, m, a, b, t=_sess_tz: hive_reflect2(v, m, a, b, tz=t),
+            T.StringType(),
+        ),
     )
     spark.udf.register(
         "reflect2",
-        lambda v, m, t=_sess_tz: hive_reflect2(v, m, tz=t),
-        T.StringType(),
+        _audf(
+            lambda v, m, t=_sess_tz: hive_reflect2(v, m, tz=t),
+            T.StringType(),
+        ),
     )
-    spark.udf.register("hive_tz_norm", hive_tz_norm, T.StringType())
+    spark.udf.register("hive_tz_norm", _audf(hive_tz_norm, T.StringType()))
     spark.udf.register(
         "qtest_get_java_boolean",
         # GenericUDFTestGetJavaBoolean: 'true'/'false' parse, anything

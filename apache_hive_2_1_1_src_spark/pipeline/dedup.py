@@ -102,9 +102,24 @@ def minhash_lsh_candidates(
 
     Emits exactly ``bands`` rows per doc, shuffles once on
     (band_idx, band_hash), pairs only within buckets.  Returns distinct
-    (id_a, id_b) with id_a < id_b.  The self-join's two sides are an
-    identical subplan, so Spark's ReuseExchange computes signatures once.
-    """
+    (id_a, id_b) with id_a < id_b.
+
+    Round 13 (optimization guide §2.3/§2.4): pairs are generated
+    IN-BUCKET — groupBy(band_idx, band_hash) → sorted id list →
+    codegen array-combinations explode — instead of the earlier
+    banded-table self-join.  The self-join planned the whole signature
+    subplan TWICE (one per join side; the broadcast side's exchange is
+    not reusable against the streamed side's shuffle), so every shingle
+    explode + 32-way min aggregation ran twice, and at cluster scale the
+    join shuffles the banded table twice (or broadcasts it whole).  The
+    groupBy form computes signatures once and shuffles the narrow
+    (band_idx, band_hash, id) rows exactly once.  Candidate-pair sets
+    are identical: both emit every same-bucket pair with id_a < id_b
+    (collect_list is sorted, so slice-pairing preserves the order
+    invariant), then dedupe across bands.  Skew note: a pathological
+    bucket is quadratic under EITHER form; the per-bucket id array makes
+    that cost visible (size(ids)²) and cappable upstream if a corpus
+    ever needs it."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingles=shingles)
     band_hashes = F.array(
@@ -124,16 +139,23 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         F.col("id"), F.posexplode(band_hashes).alias("band_idx", "band_hash")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
@@ -390,14 +412,23 @@ def embedding_near_dups(
     scoring.  ``sign_bits=None`` keeps the exact all-pairs join — the
     brute-force baseline (p05), same role as p06 for ANN.
     """
-    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # per-row norm projected below the self-join (round 13, guide §1.2):
+    # cosine() inline would recompute both norms per PAIR; the arithmetic
+    # (dot / (norm_a · norm_b)) and therefore every score is unchanged
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nv"),
+    )
     if sign_bits is not None:
         v = v.withColumn("bucket", sign_bucket(F.col("v"), sign_bits))
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if sign_bits is not None:
         cond = (F.col("a.bucket") == F.col("b.bucket")) & cond
-    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 4
+    )
     return (
         a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos"))
@@ -577,8 +608,12 @@ def semantic_dedup(
         v = emb.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
         ).withColumn("bucket", sign_bucket(F.col("v"), sign_bits))
+    # norm below the join (round 13) — see embedding_near_dups
+    v = v.withColumn("nv", _norm(F.col("v")))
     a, b = v.alias("a"), v.alias("b")
-    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 4
+    )
     dropped = (
         a.join(
             b,

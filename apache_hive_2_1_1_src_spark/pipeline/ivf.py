@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from apache_hive_2_1_1_src_spark.pipeline.dedup import cosine
+from apache_hive_2_1_1_src_spark.pipeline.dedup import _dot, _norm
 
 
 def train_centroids(
@@ -93,12 +93,23 @@ def assign_lists(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Nearest-centroid assignment: (id, v, cid) via broadcast join +
-    max_by argmax on cosine (deterministic tie-break on lowest cid)."""
+    max_by argmax on cosine (deterministic tie-break on lowest cid).
+
+    Round 13 (guide §1.2): the vector's norm is projected once per ROW
+    and the centroid's once per CENTROID, below the broadcast join —
+    cosine() inline recomputed both per (vector, centroid) pair, i.e.
+    num_centroids× the corpus-side norm work.  dot/(nv·cn) keeps the
+    exact double arithmetic, so assignments are unchanged."""
+    cent = centroids.withColumn("cn", _norm(F.col("centroid")))
     scored = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).join(F.broadcast(centroids))
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nv"),
+    ).join(F.broadcast(cent))
     return (
-        scored.withColumn("cos_c", cosine(F.col("v"), F.col("centroid")))
+        scored.withColumn(
+            "cos_c", _dot(F.col("v"), F.col("centroid")) / (F.col("nv") * F.col("cn"))
+        )
         .groupBy("id")
         .agg(
             F.first("v").alias("v"),
@@ -124,20 +135,33 @@ def ivf_topk(
         emb, num_centroids=num_centroids, iterations=iterations,
         vec_col=vec_col, id_col=id_col,
     )
+    # per-side norms below the joins (round 13, guide §1.2) — same
+    # arithmetic as cosine(), scores bit-identical
     index = assign_lists(emb, centroids, vec_col=vec_col, id_col=id_col).select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cid"
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        "cid",
+        _norm(F.col("v")).alias("cv_norm"),
     )
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qv_norm"),
+    )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_c"), F.asc("cid")
     )
+    cent = centroids.withColumn("cn", _norm(F.col("centroid")))
     probes = (
-        q.join(F.broadcast(centroids))
-        .withColumn("cos_c", cosine(F.col("qv"), F.col("centroid")))
+        q.join(F.broadcast(cent))
+        .withColumn(
+            "cos_c",
+            _dot(F.col("qv"), F.col("centroid")) / (F.col("qv_norm") * F.col("cn")),
+        )
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qv_norm", "cid")
     )
 
     scored = (
@@ -146,7 +170,13 @@ def ivf_topk(
             (index["cid"] == probes["cid"])
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_exact"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qv_norm") * F.col("cv_norm"))).alias(
+                "cos_exact"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_exact"), F.asc("neighbor_id"))
     return (

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from apache_hive_2_1_1_src_spark.pipeline.dedup import cosine
+from apache_hive_2_1_1_src_spark.pipeline.dedup import _dot, _norm
 
 
 def brute_force_topk(
@@ -37,15 +37,32 @@ def brute_force_topk(
 
     Returns (query_id, neighbor_id, cos) — k rows per query, scored in
     double, deterministic tie-break on neighbor id.
+
+    Round 13 (optimization guide §1.2 per-task work): each side's norm
+    is projected ONCE per row BELOW the join, so the per-pair expression
+    is just the dot product — cosine() inline recomputed both norms per
+    (query, candidate) pair, tripling the higher-order-function work on
+    the |Q|×|C| scored rows.  Same arithmetic in the same order
+    (dot / (norm_q · norm_c)), so scores are bit-identical.
     """
-    cand = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cand = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
     scored = (
         cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_exact"),
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos_exact"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_exact"), F.asc("neighbor_id"))
@@ -103,9 +120,12 @@ def lsh_bucketed_ann(
         buckets = F.array(
             *[lsh_signature(F.col(vec_col), num_planes, t) for t in range(num_tables)]
         )
+        # per-row norm projected below the join/distinct — see
+        # brute_force_topk's round-13 note (same arithmetic, bit-identical)
         return df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
+            _norm(F.col(vec_col)).alias(f"{vec_alias}_norm"),
             F.posexplode(buckets).alias(tbl_alias, f"{id_alias}_bucket"),
         )
 
@@ -118,11 +138,15 @@ def lsh_bucketed_ann(
             & (F.col("neighbor_id_bucket") == F.col("query_id_bucket"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "qv_norm", "cv_norm")
         .distinct()
     )
     scored = paired.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_exact")
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qv_norm") * F.col("cv_norm"))).alias(
+            "cos_exact"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_exact"), F.asc("neighbor_id"))
     return (

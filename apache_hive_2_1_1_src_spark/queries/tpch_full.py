@@ -360,23 +360,36 @@ def q129_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, name).createOrReplaceTempView(f"tf_{name}")
     # Single-pass decorrelation: the EXISTS ("another supplier shipped")
     # and NOT EXISTS ("no other supplier was late") both reduce to
-    # per-order supplier counts.  Aggregate to (orderkey, suppkey) first
-    # (map-side partial combine collapses the fact rows before the one
-    # fact shuffle, no COUNT(DISTINCT) Expand), then compute the order
-    # stats as WINDOW counts over the collapsed table — no self-join, so
-    # the fact side is scanned and shuffled exactly once (the correlated
-    # form the oracle runs needs three fact passes).  "No OTHER late
+    # per-order supplier counts, computed as WINDOW counts over the
+    # (orderkey, suppkey) aggregate — no self-join (the correlated form
+    # the oracle runs needs three fact passes).  "No OTHER late
     # supplier" ⇔ the order has exactly one late supplier; numwait counts
     # that supplier's late lines, matching the correlated form's join
     # multiplicity.
+    #
+    # Round 13 (optimization guide §2.4 "share one exchange"): the fact
+    # rows are REPARTITION(l_orderkey)-ed once BELOW the aggregation.
+    # hashpartitioning(l_orderkey) satisfies both the GROUP BY
+    # (l_orderkey, l_suppkey) clustering (subset rule) and the window's
+    # PARTITION BY l_orderkey, so the previous plan's two fact-side
+    # exchanges (agg shuffle on (ok, sk) + window re-shuffle on ok)
+    # collapse into one.  (ok, sk) is nearly unique per lineitem row —
+    # TPC-H orders average ~4 lines with distinct suppliers — so the
+    # map-side partial combine the old shape traded on collapsed almost
+    # nothing; one raw-row shuffle moves fewer bytes than two collapsed
+    # ones.  The hint carries no partition count, so AQE still sizes the
+    # shuffle (coalesce/skew-split) at any scale.
     return spark.sql(
         """
-        WITH per_ls AS (
-          SELECT l_orderkey, l_suppkey,
-                 COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-                            THEN 1 END) AS n_late_lines
+        WITH joined AS (
+          SELECT /*+ REPARTITION(l_orderkey) */ l_orderkey, l_suppkey,
+                 CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 END AS is_late
           FROM tf_lineitem JOIN tf_orders ON o_orderkey = l_orderkey
           WHERE o_orderstatus = 'F'
+        ), per_ls AS (
+          SELECT l_orderkey, l_suppkey, COUNT(is_late) AS n_late_lines
+          FROM joined
           GROUP BY l_orderkey, l_suppkey
         ), win AS (
           SELECT l_suppkey, n_late_lines,
