@@ -246,11 +246,15 @@ def corpus_pipeline(
     from apache_hive_2_1_1_src_spark.pipeline.text import (
         chunk_documents,
         pii_scrub,
-        quality_features,
+        quality_score_col,
     )
 
-    qf = quality_features(docs).filter(F.col("quality_score") >= min_score)
-    kept = docs.join(qf.select("doc_id"), "doc_id")
+    # round 13 (guide §2.4): filter on the score expression directly —
+    # the previous shape ran a second quality_features pass and
+    # broadcast-joined its surviving doc_ids back to the scan; the score
+    # is a pure per-row expression, so one scan + one Filter computes
+    # the identical kept set with no join
+    kept = docs.filter(quality_score_col("text") >= min_score)
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     canon = (
         kept.withColumn("rn", F.row_number().over(w))

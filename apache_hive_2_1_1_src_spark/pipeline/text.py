@@ -27,6 +27,30 @@ def _words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
+def quality_score_col(text_col: str = "text") -> Column:
+    """The composite quality score as a bare Column expression — shared by
+    quality_features and corpus_pipeline so the funnel can FILTER on the
+    score in the same projection instead of joining back to a separate
+    quality_features pass (round 13, guide §2.4: one scan, no join)."""
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    return F.round(
+        F.when(n_words < 5, 0.0).otherwise(
+            (F.lit(1.0) - punct_ratio)
+            * F.least(stop_ratio * 4, F.lit(1.0))
+            * F.least(n_words / 50.0, F.lit(1.0))
+        ),
+        6,
+    )
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a composite
     score, mirroring standard pretraining-corpus quality filters."""
@@ -42,14 +66,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ) / F.greatest(n_words, F.lit(1))
     stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
-    score = F.round(
-        F.when(n_words < 5, 0.0).otherwise(
-            (F.lit(1.0) - punct_ratio)
-            * F.least(stop_ratio * 4, F.lit(1.0))
-            * F.least(n_words / 50.0, F.lit(1.0))
-        ),
-        6,
-    )
+    score = quality_score_col(text_col)
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
