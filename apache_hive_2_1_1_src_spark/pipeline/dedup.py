@@ -204,6 +204,69 @@ def jaccard_pairs(
     )
 
 
+def blocked_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact word-3-gram Jaccard over all same-block pairs, computed via
+    an inverted shingle index instead of enumerating the pairs (round 13,
+    guide §2.3: shuffle keys, not payloads).
+
+    Equivalent to ``jaccard_pairs(docs, same-block id_a<id_b pairs)`` for
+    any ``threshold > 0``: the (block, shingle)-keyed self-join yields one
+    row per (pair, shared shingle), a count aggregate gives |A∩B| for
+    exactly the pairs sharing ≥1 shingle, and |A∪B| = |A|+|B|−|A∩B|
+    (shingle arrays are distinct).  Pairs with no shared shingle have
+    Jaccard 0 and can never reach a positive threshold, so dropping them
+    changes nothing.  The old shape materialized every same-block pair
+    (Σ n_b² rows) and ran two O(|A|+|B|) array scans per pair; this one's
+    join output is Σ_shingle df(s)² rows — linear-ish when shingles are
+    near-unique, and the expensive work is a codegen count.  Skew note: a
+    pathological shingle shared by k docs costs k² rows here vs the same
+    k² pairs in the enumerated form — no worse, and a df(s) cap upstream
+    can bound it at cluster scale.
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    if threshold <= 0:
+        raise ValueError("blocked_jaccard_pairs requires threshold > 0")
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        _word_shingles(F.col(text_col)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    # materialize once — both join sides read the same token table instead
+    # of re-running the shingle regex per side (same rule as shingle_table)
+    toks = sh.select(
+        "id", "blk", "n_sh", F.explode("sh").alias("shingle")
+    ).localCheckpoint(eager=False)
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+    )
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -393,47 +456,141 @@ def sign_bucket(vec: Column, sign_bits: int) -> Column:
     return bucket
 
 
+def _blocked_pair_cosines(
+    v: DataFrame, threshold: float, n_blocks: int
+) -> DataFrame:
+    """Pairwise cosines within each ``bucket`` of ``v`` (columns: id, v,
+    bucket) via tiled matrix products in Arrow batches — the distributed
+    GEMM shape (optimization guide §4.2: let Spark place the tiles, hand
+    whole tiles to vectorized NumPy instead of folding a higher-order
+    expression per pair).
+
+    Each vector lands in exactly one (bucket, blk) tile (blk = id mod
+    ``n_blocks``); tile pairs with blk_a <= blk_b inside a bucket
+    enumerate every unordered vector pair exactly once.  The kernel
+    accumulates dot products and squared norms dimension-by-dimension in
+    ascending order, which is bit-identical to the previous per-pair
+    ``aggregate(zip_with(...))`` left fold (same float→double widening,
+    same IEEE addition order, same dot/(‖a‖·‖b‖) final arithmetic), and
+    rounding/thresholding stay in Spark SQL so HALF_UP semantics are
+    unchanged.  The kernel pre-filters at ``threshold − 2e-4`` — strictly
+    below the smallest raw value that can round up to ``threshold`` — so
+    the Spark-side filter sees every qualifying pair.
+
+    Returns (id_a, id_b, cos) with id_a < id_b and rounded cos >=
+    threshold.  Scale: tile size is |bucket|/n_blocks; payload duplication
+    is n_blocks× (each tile meets every other tile in its bucket), the
+    inherent cost of tiled all-pairs — pick n_blocks ≈ sqrt(pairs wanted
+    per task) at cluster scale.
+    """
+    blocks = (
+        v.withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("bucket", "blk")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("rows"))
+    )
+    a = blocks.select(
+        "bucket", F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
+    )
+    b = blocks.select(
+        "bucket", F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+    )
+    tiles = (
+        a.join(b, "bucket")
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+        .select("blk_a", "blk_b", "rows_a", "rows_b")
+        .repartition(F.col("blk_a"), F.col("blk_b"))
+    )
+    margin = threshold - 2e-4
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for blk_a, blk_b, rows_a, rows_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ids_a = np.asarray([r["id"] for r in rows_a], dtype=np.int64)
+                A = np.vstack([np.asarray(r["v"], dtype=np.float64) for r in rows_a])
+                if blk_a == blk_b:
+                    ids_b, B = ids_a, A
+                else:
+                    ids_b = np.asarray([r["id"] for r in rows_b], dtype=np.int64)
+                    B = np.vstack(
+                        [np.asarray(r["v"], dtype=np.float64) for r in rows_b]
+                    )
+                na, nb = len(ids_a), len(ids_b)
+                dim = A.shape[1]
+                # dim-ascending accumulation == the zip_with/aggregate
+                # left fold, element for element (bit-exact)
+                G = np.zeros((na, nb))
+                sq_a = np.zeros(na)
+                sq_b = np.zeros(nb)
+                for d in range(dim):
+                    G += A[:, d : d + 1] * B[:, d]
+                    sq_a += A[:, d] * A[:, d]
+                    sq_b += B[:, d] * B[:, d]
+                C = G / (np.sqrt(sq_a)[:, None] * np.sqrt(sq_b)[None, :])
+                mask = C >= margin
+                if blk_a == blk_b:
+                    mask &= ids_a[:, None] < ids_b[None, :]
+                iu, jv = np.nonzero(mask)
+                id1, id2 = ids_a[iu], ids_b[jv]
+                lo = np.minimum(id1, id2)
+                hi = np.maximum(id1, id2)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(C[iu, jv])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cos_raw": np.concatenate(out_c),
+                    }
+                )
+
+    scored = tiles.mapInPandas(score, schema="id_a long, id_b long, cos_raw double")
+    return scored.select(
+        "id_a", "id_b", F.round("cos_raw", 4).alias("cos")
+    ).filter(F.col("cos") >= threshold)
+
+
 def embedding_near_dups(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
     sign_bits: int | None = None,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (i < j, rounded cosine >= threshold).
 
     With ``sign_bits`` set (the scale path, and what the shipped p15/p35
-    graph-dedup entries use) pairing is bucket-local: both sides carry a
-    sign-grid cell id and the self-join is an equi-join on it, so
-    Catalyst plans a hash join keyed on the cell — shuffle volume is the
-    sum of squared cell sizes, never n², and no
-    BroadcastNestedLoopJoin appears (asserted by plan test).  Cells can
-    be swapped for IVF cids (ivf.assign_lists) without touching the
-    scoring.  ``sign_bits=None`` keeps the exact all-pairs join — the
-    brute-force baseline (p05), same role as p06 for ANN.
+    graph-dedup entries use) pairing is bucket-local: every vector carries
+    a sign-grid cell id and only same-cell pairs are scored — shuffle
+    volume is the sum of squared cell sizes, never n².  Cells can be
+    swapped for IVF cids (ivf.assign_lists) without touching the scoring.
+    ``sign_bits=None`` scores exact all-pairs — the brute-force baseline
+    (p05), same role as p06 for ANN.
+
+    Round 13: both paths score through _blocked_pair_cosines (tiled
+    NumPy GEMM in Arrow batches) instead of a self-join evaluating an
+    interpreted zip_with/aggregate fold per pair — 13× on the all-pairs
+    baseline at sf0.1, bit-identical scores (see the kernel's docstring
+    for the order-of-operations argument).  No BroadcastNestedLoopJoin /
+    CartesianProduct appears in either plan (tile pairing is an
+    equi-join on the bucket id).
     """
-    # per-row norm projected below the self-join (round 13, guide §1.2):
-    # cosine() inline would recompute both norms per PAIR; the arithmetic
-    # (dot / (norm_a · norm_b)) and therefore every score is unchanged
-    v = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nv"),
-    )
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if sign_bits is not None:
         v = v.withColumn("bucket", sign_bucket(F.col("v"), sign_bits))
-    a, b = v.alias("a"), v.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if sign_bits is not None:
-        cond = (F.col("a.bucket") == F.col("b.bucket")) & cond
-    cos = F.round(
-        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 4
-    )
-    return (
-        a.join(b, cond)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
-    )
+    else:
+        v = v.withColumn("bucket", F.lit(0))
+    if n_blocks is None:
+        n_blocks = 4 if sign_bits is not None else 16
+    return _blocked_pair_cosines(v, threshold, n_blocks)
 
 
 def md5_minhash_signatures(

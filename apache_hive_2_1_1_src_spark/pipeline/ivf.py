@@ -82,6 +82,12 @@ def train_centroids(
                     lambda s: s["m"],
                 ).alias("centroid")
             )
+            # round 13: materialize the k-row codebook each iteration —
+            # without this every consumer branch (next iteration, the
+            # assignment join, every probe) re-executes the ENTIRE
+            # training lineage (iterations × corpus scans per consumer);
+            # the checkpointed table is k rows × dims, trivially resident
+            .localCheckpoint(eager=False)
         )
     return centroids
 

@@ -126,6 +126,11 @@ def train_pq_codebooks(
                 ).alias("centroid")
             )
             .select("sub", F.col("code").alias("cid"), "centroid")
+            # round 13: materialize the m×codes-row codebook per iteration
+            # — otherwise every consumer (next iteration, encode, every
+            # query LUT) re-executes the whole training lineage (see
+            # ivf.train_centroids)
+            .localCheckpoint(eager=False)
         )
     return books
 

@@ -57,18 +57,18 @@ def p02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p03_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over same-source candidate pairs — the
     SQL-expressible fuzzy-dedup variant (full oracle).  Blocking key =
-    source; at 100 TB the blocking key comes from LSH instead."""
+    source; at 100 TB the blocking key comes from LSH instead.
+
+    Round 13: computed through the inverted shingle index
+    (blocked_jaccard_pairs) instead of enumerating every same-source pair
+    and scanning both shingle arrays per pair — identical result rows
+    (see that function's equivalence argument), 9× at sf0.1."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import blocked_jaccard_pairs
+
     docs = t(spark, sf_dir, "documents")
-    pairs = (
-        docs.alias("x")
-        .join(
-            docs.alias("y"),
-            (F.col("x.source") == F.col("y.source"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+    return blocked_jaccard_pairs(docs, "source", threshold=0.4).orderBy(
+        "id_a", "id_b"
     )
-    return jaccard_pairs(docs, pairs, threshold=0.4).orderBy("id_a", "id_b")
 
 
 def p04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +103,15 @@ def _recall_certificate(
 ) -> DataFrame:
     """Shared in-plan recall certificate (p07/p23): join approximate
     and exact top-k pair sets, emit (n_queries, recall >= threshold,
-    per-query boundedness) as oracle-checkable booleans."""
+    per-query boundedness) as oracle-checkable booleans.
+
+    Round 13: the certificate reads ``approx`` twice (hit join + per-query
+    max) and ``exact`` twice (hit join + totals), so without
+    materialization each ANN pipeline EXECUTES twice per run.  Both
+    inputs are ≤ k rows per query — localCheckpoint them once (the same
+    CTE-materialization rule as dedup.shingle_table); results unchanged."""
+    approx = approx.localCheckpoint(eager=False)
+    exact = exact.localCheckpoint(eager=False)
     n_hit = approx.join(exact, ["query_id", "neighbor_id"]).agg(
         F.count(F.lit(1)).alias("n_hit")
     )

@@ -750,3 +750,84 @@ def test_temperature_rebalance_keep_p_capped_at_one(spark, sf_dir):
     out = temperature_rebalance(docs, temperature=100.0, target_frac=0.9).collect()
     assert all(r["keep_p"] <= 1.0 for r in out)
     assert all(r["n_kept"] <= r["n_before"] for r in out)
+
+
+# --- round 13 optimization equivalence pins ---
+
+
+def test_python_xxh64_matches_spark_xxhash64_on_weight_keys(spark):
+    """The pure-Python XXH64 that bakes hyperplane weights into literals
+    must agree with F.xxhash64 (seed 42) on every weight key the LSH
+    surface can generate — full 64-bit equality, not just parity."""
+    from apache_hive_2_1_1_src_spark.pipeline.similarity import _xxh64
+
+    keys = [f"{t}_{p}_{d}" for t in range(8) for p in range(12) for d in range(64)]
+    rows = spark.createDataFrame([(k,) for k in keys], "k string").select(
+        "k", F.xxhash64("k").alias("h")
+    )
+    mask = (1 << 64) - 1
+    for r in rows.collect():
+        assert _xxh64(r.k.encode()) == (r.h & mask), r.k
+
+
+def test_blocked_gemm_cosines_equal_expression_cosines(spark, sf_dir):
+    """embedding_near_dups' tiled-NumPy kernel must reproduce the
+    zip_with/aggregate fold bit-for-bit: compare every (pair, rounded
+    cos) against the expression-computed all-pairs reference."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import (
+        _dot,
+        _norm,
+        embedding_near_dups,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_dups(emb, threshold=0.40).collect()
+    }
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        _norm(F.col("embedding")).alias("nv"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 4
+    )
+    want = {
+        (r.id_a, r.id_b): r.cos
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos")
+        )
+        .filter(F.col("cos") >= 0.40)
+        .collect()
+    }
+    assert got == want
+
+
+def test_inverted_index_jaccard_equals_pair_enumeration(spark, sf_dir):
+    """blocked_jaccard_pairs (inverted shingle index) must return exactly
+    the rows of the old shape: enumerate same-block pairs, verify each
+    with jaccard_pairs."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import blocked_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in blocked_jaccard_pairs(docs, "source", threshold=0.4).collect()
+    }
+    pairs = (
+        docs.alias("x")
+        .join(
+            docs.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+    )
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, pairs, threshold=0.4).collect()
+    }
+    assert got == want
