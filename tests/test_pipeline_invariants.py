@@ -831,3 +831,39 @@ def test_inverted_index_jaccard_equals_pair_enumeration(spark, sf_dir):
         for r in jaccard_pairs(docs, pairs, threshold=0.4).collect()
     }
     assert got == want
+
+
+def test_python_shingler_equals_expression_shingles(spark, sf_dir):
+    """_with_shingles_py (Arrow kernel) must produce the exact array —
+    same grams, same first-occurrence order, same <n-words fallback — as
+    the _word_shingles expression, including on crafted edge texts."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import (
+        _with_shingles_py,
+        _word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (900001, ""),
+            (900002, "  "),
+            (900003, "one"),
+            (900004, "one two"),
+            (900005, " lead and trail  space\tmix\nnewline "),
+            (900006, "a a a a b a a"),
+            (900007, None),
+            (900008, "UPPER Case MiXeD words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    got = {
+        r.doc_id: r.sh for r in _with_shingles_py(both, "text").collect()
+    }
+    want = {
+        r.doc_id: r.sh
+        for r in both.select(
+            "doc_id", _word_shingles(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert got == want
