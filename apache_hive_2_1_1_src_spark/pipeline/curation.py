@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from apache_hive_2_1_1_src_spark.pipeline.dedup import _word_shingles
-from apache_hive_2_1_1_src_spark.pipeline.text import _words
+from apache_hive_2_1_1_src_spark.pipeline.text import _n_words, _words
 
 _HEX = "0123456789abcdef"
 
@@ -84,7 +84,7 @@ def sequence_packing(
     depends only on shard token mass being >> budget.  Raise ``shards``
     so each substratum fits one task comfortably (100 TB / 4 langs /
     budget-sized packs → thousands of shards)."""
-    tokens = F.size(_words(F.col("text")))
+    tokens = _n_words(F.col("text"))
     # 4 hex chars → 65536 distinct values, so ``shards`` scales to the
     # thousands the docstring calls for (a single hex char would silently
     # cap the substrata at 16, keeping the giant-window funnel)
@@ -511,7 +511,7 @@ def length_bucketed_batching(
     Returns per-bucket (bucket_size, n_docs, total_tokens,
     padded_tokens, waste_pct) ordered by bucket.
     """
-    n_tok = F.size(_words(F.col("text")))
+    n_tok = _n_words(F.col("text"))
     clamped = F.greatest(
         F.lit(min_bucket),
         F.least(

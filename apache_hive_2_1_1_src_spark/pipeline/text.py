@@ -27,18 +27,61 @@ def _words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
+def _n_words(text: Column) -> Column:
+    """``size(_words(text))`` as ONE codegen regexp pass (round 13, guide
+    §4.1: prefer built-ins over interpreted higher-order chains): the
+    non-empty pieces of a ``\\s+`` split are exactly the maximal ``\\S+``
+    runs, so counting matches equals building the array and sizing it —
+    for every input, including empty/whitespace-only strings (0 both
+    ways).  NULL text coalesces to -1 because the engine session runs
+    Hive's legacy size(NULL) = -1 (ANSI off), which is what the replaced
+    size(...) form returned.  Lowercasing never creates or destroys
+    whitespace, so the count is taken on the lowered text only where a
+    caller also consumes lowered lengths (see _n_nonspace_chars)."""
+    return F.coalesce(F.regexp_count(text, F.lit(r"\S+")), F.lit(-1))
+
+
+#: One alternation over the exact STOPWORDS tuple: a token equals a
+#: stopword iff the word appears delimited by start/whitespace on the
+#: left (consumed — split guarantees >=1 whitespace char between tokens,
+#: used once per match) and whitespace/end on the right (zero-width, so
+#: adjacent stopwords both match).  Java alternation backtracks, so the
+#: prefix words (a/an/and) need no ordering care.
+_STOPWORD_RX = r"(^|\s)(" + "|".join(STOPWORDS) + r")(?=\s|$)"
+
+
+def _n_stopwords(text: Column) -> Column:
+    """Per-occurrence stopword count over the lowered text — equal to
+    filtering the ``_words`` array through array_contains(STOPWORDS) and
+    sizing it, without materializing the array (round 13).  NULL → -1,
+    matching legacy size(NULL) like _n_words."""
+    return F.coalesce(F.regexp_count(F.lower(text), F.lit(_STOPWORD_RX)), F.lit(-1))
+
+
+def _n_nonspace_chars(lowered: Column) -> Column:
+    """Sum of token lengths == count of non-whitespace chars, as one
+    codegen pass.  Takes the LOWERED text because the HOF form summed
+    lengths of lowercased tokens, and Unicode lowering can change string
+    length (e.g. U+0130 -> 'i' + combining dot)."""
+    return F.regexp_count(lowered, F.lit(r"\S"))
+
+
 def quality_score_col(text_col: str = "text") -> Column:
     """The composite quality score as a bare Column expression — shared by
     quality_features and corpus_pipeline so the funnel can FILTER on the
     score in the same projection instead of joining back to a separate
-    quality_features pass (round 13, guide §2.4: one scan, no join)."""
+    quality_features pass (round 13, guide §2.4: one scan, no join).
+
+    Round 13 (guide §4.1): every feature is a single codegen
+    regexp_count/length pass instead of the earlier split → filter →
+    array_contains higher-order chains, which were interpreted and
+    re-evaluated the split per feature.  Value equality against the HOF
+    forms is pinned in tests/test_pipeline_invariants.py."""
     text = F.col(text_col)
-    words = _words(text)
-    n_words = F.size(words)
+    n_words = _n_words(text)
     n_chars = F.length(text)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_stop = _n_stopwords(text)
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
     stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
     return F.round(
@@ -53,17 +96,14 @@ def quality_score_col(text_col: str = "text") -> Column:
 
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a composite
-    score, mirroring standard pretraining-corpus quality filters."""
+    score, mirroring standard pretraining-corpus quality filters.
+    Round 13: codegen regexp_count features — see quality_score_col."""
     text = F.col(text_col)
-    words = _words(text)
-    n_words = F.size(words)
+    n_words = _n_words(text)
     n_chars = F.length(text)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    mean_wlen = F.aggregate(
-        words, F.lit(0), lambda acc, w: acc + F.length(w)
-    ) / F.greatest(n_words, F.lit(1))
+    n_stop = _n_stopwords(text)
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    mean_wlen = _n_nonspace_chars(F.lower(text)) / F.greatest(n_words, F.lit(1))
     stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
     score = quality_score_col(text_col)
@@ -82,15 +122,14 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     letters, digits, or single punctuation — the pre-tokenizer split most
     BPE vocabularies assume)."""
     text = F.col(text_col)
-    ws_tokens = F.size(_words(text))
-    pieces = F.size(
-        F.filter(
-            F.split(F.lower(text), r"([a-z]+|[0-9]+|[^a-z0-9\s])|\s+"),
-            lambda p: p != "",
-        )
+    ws_tokens = _n_words(text)
+    # round 13: count the matches directly instead of materializing the
+    # regexp_extract_all array just to size it (same regex, same count;
+    # NULL → -1 mirrors legacy size(NULL) of the replaced form)
+    bpe_ish = F.coalesce(
+        F.regexp_count(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")),
+        F.lit(-1),
     )
-    # regexp_extract_all keeps the matched pieces directly (codegen path).
-    bpe_ish = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
     chars_per_token = F.round(F.length(text) / F.greatest(ws_tokens, F.lit(1)), 6)
     return docs.select(
         "doc_id",
@@ -375,7 +414,7 @@ def adaptive_quality_filter(
     """
     scored = docs.select(
         F.col(stratum_col).alias("stratum"),
-        F.size(_words(F.col(text_col))).alias("n_words"),
+        _n_words(F.col(text_col)).alias("n_words"),
     )
     med = scored.groupBy("stratum").agg(
         F.expr("percentile(n_words, 0.5)").alias("med")

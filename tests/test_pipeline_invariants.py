@@ -867,3 +867,69 @@ def test_python_shingler_equals_expression_shingles(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_regexp_quality_features_equal_hof_forms(spark, sf_dir):
+    """The round-13 regexp_count feature expressions (_n_words,
+    _n_stopwords, _n_nonspace_chars, punct count, bpe_ish count) must be
+    value-identical to the higher-order split/filter/aggregate forms they
+    replaced — over the corpus AND crafted edge texts (NULL, empty,
+    whitespace-only, tabs/newlines, punctuation-adjacent stopwords,
+    consecutive stopwords, Unicode length-changing lowercasing)."""
+    from apache_hive_2_1_1_src_spark.pipeline.text import (
+        STOPWORDS,
+        _n_nonspace_chars,
+        _n_stopwords,
+        _n_words,
+        _words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (900001, ""),
+            (900002, "   \t\n  "),
+            (900003, "the"),
+            (900004, "a a an and of the it is in to or"),
+            (900005, "the, quick (a) brown; fox... and-the it?"),
+            (900006, "x of  the\ty\nand z"),
+            (900007, None),
+            (900008, "THE AND OF IT IS"),
+            (900009, "İstanbul İ the data"),
+            (900010, "word"),
+            (900011, "an analysis and anchor a art"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    text = F.col("text")
+    words = _words(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    hof = both.select(
+        "doc_id",
+        F.size(words).alias("nw"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).alias("ns"),
+        (
+            F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+        ).alias("np"),
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).alias("nc"),
+        F.size(
+            F.expr(
+                "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"
+            )
+        ).alias("nb"),
+    )
+    new = both.select(
+        "doc_id",
+        _n_words(text).alias("nw"),
+        _n_stopwords(text).alias("ns"),
+        F.regexp_count(text, F.lit(r"[^\w\s]")).alias("np"),
+        _n_nonspace_chars(F.lower(text)).alias("nc"),
+        F.coalesce(
+            F.regexp_count(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")),
+            F.lit(-1),
+        ).alias("nb"),
+    )
+    got = {r.doc_id: (r.nw, r.ns, r.np, r.nc, r.nb) for r in new.collect()}
+    want = {r.doc_id: (r.nw, r.ns, r.np, r.nc, r.nb) for r in hof.collect()}
+    assert got == want
