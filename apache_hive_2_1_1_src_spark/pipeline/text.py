@@ -167,7 +167,11 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def tfidf_top_terms(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    subset: Column | None = None,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document (tf = in-doc count, idf = ln(N/df)).
 
@@ -175,14 +179,35 @@ def tfidf_top_terms(
     document frequencies → window top-k.  Two shuffles (term counts, df)
     plus the window — each keyed and combinable, the shape that scales.
     Deterministic tie-break on term.
-    """
+
+    ``subset`` (round 13, guide §2.3 — don't shuffle rows you throw
+    away): a row predicate restricting WHICH documents get scored.  A
+    document's top-k depends only on its own term counts and the
+    corpus-global df/N, so filtering the tf/window side up front returns
+    exactly the rows a post-hoc ``.filter(subset)`` would keep — but the
+    big (id, term) shuffle and the per-doc window now carry only the
+    requested documents, while df and N stay computed over ALL docs
+    (their pipeline is unchanged when ``subset`` is None)."""
     from pyspark.sql import Window
 
     words = docs.select(
         F.col(id_col).alias("id"), F.explode(_words(F.col(text_col))).alias("term")
     )
-    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    if subset is None:
+        tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        # tf rows are already distinct per (id, term), so df reuses them
+        df_counts = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    else:
+        tf = (
+            docs.filter(subset)
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(_words(F.col(text_col))).alias("term"),
+            )
+            .groupBy("id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        df_counts = words.groupBy("term").agg(F.countDistinct("id").alias("df"))
     n_docs = docs.count()
     scored = tf.join(F.broadcast(df_counts), "term").select(
         "id",

@@ -933,3 +933,22 @@ def test_regexp_quality_features_equal_hof_forms(spark, sf_dir):
     got = {r.doc_id: (r.nw, r.ns, r.np, r.nc, r.nb) for r in new.collect()}
     want = {r.doc_id: (r.nw, r.ns, r.np, r.nc, r.nb) for r in hof.collect()}
     assert got == want
+
+
+def test_tfidf_subset_equals_posthoc_filter(spark, sf_dir):
+    """tfidf_top_terms(subset=pred) must return exactly the rows of
+    tfidf_top_terms().filter(pred): tf and the per-doc window depend only
+    on the doc's own terms, df/N stay corpus-global."""
+    from apache_hive_2_1_1_src_spark.pipeline.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = F.col("doc_id") % 7 == 0
+    want = {
+        (r.doc_id, r.term, r.tfidf, r.rn)
+        for r in tfidf_top_terms(docs, k=3).filter(pred).collect()
+    }
+    got = {
+        (r.doc_id, r.term, r.tfidf, r.rn)
+        for r in tfidf_top_terms(docs, k=3, subset=pred).collect()
+    }
+    assert got == want and got
