@@ -415,13 +415,21 @@ def test_ivf_build_has_no_global_sort_window(spark, sf_dir):
     """The IVF centroid seed must plan as TakeOrderedAndProject
     (distributed per-partition top-k), never a partitionless
     row_number window that sorts the whole corpus in one task
-    (VERDICT r4 'What's wrong' #1)."""
+    (VERDICT r4 'What's wrong' #1).
+
+    Round 13: train_centroids localCheckpoints the codebook each Lloyd
+    iteration (lineage truncation), so the iterated result's plan is a
+    checkpoint scan — the seed's plan shape is only visible at
+    iterations=0, which is where the TakeOrderedAndProject guard must
+    look now."""
     from apache_hive_2_1_1_src_spark.pipeline.ivf import train_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
+    seed = train_centroids(emb, num_centroids=8, iterations=0)
+    assert _partitionless_windows(seed) == []
+    assert "TakeOrderedAndProject" in _plan(seed)
     cents = train_centroids(emb, num_centroids=8, iterations=1)
     assert _partitionless_windows(cents) == []
-    assert "TakeOrderedAndProject" in _plan(cents)
 
 
 def test_p23_ivf_query_has_no_partitionless_window(spark, sf_dir):
