@@ -277,19 +277,31 @@ def hll_report(
 
     The reported count itself is the EXACT distinct (one
     map-side-combined distinct over tokens), so the operator is fully
-    oracle-checkable; the sketch's claims ride along as booleans."""
-    tokens_of = lambda d: d.select(
+    oracle-checkable; the sketch's claims ride along as booleans.
+
+    Round 13 (guide §2.4/§5): the operator used to run THREE driver
+    actions (merge mismatch count, register collect + Python estimate,
+    exact distinct count), each re-scanning the corpus and re-running
+    the tokenizing explode — six scans per call, and a .collect() in
+    the query path.  It is now ONE plan / one action: the (parity,
+    token) stream is materialized once (localCheckpoint), the three
+    register tables aggregate independently from it (full is NOT
+    derived from the parity registers, so merge_exact_ok certifies the
+    same independence as before), and the Flajolet estimate — the same
+    harmonic mean + linear-counting branch hll_estimate computes
+    driver-side — is a ≤2^p-row SQL aggregate whose scalar rides the
+    final single-row crossJoin."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("par"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
-        ).alias("token")
-    )
-    full = hll_registers(tokens_of(docs), "token", p)
-    even = hll_registers(
-        tokens_of(docs.filter(F.col("doc_id") % 2 == 0)), "token", p
-    )
-    odd = hll_registers(
-        tokens_of(docs.filter(F.col("doc_id") % 2 == 1)), "token", p
-    )
+        ).alias("token"),
+    ).localCheckpoint(eager=False)
+    full = hll_registers(toks, "token", p)
+    even = hll_registers(toks.filter(F.col("par") == 0), "token", p)
+    odd = hll_registers(toks.filter(F.col("par") == 1), "token", p)
     merged = (
         even.withColumnRenamed("M", "Me")
         .join(odd.withColumnRenamed("M", "Mo"), "bucket", "full_outer")
@@ -300,19 +312,42 @@ def hll_report(
             ).alias("M"),
         )
     )
-    mismatches = (
+    mismatch_cnt = (
         full.withColumnRenamed("M", "Mf")
         .join(merged, "bucket", "full_outer")
-        .filter(
-            F.coalesce("Mf", F.lit(-1)) != F.coalesce("M", F.lit(-1))
-        )
-        .count()
+        .filter(F.coalesce("Mf", F.lit(-1)) != F.coalesce("M", F.lit(-1)))
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
     )
-    est = hll_estimate(merged, p)
-    spark = docs.sparkSession
-    n_exact = tokens_of(docs).distinct().count()
-    err_ok = abs(est - n_exact) <= 0.05 * n_exact
-    return spark.createDataFrame(
-        [(n_exact, mismatches == 0, bool(err_ok))],
-        "n_distinct_exact long, merge_exact_ok boolean, err_ok boolean",
+    # hll_estimate's two branches as a register-table aggregate:
+    # denom = Σ 2^-M over non-empty registers + #empty (2^0 each)
+    est_agg = merged.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("s"),
+        F.count(F.lit(1)).alias("nonzero"),
+    ).select(
+        F.when(
+            (
+                F.lit(alpha * m * m)
+                / (F.col("s") + (F.lit(m) - F.col("nonzero")))
+                <= F.lit(2.5 * m)
+            )
+            & (F.col("nonzero") < m),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("nonzero"))),
+        )
+        .otherwise(
+            F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nonzero")))
+        )
+        .alias("est")
+    )
+    exact = toks.agg(F.countDistinct("token").alias("n_distinct_exact"))
+    return (
+        exact.crossJoin(mismatch_cnt)
+        .crossJoin(est_agg)
+        .select(
+            F.col("n_distinct_exact").cast("long").alias("n_distinct_exact"),
+            (F.col("n_mismatch") == 0).alias("merge_exact_ok"),
+            (
+                F.abs(F.col("est") - F.col("n_distinct_exact"))
+                <= 0.05 * F.col("n_distinct_exact")
+            ).alias("err_ok"),
+        )
     )
