@@ -452,11 +452,19 @@ def canonicalize_pairs(pairs: DataFrame, iterations: int = 3) -> DataFrame:
     Clusters with diameter > iterations keep per-component minima that are
     correct within their hop radius — callers pick iterations ≥ expected
     cluster diameter (near-dup clusters are almost always tiny).
-    """
+
+    Round 13 (guide §5 — cut lineage that fans out): ``edges`` is
+    consumed by every propagation round plus the label seed, and itself
+    reads ``pairs`` twice (both union directions) — without
+    materialization each of those references re-executes the whole
+    upstream pair-generation subplan (for p15 that is the tiled-GEMM
+    scoring kernel, re-run up to 8×).  One localCheckpoint pins it —
+    the same rule connected_components already applies."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("canonical")
