@@ -59,14 +59,17 @@ def main(out_dir: str, sf_dir: str) -> None:
     )
 
     conn = None
-    for _ in range(60):
+    # poll at 200 ms, not 2 s — the server usually binds well under a
+    # second after startWithContext, and the coarse poll quantized up to
+    # ~2 s of pure wait into every q172 run (round 13; same 120 s budget)
+    for _ in range(600):
         try:
             conn = jvm.java.sql.DriverManager.getConnection(
                 f"jdbc:hive2://localhost:{port}/default", "anon", ""
             )
             break
         except Exception:
-            time.sleep(2)
+            time.sleep(0.2)
     if conn is None:
         raise RuntimeError("thrift server never came up")
 

@@ -164,10 +164,12 @@ def _with_shingles_py(
     df: DataFrame, text_col: str, n: int = 3, out_col: str = "sh"
 ) -> DataFrame:
     """Append the distinct word n-gram shingle array via an Arrow-batched
-    Python kernel — round 13 (guide §4.2): the _word_shingles expression
-    (regexp_replace + a lookahead-capture regexp_extract_all per position)
-    measured ~2.8 s over 5000 docs at sf0.1; plain Python string slicing
-    over Arrow batches does the identical work in tens of ms.
+    Python kernel — round 13 (guide §4.2).  Honest re-measurement late in
+    the round: WARM the kernel and the _word_shingles expression are
+    equivalent at sf0.1 (~0.7 s per materialization either way; the
+    original ~2.8 s expression figure was a cold/contended sample), so
+    the kernel is kept for its cold-start edge and pinned equivalence,
+    not a claimed order-of-magnitude.
 
     Faithful to the expression for ALL inputs, not just this corpus:
     lowercasing stays in the JVM (Java and Python disagree on Unicode
