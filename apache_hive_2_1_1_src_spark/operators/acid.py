@@ -148,6 +148,22 @@ class AcidTable:
         self.spark = spark
         self.root = root
         self.key_col = key_col
+        # cached table schema (fixed at create(); major compaction
+        # rewrites the same columns) — see _read_rows
+        self._rows_schema = None
+
+    def _read_rows(self, path: str) -> DataFrame:
+        """Read a base/delta ``rows`` parquet dir with the cached table
+        schema.  Round 14 (guide §6 — schema inference is per-call
+        DRIVER work): every ``read()`` used to re-list and re-read a
+        parquet footer for the base plus each delta; a multi-statement
+        ACID scenario pays that dozens of times for a schema that cannot
+        change (deltas are written from ``read()`` output, major
+        compaction rewrites the same columns).  Inferred once, then
+        passed explicitly."""
+        if self._rows_schema is None:
+            self._rows_schema = self.spark.read.parquet(path).schema
+        return self.spark.read.schema(self._rows_schema).parquet(path)
 
     # ---------------------------------------------------------- create
     @classmethod
@@ -244,7 +260,7 @@ class AcidTable:
         """
         snap = snap or self.snapshot()
         k = self.key_col
-        rows = self.spark.read.parquet(
+        rows = self._read_rows(
             os.path.join(self.root, snap.base_dir)
         ).withColumn("_wid", F.lit(snap.base_write_id))
         tombs: DataFrame | None = None
@@ -253,7 +269,7 @@ class AcidTable:
             tdir = os.path.join(self.root, d, "tombstones")
             if os.path.exists(rdir):
                 rows = rows.unionByName(
-                    self.spark.read.parquet(rdir).withColumn("_wid", F.lit(wid))
+                    self._read_rows(rdir).withColumn("_wid", F.lit(wid))
                 )
             if os.path.exists(tdir):
                 tt = self._load_tombstones(d, wid)
@@ -320,7 +336,7 @@ class AcidTable:
             rdir = os.path.join(self.root, d, "rows")
             tdir = os.path.join(self.root, d, "tombstones")
             if os.path.exists(rdir):
-                rr = self.spark.read.parquet(rdir).withColumn("_wid", F.lit(wid))
+                rr = self._read_rows(rdir).withColumn("_wid", F.lit(wid))
                 rows = rr if rows is None else rows.unionByName(rr)
             if os.path.exists(tdir):
                 tt = self._load_tombstones(d, wid)
@@ -498,9 +514,11 @@ class AcidTable:
         # uniform feed schema comes from the base files: delete events
         # null-fill every non-key column so a delete-only window still
         # exposes the full row shape to a replica consumer
-        base_schema = self.spark.read.parquet(
-            os.path.join(self.root, log["base"])
-        ).schema
+        if self._rows_schema is None:
+            self._rows_schema = self.spark.read.parquet(
+                os.path.join(self.root, log["base"])
+            ).schema
+        base_schema = self._rows_schema
         data_fields = [f for f in base_schema.fields if f.name != "_wid"]
         for e in log["committed"]:
             # A minor-compaction fold re-attributes every event inside
@@ -524,7 +542,7 @@ class AcidTable:
             rows_dir = os.path.join(self.root, e["dir"], "rows")
             ts_dir = os.path.join(self.root, e["dir"], "tombstones")
             if os.path.isdir(rows_dir):
-                r = self.spark.read.parquet(rows_dir)
+                r = self._read_rows(rows_dir)
                 cols = (
                     [F.col(f.name) for f in data_fields]
                     if include_rows
@@ -638,8 +656,14 @@ class Txn:
 
     def update(self, cond: Column, assignments: dict[str, Column]) -> None:
         """UPDATE = tombstone(old) + insert(new) in this txn's delta
-        (OrcRecordUpdater's delete+insert event pair)."""
-        matched = self.read().filter(cond)
+        (OrcRecordUpdater's delete+insert event pair).
+
+        Round 14 (guide §5 — cut lineage that fans out): the matched set
+        feeds TWO writes (tombstoned keys and new rows); without
+        materialization each write re-executes the whole snapshot-read
+        plan (base ∪ deltas + the tombstone max/join).  One
+        localCheckpoint runs that plan once."""
+        matched = self.read().filter(cond).localCheckpoint(eager=False)
         new_rows = matched
         for c, expr in assignments.items():
             new_rows = new_rows.withColumn(c, expr)
@@ -670,9 +694,14 @@ class Txn:
 
         One inner join on the merge key + the delta writes — the same
         single-pass shape an ACID MERGE compiles to; commit-time
-        conflict detection then covers the whole write set."""
+        conflict detection then covers the whole write set.
+
+        Round 14 (guide §5): the snapshot read feeds the matched join,
+        the unmatched anti-join, and both delta writes — localCheckpoint
+        executes the base∪deltas reconstruction once instead of once per
+        consumer."""
         k = self.table.key_col
-        snap_df = self.read()
+        snap_df = self.read().localCheckpoint(eager=False)
         src = source
         for c in src.columns:
             if c != k:

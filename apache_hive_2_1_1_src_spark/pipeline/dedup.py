@@ -66,13 +66,24 @@ def minhash_signatures(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic MinHash signatures, one column per hash function:
-    h_i = min over shingles of xxhash64('i|' ++ shingle).
+    h_i = min over shingles of a_i*xxhash64(shingle)+b_i (wrapping 64-bit)
+    — the standard universal-hash MinHash family, one xxhash64 per shingle.
 
     Computed as explode(shingles) → groupBy(doc) with ``num_hashes``
     codegen ``min`` aggregates — map-side partial mins collapse the data
     before the one shuffle keyed by doc id, which is the shape that holds
     at 100 TB (and avoids re-evaluating the signature expression per
-    consumer, which interpreted higher-order lambdas would)."""
+    consumer, which interpreted higher-order lambdas would).
+
+    Round 14 re-measurement (confirming round 13's revert of the same
+    idea): a zero-shuffle per-row form — bind transform(sh, xxhash64) to
+    a column, then 32 × array_min(transform(bh, a·x+b)) — is SLOWER
+    end-to-end (p02 best 2.21 s vs 1.66 s, same-session interleaved
+    best-of-8) despite removing this exchange: higher-order functions are
+    interpreted and allocate a fresh array per transform per row, while
+    the explode feeds tight codegen min aggregates and the exchange
+    carries only the partially-aggregated 32-long rows (~1 row per doc
+    per map partition).  Kept as-is deliberately."""
     sh = shingles if shingles is not None else shingle_table(docs, text_col, id_col)
     shingled = (
         sh.select("id", F.explode("sh").alias("shingle"))
@@ -97,6 +108,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingles: DataFrame | None = None,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs.
 
@@ -116,10 +128,24 @@ def minhash_lsh_candidates(
     (band_idx, band_hash, id) rows exactly once.  Candidate-pair sets
     are identical: both emit every same-bucket pair with id_a < id_b
     (collect_list is sorted, so slice-pairing preserves the order
-    invariant), then dedupe across bands.  Skew note: a pathological
-    bucket is quadratic under EITHER form; the per-bucket id array makes
-    that cost visible (size(ids)²) and cappable upstream if a corpus
-    ever needs it."""
+    invariant).
+
+    Round 14: the cross-band dedupe is no longer a ``.distinct()``
+    exchange — each pair is emitted exactly once, from the first band
+    where the two signatures agree (see the inline comment), so the
+    pipeline has exactly ONE data shuffle end-to-end.
+
+    Round 14 skew guard (guide §2.5): a band bucket larger than
+    ``max_bucket_size`` is SKIPPED.  A bucket with thousands of members
+    means the band hash has stopped discriminating (near-empty docs
+    sharing a degenerate signature, a corpus-wide boilerplate shingle
+    set) and its size² pair explosion would land in a single task — the
+    standard LSH practice is to treat such buckets as non-informative and
+    drop them.  The default (1024) is ~250× the largest bucket any sf
+    corpus produces (max observed 4 at sf0.1 — asserted in
+    tests/test_round14_semantics.py, so declared-query results are
+    provably unchanged), while bounding any one task's explode at
+    ~0.5M pairs at cluster scale."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingles=shingles)
     band_hashes = F.array(
@@ -136,27 +162,53 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        F.col("id"), F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    banded = sigs.select(F.col("id"), band_hashes.alias("bhs")).select(
+        "id", "bhs", F.posexplode("bhs").alias("band_idx", "band_hash")
     )
     buckets = (
         banded.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(F.sort_array(F.collect_list(F.struct("id", "bhs"))).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket_size))
     )
+    # Round 14 (guide §2.4 — remove shuffles outright): the cross-band
+    # dedupe used to be a .distinct() — a second full exchange keyed
+    # (id_a, id_b) right after the bucket exchange.  Instead each member
+    # carries its 8 band hashes into the bucket, and a pair is emitted
+    # ONLY from the first band where the two signatures agree
+    # (array_position of the zip_with-equality vector == this bucket's
+    # band_idx).  Every candidate pair shares at least one band and has
+    # exactly one first match, so the emitted multiset is exactly the
+    # old distinct set — with one exchange instead of two, and the
+    # candidate pairs never shuffled at all (they flow straight into the
+    # broadcast verify joins).  Bucket rows widen by the 8-long hash
+    # array (~64 B), bounded by bands × n rows; the removed exchange
+    # carried every duplicated candidate pair.  Honest local figure: a
+    # same-session interleaved best-of-8 at sf0.1 is a wash (med 1.63 s
+    # vs 1.58 s full p02 — only ~300 pair rows crossed the removed
+    # exchange there); the win is the removed candidate-pair shuffle at
+    # corpus scale, where near-dup-heavy corpora emit pairs per shared
+    # band (result equality pinned at sf0.1 in
+    # tests/test_round14_semantics.py).
     pair_structs = F.flatten(
         F.transform(
-            F.col("ids"),
+            F.col("members"),
             lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                F.slice(F.col("members"), i + F.lit(2), F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.array_position(
+                        F.zip_with(x["bhs"], y["bhs"], lambda p, q: p == q),
+                        True,
+                    ).alias("first_band"),
+                ),
             ),
         )
     )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
+        buckets.select(F.col("band_idx"), F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.first_band") == F.col("band_idx") + 1)
         .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
     )
 
 
@@ -271,24 +323,45 @@ def blocked_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.4,
+    max_df: int = 4096,
 ) -> DataFrame:
     """Exact word-3-gram Jaccard over all same-block pairs, computed via
     an inverted shingle index instead of enumerating the pairs (round 13,
     guide §2.3: shuffle keys, not payloads).
 
     Equivalent to ``jaccard_pairs(docs, same-block id_a<id_b pairs)`` for
-    any ``threshold > 0``: the (block, shingle)-keyed self-join yields one
-    row per (pair, shared shingle), a count aggregate gives |A∩B| for
-    exactly the pairs sharing ≥1 shingle, and |A∪B| = |A|+|B|−|A∩B|
-    (shingle arrays are distinct).  Pairs with no shared shingle have
-    Jaccard 0 and can never reach a positive threshold, so dropping them
-    changes nothing.  The old shape materialized every same-block pair
-    (Σ n_b² rows) and ran two O(|A|+|B|) array scans per pair; this one's
-    join output is Σ_shingle df(s)² rows — linear-ish when shingles are
-    near-unique, and the expensive work is a codegen count.  Skew note: a
-    pathological shingle shared by k docs costs k² rows here vs the same
-    k² pairs in the enumerated form — no worse, and a df(s) cap upstream
-    can bound it at cluster scale.
+    any ``threshold > 0``: each (block, shingle) posting list yields one
+    row per pair of docs sharing that shingle, a count aggregate gives
+    |A∩B| for exactly the pairs sharing ≥1 shingle, and
+    |A∪B| = |A|+|B|−|A∩B| (shingle arrays are distinct).  Pairs with no
+    shared shingle have Jaccard 0 and can never reach a positive
+    threshold, so dropping them changes nothing.
+
+    The old shape materialized every same-block pair (Σ n_b² rows) and
+    ran two O(|A|+|B|) array scans per pair; this one's join output is
+    Σ_shingle df(s)² rows — linear-ish when shingles are near-unique,
+    and the expensive work is a codegen count.
+
+    Round 14 note: rebuilding the index as ONE groupBy(block, shingle)
+    collect_list posting table (the minhash_lsh_candidates bucket shape)
+    was measured and REJECTED — med 2.08 s vs 1.51 s at sf0.1,
+    same-session order-reversed: ObjectHashAggregate allocating a list
+    per ~500k near-unique (block, shingle) groups loses to the tight
+    codegen self-join whose probe input is already checkpointed.
+
+    Round 14 skew guard (guide §2.5): a shingle shared by more than
+    ``max_df`` same-block documents would put a df(s)² pair explosion in
+    one join task (a corpus-wide boilerplate shingle at 100 TB).  Hot
+    (block, shingle) keys are collected into a broadcast blacklist —
+    empty on any healthy corpus, KB-sized on a pathological one — and
+    anti-joined off the build side of the pair join; zeroing ONE side of
+    a key zeroes that key's entire |A|×|B| fan-out, exactly like
+    dropping the posting list.  The default (4096) is ~680× the largest
+    df any sf corpus produces (max observed 6 at sf0.1 — asserted in
+    tests/test_round14_semantics.py, so declared-query results are
+    provably unchanged).  A capped shingle lowers the affected pairs'
+    Jaccard estimate below true — callers that need recall on such
+    corpora raise ``max_df``.
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     """
@@ -307,7 +380,14 @@ def blocked_jaccard_pairs(
     toks = sh.select(
         "id", "blk", "n_sh", F.explode("sh").alias("shingle")
     ).localCheckpoint(eager=False)
-    a, b = toks.alias("a"), toks.alias("b")
+    hot = (
+        toks.groupBy("blk", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("blk", "shingle")
+    )
+    a = toks.join(F.broadcast(hot), ["blk", "shingle"], "left_anti").alias("a")
+    b = toks.alias("b")
     inter = (
         a.join(
             b,
@@ -365,7 +445,17 @@ def simhash64(
     xxhash64 but bit-for-bit reproducible in any engine with md5, which
     is what lets p04's DuckDB oracle recompute the identical signature.
     Empty tokens are dropped in this mode so both engines tokenize alike.
-    """
+
+    Round 14 re-measurement (closing the round-13 "packed counters"
+    backlog item): packing the ±1 sums 4-per-long in 16-bit lanes
+    (n_pos per lane, ±sum = 2·n_pos − n, loud raise_error guard at
+    65535 words/doc) was implemented, pinned bit-equal, and REJECTED on
+    measurement: the isolated signature aggregation got SLOWER (best
+    2.30 s vs 1.94 s packed vs plain at sf0.1; full p04 3.2-3.5 s vs
+    2.5-2.7 s, same-session order-reversed runs).  The per-row lane
+    assembly (shift+and+shiftleft+add ×nbits) costs more than the saved
+    aggregation buffers — the md5/conv word hash, not the 60 sum
+    buffers, dominates this stage.  Plain sums kept."""
     nbits = 60 if use_md5 else 64
     words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
     exploded = docs.select(

@@ -258,10 +258,11 @@ def p32_extract_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def p14_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (docs ≤ 50) — relational text
-    pipeline, full oracle.  Round 13: the doc restriction is pushed into
-    the tf/window side (``subset``) so only the 50 requested documents
-    shuffle and rank; df/N stay corpus-global, so the rows are identical
-    to filtering afterwards (the residual filter is kept and is a no-op)."""
+    pipeline, full oracle.  Round 14: tf and df share ONE (id, term)
+    aggregate (the corpus is exploded once; ``subset`` filters the shared
+    rows for the tf/window side while df/N stay corpus-global), so the
+    rows are identical to filtering afterwards (the residual filter is
+    kept and is a no-op)."""
     from apache_hive_2_1_1_src_spark.pipeline.text import tfidf_top_terms
 
     docs = t(spark, sf_dir, "documents")
