@@ -741,9 +741,17 @@ def embedding_near_dups(
     NumPy GEMM in Arrow batches) instead of a self-join evaluating an
     interpreted zip_with/aggregate fold per pair — 13× on the all-pairs
     baseline at sf0.1, bit-identical scores (see the kernel's docstring
-    for the order-of-operations argument).  No BroadcastNestedLoopJoin /
-    CartesianProduct appears in either plan (tile pairing is an
-    equi-join on the bucket id).
+    for the order-of-operations argument).
+
+    Plan-shape note (round 14, correcting an overclaim the round-13
+    docstring made): with ``sign_bits`` set the tile pairing is an
+    equi-join on the bucket id — no BroadcastNestedLoopJoin.  With
+    ``sign_bits=None`` (p05's all-pairs baseline) the bucket is a
+    constant, Catalyst constant-folds the equi key away, and the plan IS
+    a BroadcastNestedLoopJoin — of TILE rows, not vectors: ceil(n /
+    block_rows)² tile pairs, 16×16 at sf0.1.  That is the intended
+    all-pairs baseline; tests/test_round14_semantics.py bounds the tile
+    count so the BNLJ side can never silently become per-vector.
     """
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if sign_bits is not None:

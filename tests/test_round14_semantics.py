@@ -234,3 +234,38 @@ def test_acid_update_delta_contents_exact(spark, tmp_path):
         (15, 30.0),
         (20, 40.0),
     ]
+
+
+# --------------------------------- 6. p05 tile join stays tile-count-bounded
+def test_p05_allpairs_bnlj_joins_tiles_not_vectors(spark, sf_dir):
+    """The all-pairs embedding baseline (sign_bits=None) constant-folds
+    its bucket key, so the tile join IS a BroadcastNestedLoopJoin — of
+    TILE rows.  Pin that the join inputs are the (bucket, blk) tile
+    aggregates (n_blocks rows per side, a constant) and can never
+    silently regress to per-vector rows."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import sign_bucket  # noqa: F401
+    from apache_hive_2_1_1_src_spark.queries.pipeline_queries import (
+        p05_dedup_embedding,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    n_blocks = 16  # embedding_near_dups default for the all-pairs path
+    tiles = (
+        emb.select(F.col("vec_id").alias("id"))
+        .withColumn("bucket", F.lit(0))
+        .withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("bucket", "blk")
+        .count()
+    )
+    n_tiles = tiles.count()
+    assert n_tiles <= n_blocks < n_vec
+    df = p05_dedup_embedding(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    # join inputs must be the tile aggregates (ObjectHashAggregate of
+    # collect_list), i.e. the BNLJ build side is n_blocks tile rows
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ObjectHashAggregate" in plan
+    assert "MapInPandas" in plan
