@@ -1054,7 +1054,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = 12) -> DataFram
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
-        # step 1 — propagate: pull the min label from graph neighbors
+        # step 1 — propagate: pull the min label from graph neighbors.
+        # The round's STARTING label rides along as _old so convergence
+        # is a plain filter-count over the round's checkpointed output —
+        # round 14 (guide §2.4): the previous shape re-joined the new
+        # labels against the old label table just to count changes,
+        # one extra join + exchange per round for a scalar the rows
+        # already know.
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -1064,6 +1070,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 12) -> DataFram
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
             "id",
+            F.col("component").alias("_old"),
             F.least(
                 F.col("component"),
                 F.coalesce(F.col("nbr_min"), F.col("component")),
@@ -1081,6 +1088,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 12) -> DataFram
             prop.join(parent, prop.component == parent.pid, "left")
             .select(
                 "id",
+                "_old",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("pcomp"), F.col("component")),
@@ -1088,13 +1096,10 @@ def connected_components(pairs: DataFrame, max_iterations: int = 12) -> DataFram
             )
             .localCheckpoint(eager=False)
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = new_labels.filter(
+            F.col("component") != F.col("_old")
+        ).count()
+        labels = new_labels.select("id", "component")
         if n_changed == 0:
             break
     else:
