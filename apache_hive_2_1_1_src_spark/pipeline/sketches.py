@@ -53,22 +53,47 @@ def _mg_merge(summary: dict, counts: dict, capacity: int) -> dict:
     return summary
 
 
+def _mg_sketch_rows(tokens: DataFrame, token_col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries, materialized once.
+
+    Emits the ≤ capacity candidate tokens per partition PLUS one
+    sentinel row (token NULL, ``_n`` = rows seen in the partition) so a
+    caller that also needs the stream length N (heavy_hitters'
+    containment certificate) gets it from this same pass instead of a
+    second full scan of the token stream (round 14, guide §1.2: don't
+    re-read the corpus for a scalar the sketch pass already knows).
+    localCheckpoint because two consumers (candidate set, N) would
+    otherwise re-run the kernel; the output is ≤ (capacity+1) ×
+    partitions rows."""
+    import pandas as pd
+
+    def sketch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        summary: dict[str, int] = {}
+        seen = 0
+        for pdf in batches:
+            seen += len(pdf)
+            counts = pdf[token_col].dropna().value_counts().to_dict()
+            summary = _mg_merge(summary, counts, capacity)
+        yield pd.DataFrame(
+            {
+                token_col: list(summary.keys()) + [None],
+                "_n": [0] * len(summary) + [seen],
+            }
+        )
+
+    return tokens.mapInPandas(
+        sketch, f"{token_col} string, _n long"
+    ).localCheckpoint(eager=False)
+
+
 def mg_candidates(tokens: DataFrame, token_col: str, capacity: int) -> DataFrame:
     """Pass 1: per-partition Misra–Gries summaries → the unioned
     candidate token set (≤ capacity rows per partition).  Each Arrow
     batch is reduced with vectorized ``value_counts`` and merged into
     the running summary with the MG merge rule — O(capacity) state, no
     per-row Python."""
-    import pandas as pd
-
-    def sketch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        summary: dict[str, int] = {}
-        for pdf in batches:
-            counts = pdf[token_col].dropna().value_counts().to_dict()
-            summary = _mg_merge(summary, counts, capacity)
-        yield pd.DataFrame({token_col: list(summary.keys())})
-
-    return tokens.mapInPandas(sketch, f"{token_col} string").distinct()
+    out = _mg_sketch_rows(tokens, token_col, capacity)
+    return out.filter(F.col(token_col).isNotNull()).select(token_col).distinct()
 
 
 def heavy_hitters(
@@ -87,7 +112,13 @@ def heavy_hitters(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
         ).alias("token")
     )
-    candidates = mg_candidates(tokens, "token", capacity)
+    # pass 1 also yields N via its sentinel rows (round 14): the old
+    # shape ran a THIRD full pass (tokens.count()) for the certificate's
+    # floor — the sketch pass already sees every row
+    sketch_rows = _mg_sketch_rows(tokens, "token", capacity)
+    candidates = sketch_rows.filter(F.col("token").isNotNull()).select(
+        "token"
+    ).distinct()
     # pass 2: exact counts for candidates only (broadcast semi filter)
     exact = (
         tokens.join(F.broadcast(candidates), "token", "left_semi")
@@ -95,7 +126,7 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     top = exact.orderBy(F.desc("cnt"), F.asc("token")).limit(top_n)
-    total = tokens.count()
+    total = sketch_rows.agg(F.sum("_n")).collect()[0][0] or 0
     floor = total / capacity
     return top.withColumn(
         "guarantee_ok", (F.col("cnt") > F.lit(floor)).cast("boolean")
