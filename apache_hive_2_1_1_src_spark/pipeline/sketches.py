@@ -217,7 +217,17 @@ def cm_point_report(
     table = cm_sketch(tokens, "token", width, depth)
     total = sum(table[0])  # row 0 holds every token once
     eps_bound = math.ceil(math.e / width * total)
-    exact = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # Round 14 (guide §5): the exact count table feeds BOTH probe
+    # branches (top-n, alpha-first) and is then re-planned in the
+    # returned join — four full explode+aggregate passes without
+    # materialization (two under probes.collect(), two in the final
+    # plan).  One localCheckpoint runs the aggregation once; everything
+    # downstream is limit/join work over the vocabulary-sized table.
+    exact = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     probes = (
         exact.orderBy(F.desc("cnt"), F.asc("token")).limit(n_top)
         .unionByName(exact.orderBy(F.asc("token")).limit(n_alpha))
