@@ -614,8 +614,13 @@ def test_heavy_hitters_broadcasts_only_candidates(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
     # only ONE join in the whole plan: the semi join whose build side is
-    # the bounded mapInPandas candidate branch
-    assert "BroadcastExchange" in plan and "MapInPandas" in plan
+    # the bounded candidate branch.  Round 14: the MG kernel output is
+    # localCheckpoint-materialized (it also carries the stream length N),
+    # so the build side reads the checkpointed ≤(capacity+1)×partitions
+    # rows as a Scan ExistingRDD instead of showing MapInPandas inline —
+    # the corpus side must still be the streamed parquet scan.
+    assert "BroadcastExchange" in plan and "Scan ExistingRDD" in plan
+    assert "Scan parquet" in plan
 
 
 def test_hll_registers_plan_is_map_side_combined(spark, sf_dir):
