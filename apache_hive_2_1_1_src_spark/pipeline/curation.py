@@ -427,13 +427,24 @@ def dsir_resample(
         F.conv(F.substring(F.md5(F.col("tok")), 1, 6), 16, 10).cast("long") % dim
     ).alias("f")
     feats = toks.select("doc_id", "src", feat)
-    raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = (
-        feats.filter(F.col("src") == target_source)
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # Round 14 (guide §2.4/§5): the raw and target feature counts were
+    # two separate groupBys joined on f — and the ``dim``-row table fed
+    # both the totals aggregate and the weight projection, so the corpus
+    # explode+hash was planned FIVE times (raw+tgt under lw, raw+tgt
+    # again under totals, once more for scoring).  One conditional
+    # aggregate computes rc and tc in a single pass (tc = tokens from
+    # the target slice; buckets with no target tokens get 0, exactly the
+    # old left-join + fill), and the ≤dim-row result is checkpointed so
+    # totals/lw read it instead of re-running the pass.  Corpus passes:
+    # 5 → 2 (this table + the per-doc scoring join).
+    tab = (
+        feats.groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.count(F.when(F.col("src") == target_source, 1)).alias("tc"),
+        )
+        .localCheckpoint(eager=False)
     )
-    tab = raw.join(tgt, "f", "left").na.fill({"tc": 0})
     totals = tab.agg(F.sum("rc").alias("R"), F.sum("tc").alias("T"))
     lw = tab.crossJoin(F.broadcast(totals)).select(
         "f",
