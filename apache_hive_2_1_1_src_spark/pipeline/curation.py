@@ -579,8 +579,13 @@ def temperature_rebalance(
 
     Returns per-group (group, n_before, keep_p, n_kept), ordered.
     """
-    stats = docs.groupBy(F.col(group_col).alias("grp")).agg(
-        F.count(F.lit(1)).alias("n_l")
+    # tiny per-group table, but its subplan is a full corpus pass and it
+    # feeds BOTH the normalizer aggregate and the plan projection —
+    # checkpoint it so the count pass runs once (round 14, guide §5)
+    stats = (
+        docs.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .localCheckpoint(eager=False)
     )
     tot = stats.agg(
         F.sum("n_l").alias("n_total"),

@@ -380,7 +380,14 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(_words(F.col(text_col))).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # vocab-sized result but a full-corpus subplan, consumed by BOTH the
+    # total aggregate and the probability projection — checkpoint so the
+    # explode+count pass runs once (round 14, guide §5)
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     total = freq.agg(F.sum("c").alias("total"))
     freq_p = freq.crossJoin(F.broadcast(total))
     return (
