@@ -98,28 +98,45 @@ def assign_lists(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Nearest-centroid assignment: (id, v, cid) via broadcast join +
-    max_by argmax on cosine (deterministic tie-break on lowest cid).
+    """Nearest-centroid assignment: (id, v, cid), map-only.
 
-    Round 13 (guide §1.2): the vector's norm is projected once per ROW
-    and the centroid's once per CENTROID, below the broadcast join —
-    cosine() inline recomputed both per (vector, centroid) pair, i.e.
-    num_centroids× the corpus-side norm work.  dot/(nv·cn) keeps the
-    exact double arithmetic, so assignments are unchanged."""
-    cent = centroids.withColumn("cn", _norm(F.col("centroid")))
-    scored = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nv"),
-    ).join(F.broadcast(cent))
+    Round 14 (guide §2.4 — remove shuffles outright): the k-row codebook
+    is collapsed into ONE array row (sorted by cid), replicated by a
+    single-row broadcast, and each vector picks its centroid with a
+    per-row ``array_max`` over the scored array — the previous shape
+    (broadcast join to k rows per vector → groupBy(id) max-struct
+    argmax) paid a full corpus exchange CARRYING THE VECTOR COLUMN for
+    every assignment call: once per Lloyd iteration and once for the
+    index build.  Per-row arithmetic is unchanged — cos_c =
+    dot(v, centroid) / (nv · cn) with the centroid norm still computed
+    once per centroid (round 13) — and ``array_max`` over
+    struct(cos_c, -cid) is the same total ordering as the old
+    max(struct(...)) aggregate, so assignments are bit-identical
+    (verified over all sf0.1 vectors; ties still break to lowest cid)."""
+    cents = (
+        centroids.withColumn("cn", _norm(F.col("centroid")))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "centroid", "cn"))).alias("cents"))
+    )
     return (
-        scored.withColumn(
-            "cos_c", _dot(F.col("v"), F.col("centroid")) / (F.col("nv") * F.col("cn"))
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nv"),
         )
-        .groupBy("id")
-        .agg(
-            F.first("v").alias("v"),
-            F.max(F.struct(F.col("cos_c"), (-F.col("cid")).alias("neg_cid"))).alias("best"),
+        .join(F.broadcast(cents))
+        .withColumn(
+            "best",
+            F.array_max(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        (_dot(F.col("v"), c["centroid"]) / (F.col("nv") * c["cn"])).alias(
+                            "cos_c"
+                        ),
+                        (-c["cid"]).alias("neg_cid"),
+                    ),
+                )
+            ),
         )
         .select("id", "v", (-F.col("best.neg_cid")).alias("cid"))
     )

@@ -110,11 +110,14 @@ def train_pq_codebooks(
     )
     books = seeds
     for _ in range(iterations):
-        assigned = _assign_codes(subs, books)
+        # keep_vec=True: the assignment row carries its subvector, so the
+        # mean recompute reads it directly — the old shape re-joined the
+        # corpus-sized (id, sub, code) assignment back to the corpus-sized
+        # (id, sub, subv) table every iteration (two shuffles + sort per
+        # iteration whose only purpose was recovering subv)
+        assigned = _assign_codes(subs, books, keep_vec=True)
         books = (
-            assigned.join(
-                subs, ["id", "sub"]
-            )
+            assigned
             .select("sub", "code", F.posexplode("subv").alias("dimi", "val"))
             .groupBy("sub", "code", "dimi")
             .agg(F.avg("val").alias("mval"))
@@ -135,21 +138,56 @@ def train_pq_codebooks(
     return books
 
 
-def _assign_codes(subs: DataFrame, books: DataFrame) -> DataFrame:
+def _assign_codes(
+    subs: DataFrame, books: DataFrame, keep_vec: bool = False
+) -> DataFrame:
     """(id, sub, code): argmax of dot(subv,c) − ½‖c‖² (≡ min L2) over the
-    broadcast codebook of each subspace; ties break to the lowest cid."""
-    scored = subs.join(F.broadcast(books), "sub").withColumn(
-        "score", _dot(F.col("subv"), F.col("centroid")) - 0.5 * _norm2(F.col("centroid"))
+    broadcast codebook of each subspace; ties break to the lowest cid.
+
+    Round 14 (guide §2.4): map-only — each subspace's codebook collapses
+    to one sorted array row, the (id, sub, subv) rows broadcast-hash-join
+    it on ``sub`` (m tiny rows), and the code is a per-row ``array_max``
+    over the scored array.  The previous shape (join to codes_per_sub
+    rows per subvector → groupBy(id, sub) max-struct argmax) paid a full
+    corpus×m exchange per call — once per Lloyd iteration plus once for
+    the encode.  Per-row score arithmetic is unchanged (½‖c‖² is now
+    computed once per CENTROID instead of per pair — same value
+    subtracted), and array_max over struct(score, -cid) is the same
+    total ordering as the old max(struct(...)) aggregate, so codes are
+    bit-identical (verified over all sf0.1 (id, sub) rows).
+
+    ``keep_vec=True`` carries ``subv`` through, which lets the training
+    loop feed the mean recompute directly instead of re-joining the
+    corpus-sized assignment back to the corpus-sized subvector table."""
+    bk = books.groupBy("sub").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "cid", "centroid", (0.5 * _norm2(F.col("centroid"))).alias("hn2")
+                )
+            )
+        ).alias("cents")
     )
-    return (
-        scored.groupBy("id", "sub")
-        .agg(
-            F.max(
-                F.struct(F.col("score"), (-F.col("cid")).alias("neg_cid"))
-            ).alias("best")
+    out = (
+        subs.join(F.broadcast(bk), "sub")
+        .withColumn(
+            "best",
+            F.array_max(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        (_dot(F.col("subv"), c["centroid"]) - c["hn2"]).alias("score"),
+                        (-c["cid"]).alias("neg_cid"),
+                    ),
+                )
+            ),
         )
-        .select("id", "sub", (-F.col("best.neg_cid")).alias("code"))
+        .withColumn("code", -F.col("best.neg_cid"))
     )
+    # pass-through columns (e.g. the coarse cid in ivfadc_build) ride along;
+    # subv is dropped unless the caller asked to keep it
+    cols = [c for c in subs.columns if keep_vec or c != "subv"] + ["code"]
+    return out.select(*cols)
 
 
 def pq_encode(
@@ -316,15 +354,29 @@ def ivfadc_build(
         emb, num_centroids=num_centroids, iterations=iterations,
         vec_col=vec_col, id_col=id_col,
     )
-    lists = assign_lists(emb, centroids, vec_col=vec_col, id_col=id_col).select(
-        "id", "cid"
-    )
     books = train_pq_codebooks(
         emb, m=m, codes_per_sub=codes_per_sub, dim=dim, iterations=iterations,
         vec_col=vec_col, id_col=id_col,
     )
-    codes = pq_encode(emb, books, m=m, dim=dim, vec_col=vec_col, id_col=id_col)
-    return centroids, books, codes.join(lists, "id")
+    # Round 14 (guide §2.4): one corpus pass builds the whole index.  The
+    # coarse cid (map-only assign_lists) rides through the subvector
+    # explode into the map-only code assignment, so the previous
+    # codes.join(lists, "id") — a sort-merge join of two corpus-sized
+    # tables (two exchanges + sorts) whose only purpose was gluing cid to
+    # the code rows — no longer exists.  Row set is identical: both forms
+    # emit (id, sub, code, cid) for every (vector, subspace).
+    lists = assign_lists(emb, centroids, vec_col=vec_col, id_col=id_col)
+    subs = lists.select(
+        "id",
+        "cid",
+        F.posexplode(
+            _subvectors(F.transform(F.col("v"), lambda x: x.cast("double")), m, dim)
+        ).alias("sub", "subv"),
+    )
+    index = _assign_codes(subs.select("id", "cid", "sub", "subv"), books).select(
+        "id", "sub", "code", "cid"
+    )
+    return centroids, books, index
 
 
 def ivfadc_probe(

@@ -18,6 +18,12 @@ capped path.
 5. AcidTable.update/merge single-materialization: an UPDATE's delta
    must contain exactly the matched keys once (tombstones) and the
    reassigned rows once — re-execution removal cannot change the delta.
+6. IVF/PQ map-only assignment (continuation session): assign_lists and
+   _assign_codes' per-row array_max argmax must equal the groupBy
+   max-struct argmax they replaced (same ordering, same lowest-cid tie
+   break), the corpus side of both plans must carry no hash exchange,
+   and ivfadc_build's single-pass index must join nothing corpus-sized
+   (no SortMergeJoin).
 """
 
 from __future__ import annotations
@@ -269,3 +275,140 @@ def test_p05_allpairs_bnlj_joins_tiles_not_vectors(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "ObjectHashAggregate" in plan
     assert "MapInPandas" in plan
+
+
+# ------------------------- 7. IVF/PQ map-only assignment (guide §2.4)
+def _plan_str(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_assign_lists_map_only_equals_groupby_argmax(spark, sf_dir):
+    """The per-row array_max argmax must reproduce the old broadcast-join
+    + groupBy(id) max-struct argmax exactly (same cosine arithmetic,
+    same total ordering, ties to lowest cid)."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import _dot, _norm
+    from apache_hive_2_1_1_src_spark.pipeline.ivf import (
+        assign_lists,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids(emb, num_centroids=8, iterations=2)
+    new = {r.id: r.cid for r in assign_lists(emb, cents).collect()}
+
+    # the replaced shape, verbatim from the pre-change code
+    cent = cents.withColumn("cn", _norm(F.col("centroid")))
+    scored = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        _norm(F.col("embedding")).alias("nv"),
+    ).join(F.broadcast(cent))
+    old_df = (
+        scored.withColumn(
+            "cos_c",
+            _dot(F.col("v"), F.col("centroid")) / (F.col("nv") * F.col("cn")),
+        )
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos_c"), (-F.col("cid")).alias("neg_cid"))
+            ).alias("best")
+        )
+        .select("id", (-F.col("best.neg_cid")).alias("cid"))
+    )
+    old = {r.id: r.cid for r in old_df.collect()}
+    assert new == old
+
+
+def test_assign_codes_map_only_equals_groupby_argmax(spark, sf_dir):
+    """Same pin for the PQ code assignment (score = dot − ½‖c‖², ties to
+    lowest cid)."""
+    from apache_hive_2_1_1_src_spark.pipeline.dedup import _dot
+    from apache_hive_2_1_1_src_spark.pipeline.pq import (
+        _assign_codes,
+        _norm2,
+        _subvectors,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, codes_per_sub=16, iterations=2)
+    subs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(
+            _subvectors(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                8,
+                64,
+            )
+        ).alias("sub", "subv"),
+    )
+    new = {(r.id, r.sub): r.code for r in _assign_codes(subs, books).collect()}
+
+    scored = subs.join(F.broadcast(books), "sub").withColumn(
+        "score",
+        _dot(F.col("subv"), F.col("centroid")) - 0.5 * _norm2(F.col("centroid")),
+    )
+    old_df = (
+        scored.groupBy("id", "sub")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("cid")).alias("neg_cid"))
+            ).alias("best")
+        )
+        .select("id", "sub", (-F.col("best.neg_cid")).alias("code"))
+    )
+    old = {(r.id, r.sub): r.code for r in old_df.collect()}
+    assert new == old
+
+
+def test_assign_lists_tie_breaks_to_lowest_cid(spark):
+    """Two identical centroids: every vector must land on the lower cid
+    (the -cid struct field under array_max), exactly as the old
+    max-struct aggregate tie-broke."""
+    from apache_hive_2_1_1_src_spark.pipeline.ivf import assign_lists
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(3, [1.0, 1.0]), (5, [1.0, 1.0])], "cid int, centroid array<double>"
+    )
+    got = {r.id: r.cid for r in assign_lists(emb, cents).collect()}
+    assert got == {1: 3, 2: 3}
+
+
+def test_assignment_paths_have_no_corpus_exchange(spark, sf_dir):
+    """Plan pins: the corpus side of assign_lists and pq_encode is
+    map-only (the only hash exchange groups the k/128-row codebook), and
+    ivfadc_build's index is a single corpus pass — no SortMergeJoin, no
+    corpus-keyed hashpartitioning(id...)."""
+    from apache_hive_2_1_1_src_spark.pipeline.ivf import (
+        assign_lists,
+        train_centroids,
+    )
+    from apache_hive_2_1_1_src_spark.pipeline.pq import (
+        ivfadc_build,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids(emb, num_centroids=8, iterations=2)
+    plan = _plan_str(assign_lists(emb, cents))
+    assert "hashpartitioning(id" not in plan
+    assert "SortMergeJoin" not in plan
+
+    books = train_pq_codebooks(emb, m=8, codes_per_sub=16, iterations=2)
+    plan = _plan_str(pq_encode(emb, books, m=8))
+    assert "hashpartitioning(id" not in plan
+    assert "SortMergeJoin" not in plan
+    # the one allowed hash exchange groups the checkpointed codebook rows
+    assert plan.count("hashpartitioning(sub") <= 1
+
+    _, _, index = ivfadc_build(emb, num_centroids=8, m=8, codes_per_sub=16)
+    plan = _plan_str(index)
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(id" not in plan
