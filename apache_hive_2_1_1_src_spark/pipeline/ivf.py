@@ -24,7 +24,8 @@ result equals exact brute-force top-k — pytest pins that equality, and
 pins recall/candidate-boundedness for partial probes.
 
 Everything is codegen expressions (zip_with/aggregate dot products,
-max_by argmin) — no UDF, no driver-side numpy, no RNG state.
+per-row array_max argmin over the broadcast codebook) — no UDF, no
+driver-side numpy, no RNG state.
 
 Reference parity note: Hive 2.1 has no ANN surface; this extends the
 engine per the brief (similarity search as a first-class deliverable).
